@@ -1,0 +1,999 @@
+"""qi2lab datastore: versioned on-disk MERFISH experiment store.
+
+A from-scratch, contract-compatible implementation of the reference
+``qi2labDataStore`` (reference `qi2labDataStore.py`, layout documented in
+`docs/datastore.md:211-290`): Version 0.6 layout, OME-NGFF v0.5 zarr3 images
+(via TensorStore, see :mod:`.zarrio`), per-entity ``attributes.json``
+sidecars, parquet tables, and a ``datastore_state.json`` stage-flag state
+machine. The datastore is the durable communication/checkpoint medium for
+the whole pipeline: every stage is idempotent against its outputs and
+workers re-open the store by path.
+
+Tiles/rounds/bits are 0-indexed in the Python API and stored as 1-based
+zero-padded IDs (``tile0000``, ``round001``, ``bit001``;
+reference `qi2labDataStore.py:453-455,839-845`).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import re
+import shutil
+from pathlib import Path
+from typing import Any, Mapping, Optional, Sequence, Union
+
+import numpy as np
+import pandas as pd
+
+from . import zarrio
+
+ArrayLike = Union[np.ndarray, Sequence]
+
+_ID_RE = re.compile(r"^(tile|round|bit)(\d+)$")
+
+
+def _strict_id_sort_key(name: str) -> tuple[str, int]:
+    m = _ID_RE.match(name)
+    if not m:
+        raise ValueError(f"Invalid datastore id: {name!r}")
+    return (m.group(1), int(m.group(2)))
+
+
+_STATE_KEYS = (
+    "Version",
+    "Initialized",
+    "Calibrations",
+    "Corrected",
+    "LocalRegistered",
+    "GlobalRegistered",
+    "Fused",
+    "SegmentedCells",
+    "DecodedSpots",
+    "FilteredSpots",
+)
+
+
+class qi2labDataStore:
+    """Contract-compatible qi2lab datastore (Version 0.6)."""
+
+    VERSION = 0.6
+
+    def __init__(self, datastore_path: Union[str, Path], validate: bool = True):
+        self._datastore_path = Path(datastore_path)
+        self._decode_run_key: Optional[str] = None
+        if (self._datastore_path / "datastore_state.json").exists():
+            self._parse_datastore(validate=validate)
+        else:
+            self._init_datastore()
+
+    # ------------------------------------------------------------------ paths
+    @property
+    def datastore_path(self) -> Path:
+        return self._datastore_path
+
+    @property
+    def _calibrations_path(self) -> Path:
+        return self._datastore_path / "calibrations"
+
+    @property
+    def _fiducial_path(self) -> Path:
+        return self._datastore_path / "fiducial"
+
+    @property
+    def _readouts_path(self) -> Path:
+        return self._datastore_path / "readouts"
+
+    @property
+    def _fp_localizations_path(self) -> Path:
+        return self._datastore_path / "feature_predictor_localizations"
+
+    @property
+    def _fused_path(self) -> Path:
+        return self._datastore_path / "fused"
+
+    @property
+    def _segmentation_path(self) -> Path:
+        return self._datastore_path / "segmentation"
+
+    @property
+    def _decoded_path(self) -> Path:
+        return self._datastore_path / "decoded"
+
+    @property
+    def _filtered_path(self) -> Path:
+        return self._datastore_path / "all_tiles_filtered_decoded_features"
+
+    # --------------------------------------------------------------- creation
+    def _init_datastore(self) -> None:
+        """Create the Version 0.6 skeleton (`qi2labDataStore.py:1308-1354`)."""
+        for p in (
+            self._datastore_path,
+            self._calibrations_path,
+            self._calibrations_path / "psf_data",
+            self._fiducial_path,
+            self._readouts_path,
+            self._fp_localizations_path,
+            self._fused_path,
+            self._segmentation_path / "cellpose",
+            self._decoded_path,
+            self._filtered_path,
+            self._datastore_path / "mtx_output",
+        ):
+            p.mkdir(parents=True, exist_ok=True)
+        self._datastore_state = {k: False for k in _STATE_KEYS}
+        self._datastore_state["Version"] = self.VERSION
+        self._datastore_state["Initialized"] = True
+        self._write_state()
+        self._save_calibration_attrs({})
+
+    def _write_state(self) -> None:
+        with (self._datastore_path / "datastore_state.json").open("w") as fh:
+            json.dump(self._datastore_state, fh, indent=2)
+
+    @property
+    def datastore_state(self) -> dict:
+        return dict(self._datastore_state)
+
+    @datastore_state.setter
+    def datastore_state(self, value: Mapping[str, Any]) -> None:
+        self._datastore_state.update(dict(value))
+        self._write_state()
+
+    # ------------------------------------------------------ attribute helpers
+    def _attrs_path(self, entity_dir: Path) -> Path:
+        return entity_dir / "attributes.json"
+
+    def _load_attrs(self, entity_dir: Path) -> dict:
+        p = self._attrs_path(entity_dir)
+        if not p.exists():
+            return {}
+        with p.open("r", encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def _save_attrs(self, entity_dir: Path, updates: Mapping[str, Any]) -> None:
+        entity_dir.mkdir(parents=True, exist_ok=True)
+        attrs = self._load_attrs(entity_dir)
+        attrs.update(zarrio._json_safe(dict(updates)))
+        with self._attrs_path(entity_dir).open("w", encoding="utf-8") as fh:
+            json.dump(attrs, fh, indent=2)
+
+    def _load_entity_attributes(self, entity_dir: Path, image_name: str | None = None) -> dict:
+        """Sidecar attrs merged with per-image extra attrs
+        (`qi2labDataStore.py:1851-1895`)."""
+        attrs = self._load_attrs(entity_dir)
+        if image_name is not None:
+            img = entity_dir / (image_name + ".ome.zarr")
+            if (img / "zarr.json").exists():
+                attrs.update(zarrio.read_image_attrs(img))
+        return attrs
+
+    def _save_calibration_attrs(self, updates: Mapping[str, Any]) -> None:
+        self._save_attrs(self._calibrations_path, updates)
+
+    def _set_calibration_attribute(self, key: str, value: Any) -> None:
+        self._save_calibration_attrs({key: value})
+
+    def _get_calibration_attribute(self, key: str, default: Any = None) -> Any:
+        return self._load_attrs(self._calibrations_path).get(key, default)
+
+    # ------------------------------------------------------------- state load
+    def _parse_datastore(self, validate: bool = True) -> None:
+        """Re-open an existing datastore (`qi2labDataStore.py:2423-2845`).
+
+        Loads stage flags and calibration attributes into memory. With
+        ``validate=True``, checks that entity directories exist consistent
+        with the state flags (lightweight compared to the reference's full
+        revalidation; stage code additionally shape-checks its own inputs).
+        """
+        with (self._datastore_path / "datastore_state.json").open("r") as fh:
+            self._datastore_state = json.load(fh)
+        version = self._datastore_state.get("Version")
+        if version != self.VERSION:
+            raise ValueError(
+                f"Unsupported datastore version {version}; expected {self.VERSION}"
+            )
+        attrs = self._load_attrs(self._calibrations_path)
+        for key in (
+            "microscope_type",
+            "camera_model",
+            "num_rounds",
+            "num_bits",
+            "num_tiles",
+            "channels_in_data",
+            "tile_overlap",
+            "binning",
+            "e_per_ADU",
+            "na",
+            "ri",
+            "voxel_size_zyx_um",
+            "codebook",
+            "exp_order",
+            "psf_manifest",
+            "global_normalization_vector",
+            "global_background_vector",
+            "iterative_normalization_vector",
+            "iterative_background_vector",
+            "chromatic_affine_transforms_zyx_um",
+        ):
+            if key in attrs:
+                setattr(self, "_" + key, attrs[key])
+        if getattr(self, "_exp_order", None) is not None:
+            eo = np.asarray(self._exp_order)
+            self._num_rounds = int(eo[-1, 0])
+            self._num_bits = int(np.max(eo[:, 1:]))
+        if validate and self._datastore_state.get("Corrected", False):
+            if not any(self._fiducial_path.glob("tile*")):
+                raise ValueError("Datastore marked Corrected but has no tiles.")
+
+    # ------------------------------------------------------------------- IDs
+    @property
+    def tile_ids(self) -> list[str]:
+        n = self.num_tiles or 0
+        return [f"tile{i:04d}" for i in range(n)]
+
+    @property
+    def round_ids(self) -> list[str]:
+        n = self.num_rounds or 0
+        return [f"round{i + 1:03d}" for i in range(n)]
+
+    @property
+    def bit_ids(self) -> list[str]:
+        n = self.num_bits or 0
+        return [f"bit{i + 1:03d}" for i in range(n)]
+
+    def _tile_id(self, tile: Union[int, str]) -> str:
+        if isinstance(tile, str):
+            if not tile.startswith("tile"):
+                raise ValueError(f"invalid tile id {tile!r}")
+            return tile
+        return f"tile{int(tile):04d}"
+
+    def _round_id(self, round: Union[int, str]) -> str:
+        if isinstance(round, str):
+            if not round.startswith("round"):
+                raise ValueError(f"invalid round id {round!r}")
+            return round
+        return f"round{int(round) + 1:03d}"
+
+    def _bit_id(self, bit: Union[int, str]) -> str:
+        if isinstance(bit, str):
+            if not bit.startswith("bit"):
+                raise ValueError(f"invalid bit id {bit!r}")
+            return bit
+        return f"bit{int(bit) + 1:03d}"
+
+    def _fiducial_dir(self, tile, round) -> Path:
+        return self._fiducial_path / self._tile_id(tile) / self._round_id(round)
+
+    def _readout_dir(self, tile, bit) -> Path:
+        return self._readouts_path / self._tile_id(tile) / self._bit_id(bit)
+
+    # --------------------------------------------------- calibration scalars
+    def _calibration_property(name, cast=None):  # type: ignore[misc]
+        attr = "_" + name
+
+        def getter(self):
+            return getattr(self, attr, None)
+
+        def setter(self, value):
+            if cast is not None and value is not None:
+                value = cast(value)
+            setattr(self, attr, value)
+            self._set_calibration_attribute(name, value)
+
+        return property(getter, setter)
+
+    microscope_type = _calibration_property("microscope_type", str)
+    camera_model = _calibration_property("camera_model", str)
+    num_tiles = _calibration_property("num_tiles", int)
+    tile_overlap = _calibration_property("tile_overlap", float)
+    binning = _calibration_property("binning", int)
+    e_per_ADU = _calibration_property("e_per_ADU", float)
+    na = _calibration_property("na", float)
+    ri = _calibration_property("ri", float)
+
+    del _calibration_property
+
+    @property
+    def num_rounds(self) -> Optional[int]:
+        return getattr(self, "_num_rounds", None)
+
+    @num_rounds.setter
+    def num_rounds(self, value: int) -> None:
+        self._num_rounds = int(value)
+        self._set_calibration_attribute("num_rounds", self._num_rounds)
+
+    @property
+    def num_bits(self) -> Optional[int]:
+        return getattr(self, "_num_bits", None)
+
+    @num_bits.setter
+    def num_bits(self, value: int) -> None:
+        self._num_bits = int(value)
+        self._set_calibration_attribute("num_bits", self._num_bits)
+
+    @property
+    def channels_in_data(self) -> Optional[list[str]]:
+        return getattr(self, "_channels_in_data", None)
+
+    @channels_in_data.setter
+    def channels_in_data(self, value: Sequence[str]) -> None:
+        self._channels_in_data = [str(v) for v in value]
+        self._set_calibration_attribute("channels_in_data", self._channels_in_data)
+
+    @property
+    def voxel_size_zyx_um(self) -> Optional[np.ndarray]:
+        v = getattr(self, "_voxel_size_zyx_um", None)
+        return None if v is None else np.asarray(v, dtype=np.float64)
+
+    @voxel_size_zyx_um.setter
+    def voxel_size_zyx_um(self, value: ArrayLike) -> None:
+        self._voxel_size_zyx_um = [float(v) for v in np.asarray(value).ravel()]
+        self._set_calibration_attribute("voxel_size_zyx_um", self._voxel_size_zyx_um)
+
+    # --------------------------------------------- experiment order, codebook
+    @property
+    def experiment_order(self) -> Optional[pd.DataFrame]:
+        """Round↔bit table; first col = round id (1-based), rest = bit ids
+        (`qi2labDataStore.py:767-845`, `docs/datastore.md`)."""
+        eo = getattr(self, "_exp_order", None)
+        if eo is None:
+            return None
+        eo = np.asarray(eo)
+        cols = ["round"] + [f"readout {i}" for i in range(1, eo.shape[1])]
+        if self.channels_in_data is not None and len(self.channels_in_data) == eo.shape[1]:
+            cols = list(self.channels_in_data)
+        return pd.DataFrame(eo, columns=cols).astype("int64")
+
+    @experiment_order.setter
+    def experiment_order(self, value: Union[ArrayLike, pd.DataFrame, str, Path]) -> None:
+        if isinstance(value, (str, Path)):
+            sep = "\t" if str(value).endswith(".tsv") else ","
+            value = pd.read_csv(value, sep=sep)
+        if isinstance(value, pd.DataFrame):
+            value = value.values
+        eo = np.asarray(value, dtype=np.int64)
+        self._exp_order = eo.tolist()
+        self._set_calibration_attribute("exp_order", self._exp_order)
+        self._num_rounds = int(eo[-1, 0])
+        self._set_calibration_attribute("num_rounds", self._num_rounds)
+        self._num_bits = int(np.max(eo[:, 1:]))
+        self._set_calibration_attribute("num_bits", self._num_bits)
+
+    @property
+    def codebook(self) -> Optional[pd.DataFrame]:
+        data = getattr(self, "_codebook", None)
+        if data is None:
+            return None
+        ncol = len(data[0]) if data else 0
+        cols = ["gene_id"] + [f"bit{i:02d}" for i in range(1, ncol)]
+        df = pd.DataFrame(data, columns=cols)
+        for c in cols[1:]:
+            df[c] = df[c].astype("int64")
+        return df
+
+    @codebook.setter
+    def codebook(self, value: Union[pd.DataFrame, str, Path]) -> None:
+        if isinstance(value, (str, Path)):
+            sep = "\t" if str(value).endswith(".tsv") else ","
+            value = pd.read_csv(value, sep=sep)
+        self._codebook = [list(r) for r in value.values.tolist()]
+        self._set_calibration_attribute("codebook", self._codebook)
+
+    # --------------------------------------------------- calibration images
+    @property
+    def noise_map(self) -> Optional[np.ndarray]:
+        p = self._calibrations_path / "noise_map.ome.zarr"
+        if not (p / "zarr.json").exists():
+            return None
+        return zarrio.read_ome_image(p)
+
+    @noise_map.setter
+    def noise_map(self, value: Optional[ArrayLike]) -> None:
+        if value is None:
+            return
+        zarrio.write_ome_image(self._calibrations_path / "noise_map", np.asarray(value))
+
+    @property
+    def channel_shading_maps(self) -> Optional[np.ndarray]:
+        p = self._calibrations_path / "shading_maps.ome.zarr"
+        if not (p / "zarr.json").exists():
+            return None
+        return zarrio.read_ome_image(p)
+
+    @channel_shading_maps.setter
+    def channel_shading_maps(self, value: Optional[ArrayLike]) -> None:
+        if value is None:
+            return
+        zarrio.write_ome_image(
+            self._calibrations_path / "shading_maps", np.asarray(value)
+        )
+
+    @property
+    def channel_psfs(self) -> Optional[list[np.ndarray]]:
+        """Per-channel (possibly ragged) PSF stack via ``psf_manifest``
+        (`qi2labDataStore.py:695-766`)."""
+        manifest = getattr(self, "_psf_manifest", None)
+        if manifest is None:
+            return None
+        psfs = []
+        for name in manifest:
+            psfs.append(
+                zarrio.read_ome_image(self._calibrations_path / "psf_data" / name)
+            )
+        return psfs
+
+    @channel_psfs.setter
+    def channel_psfs(self, value: Sequence[ArrayLike]) -> None:
+        manifest = []
+        for idx, psf in enumerate(value):
+            name = f"psf_{idx:03d}"
+            zarrio.write_ome_image(
+                self._calibrations_path / "psf_data" / name,
+                np.asarray(psf, dtype=np.float32),
+            )
+            manifest.append(name + ".ome.zarr")
+        self._psf_manifest = manifest
+        self._set_calibration_attribute("psf_manifest", manifest)
+
+    # ------------------------------------------- normalization vector state
+    def _vector_property(name):  # type: ignore[misc]
+        attr = "_" + name
+
+        def getter(self):
+            v = getattr(self, attr, None)
+            if v is None:
+                v = self._get_calibration_attribute(name)
+                if v is not None:
+                    setattr(self, attr, v)
+            return None if v is None else np.asarray(v, dtype=np.float32)
+
+        def setter(self, value):
+            value = [float(x) for x in np.asarray(value).ravel()]
+            setattr(self, attr, value)
+            self._set_calibration_attribute(name, value)
+
+        return property(getter, setter)
+
+    global_normalization_vector = _vector_property("global_normalization_vector")
+    global_background_vector = _vector_property("global_background_vector")
+    iterative_normalization_vector = _vector_property("iterative_normalization_vector")
+    iterative_background_vector = _vector_property("iterative_background_vector")
+
+    del _vector_property
+
+    # run-scoped decode normalization (`qi2labDataStore.py:1167-1270`)
+    def save_decode_normalization_vectors(
+        self,
+        normalization: ArrayLike,
+        background: ArrayLike,
+        run_key: Optional[str] = None,
+    ) -> None:
+        runs = self._get_calibration_attribute("decode_normalization_runs", {}) or {}
+        runs[run_key or "default"] = {
+            "normalization": [float(v) for v in np.asarray(normalization).ravel()],
+            "background": [float(v) for v in np.asarray(background).ravel()],
+        }
+        self._set_calibration_attribute("decode_normalization_runs", runs)
+
+    def load_decode_normalization_vectors(
+        self, run_key: Optional[str] = None
+    ) -> Optional[tuple[np.ndarray, np.ndarray]]:
+        runs = self._get_calibration_attribute("decode_normalization_runs", {}) or {}
+        entry = runs.get(run_key or "default")
+        if entry is None:
+            return None
+        return (
+            np.asarray(entry["normalization"], dtype=np.float32),
+            np.asarray(entry["background"], dtype=np.float32),
+        )
+
+    # --------------------------------------------------- chromatic affines
+    def save_chromatic_affine_transforms_zyx_um(
+        self, transforms: Mapping[str, ArrayLike], diagnostics: Optional[dict] = None
+    ) -> None:
+        """Per-channel 4x4 physical-space chromatic affines
+        (`qi2labDataStore.py:175-275`). Keys are channel/wavelength labels."""
+        payload = {
+            str(k): np.asarray(v, dtype=np.float64).reshape(4, 4).tolist()
+            for k, v in transforms.items()
+        }
+        self._chromatic_affine_transforms_zyx_um = payload
+        self._set_calibration_attribute("chromatic_affine_transforms_zyx_um", payload)
+        if diagnostics is not None:
+            self._set_calibration_attribute("chromatic_affine_diagnostics", diagnostics)
+
+    def load_chromatic_affine_transforms_zyx_um(self) -> dict[str, np.ndarray]:
+        """Returns per-channel affines; identity fallback for missing keys."""
+        payload = getattr(self, "_chromatic_affine_transforms_zyx_um", None)
+        if payload is None:
+            payload = self._get_calibration_attribute(
+                "chromatic_affine_transforms_zyx_um", {}
+            ) or {}
+        return {k: np.asarray(v, dtype=np.float64) for k, v in payload.items()}
+
+    # ----------------------------------------------------------- tile setup
+    def initialize_tile(self, tile: Union[int, str]) -> None:
+        """Create per-tile fiducial round and readout bit directories and the
+        round↔bit linker attributes derived from experiment_order
+        (`qi2labDataStore.py:2877-2962`)."""
+        if self.experiment_order is None:
+            raise ValueError("experiment_order must be set before initialize_tile")
+        eo = np.asarray(self._exp_order)
+        tid = self._tile_id(tile)
+        for r_idx in range(self.num_rounds):
+            d = self._fiducial_path / tid / self.round_ids[r_idx]
+            d.mkdir(parents=True, exist_ok=True)
+            bits = [int(b) for b in eo[r_idx, 1:]]
+            self._save_attrs(d, {"bit_linker": bits})
+        for b_idx in range(self.num_bits):
+            d = self._readouts_path / tid / self.bit_ids[b_idx]
+            d.mkdir(parents=True, exist_ok=True)
+            round_of_bit = int(eo[np.any(eo[:, 1:] == b_idx + 1, axis=1), 0][0])
+            self._save_attrs(d, {"round_linker": round_of_bit})
+        (self._fp_localizations_path / tid).mkdir(parents=True, exist_ok=True)
+
+    def load_local_bit_linker(self, tile, round) -> Optional[list[int]]:
+        attrs = self._load_attrs(self._fiducial_dir(tile, round))
+        v = attrs.get("bit_linker")
+        return None if v is None else [int(b) for b in v]
+
+    def save_local_bit_linker(self, bit_linker: Sequence[int], tile, round) -> None:
+        self._save_attrs(
+            self._fiducial_dir(tile, round), {"bit_linker": [int(b) for b in bit_linker]}
+        )
+
+    def load_local_round_linker(self, tile, bit) -> Optional[int]:
+        attrs = self._load_attrs(self._readout_dir(tile, bit))
+        v = attrs.get("round_linker")
+        return None if v is None else int(v)
+
+    def save_local_round_linker(self, round_linker: int, tile, bit) -> None:
+        self._save_attrs(self._readout_dir(tile, bit), {"round_linker": int(round_linker)})
+
+    # ------------------------------------------------- stage pos, wavelengths
+    def save_local_stage_position_zyx_um(
+        self,
+        stage_zyx_um: ArrayLike,
+        tile,
+        round=None,
+        bit=None,
+        affine_zyx_px: Optional[ArrayLike] = None,
+    ) -> None:
+        """Stage origin plus camera-to-stage 4x4 pixel affine
+        (`qi2labDataStore.py:3292-3364`)."""
+        d = self._entity_dir(tile, round, bit)
+        if affine_zyx_px is None:
+            affine_zyx_px = np.eye(4)
+        self._save_attrs(
+            d,
+            {
+                "stage_zyx_um": [float(v) for v in np.asarray(stage_zyx_um).ravel()],
+                "affine_zyx_px": np.asarray(affine_zyx_px, dtype=np.float64)
+                .reshape(4, 4)
+                .tolist(),
+            },
+        )
+
+    def load_local_stage_position_zyx_um(
+        self, tile, round=None, bit=None
+    ) -> Optional[tuple[np.ndarray, np.ndarray]]:
+        attrs = self._load_attrs(self._entity_dir(tile, round, bit))
+        if "stage_zyx_um" not in attrs:
+            return None
+        stage = np.asarray(attrs["stage_zyx_um"], dtype=np.float64)
+        affine = np.asarray(attrs.get("affine_zyx_px", np.eye(4)), dtype=np.float64)
+        return stage, affine
+
+    def save_local_wavelengths_um(
+        self, wavelengths_um: Sequence[float], tile, round=None, bit=None
+    ) -> None:
+        d = self._entity_dir(tile, round, bit)
+        ex, em = float(wavelengths_um[0]), float(wavelengths_um[1])
+        self._save_attrs(d, {"excitation_um": ex, "emission_um": em})
+
+    def load_local_wavelengths_um(
+        self, tile, round=None, bit=None
+    ) -> Optional[tuple[float, float]]:
+        attrs = self._load_attrs(self._entity_dir(tile, round, bit))
+        if "excitation_um" not in attrs:
+            return None
+        return float(attrs["excitation_um"]), float(attrs["emission_um"])
+
+    def _entity_dir(self, tile, round=None, bit=None) -> Path:
+        if (round is None) == (bit is None):
+            raise ValueError("specify exactly one of round= or bit=")
+        if round is not None:
+            return self._fiducial_dir(tile, round)
+        return self._readout_dir(tile, bit)
+
+    # --------------------------------------------------------- image methods
+    def _save_entity_image(
+        self,
+        array: np.ndarray,
+        entity_dir: Path,
+        name: str,
+        *,
+        dtype=None,
+        extra_attributes: Optional[Mapping[str, Any]] = None,
+        translation: Optional[Sequence[float]] = None,
+        chunks: Optional[Sequence[int]] = None,
+    ) -> None:
+        scale = None
+        if self.voxel_size_zyx_um is not None and array.ndim >= 3:
+            scale = list(self.voxel_size_zyx_um)
+        zarrio.write_ome_image(
+            entity_dir / name,
+            array,
+            dtype=dtype,
+            scale=scale,
+            translation=translation,
+            extra_attributes=extra_attributes,
+            chunks=chunks,
+        )
+
+    def _load_entity_image(
+        self, entity_dir: Path, name: str, return_future: bool = False
+    ):
+        p = entity_dir / (name + ".ome.zarr")
+        if not (p / "zarr.json").exists():
+            return None
+        return zarrio.read_ome_image(p, return_future=return_future)
+
+    def save_local_corrected_image(
+        self,
+        image: ArrayLike,
+        tile,
+        round=None,
+        bit=None,
+        psf_idx: int = 0,
+        gain_correction: bool = False,
+        hotpixel_correction: bool = False,
+        shading_correction: bool = False,
+    ) -> None:
+        """uint16 camera-corrected stack with correction flags + psf index
+        (`qi2labDataStore.py:3656-3789`)."""
+        d = self._entity_dir(tile, round, bit)
+        self._save_entity_image(
+            np.asarray(image),
+            d,
+            "corrected_data",
+            dtype=np.uint16,
+            extra_attributes={
+                "psf_idx": int(psf_idx),
+                "gain_correction": bool(gain_correction),
+                "hotpixel_correction": bool(hotpixel_correction),
+                "shading_correction": bool(shading_correction),
+            },
+        )
+
+    def load_local_corrected_image(
+        self, tile, round=None, bit=None, return_future: bool = False
+    ):
+        return self._load_entity_image(
+            self._entity_dir(tile, round, bit), "corrected_data", return_future
+        )
+
+    def save_local_rigid_xform_xyz_px(self, rigid_xform_xyz_px: ArrayLike, tile, round) -> None:
+        self._save_attrs(
+            self._fiducial_dir(tile, round),
+            {"rigid_xform_xyz_px": [float(v) for v in np.asarray(rigid_xform_xyz_px).ravel()]},
+        )
+
+    def load_local_rigid_xform_xyz_px(self, tile, round) -> Optional[np.ndarray]:
+        attrs = self._load_attrs(self._fiducial_dir(tile, round))
+        v = attrs.get("rigid_xform_xyz_px")
+        return None if v is None else np.asarray(v, dtype=np.float32)
+
+    def save_local_round_transform_zyx_um(self, transform_zyx_um: ArrayLike, tile, round) -> None:
+        """4x4 physical affine mapping round-1 reference coords → moving round
+        coords (`qi2labDataStore.py:3983-4052`)."""
+        self._save_attrs(
+            self._fiducial_dir(tile, round),
+            {
+                "local_round_transform_zyx_um": np.asarray(transform_zyx_um, dtype=np.float64)
+                .reshape(4, 4)
+                .tolist()
+            },
+        )
+
+    def load_local_round_transform_zyx_um(self, tile, round) -> Optional[np.ndarray]:
+        attrs = self._load_attrs(self._fiducial_dir(tile, round))
+        v = attrs.get("local_round_transform_zyx_um")
+        return None if v is None else np.asarray(v, dtype=np.float32)
+
+    # ------------------------------------------------------ sofima flow field
+    def save_local_sofima_flow_field(
+        self,
+        flow_field: ArrayLike,
+        tile,
+        round,
+        *,
+        map_stride_zyx_px: Sequence[float],
+        map_box_start_xyz_px: Sequence[float],
+        map_box_size_xyz_px: Sequence[float],
+        reference_shape_zyx_px: Sequence[int],
+        moving_shape_zyx_px: Optional[Sequence[int]] = None,
+        sofima_status: str = "ok",
+        valid_flow_vectors: int = 0,
+        extra: Optional[Mapping[str, Any]] = None,
+    ) -> None:
+        """float32 ``(3, z, y, x)`` flow map, channels X,Y,Z, values in
+        reference px; metadata per `docs/datastore.md:176-209` and
+        `qi2labDataStore.py:4307-4463`. Round-trip must be exact (float32)."""
+        d = self._fiducial_dir(tile, round)
+        attrs = {
+            "map_stride_zyx_px": [float(v) for v in map_stride_zyx_px],
+            "map_box_start_xyz_px": [float(v) for v in map_box_start_xyz_px],
+            "map_box_size_xyz_px": [float(v) for v in map_box_size_xyz_px],
+            "reference_shape_zyx_px": [int(v) for v in reference_shape_zyx_px],
+            "sofima_status": str(sofima_status),
+            "valid_flow_vectors": int(valid_flow_vectors),
+        }
+        if moving_shape_zyx_px is not None:
+            attrs["moving_shape_zyx_px"] = [int(v) for v in moving_shape_zyx_px]
+        if extra:
+            attrs.update(dict(extra))
+        arr = np.asarray(flow_field, dtype=np.float32)
+        zarrio.write_ome_image(
+            d / "local_sofima_flow_field",
+            arr,
+            extra_attributes=attrs,
+            chunks=[1, *arr.shape[1:]] if arr.ndim == 4 else None,
+        )
+
+    def load_local_sofima_flow_field(
+        self, tile, round
+    ) -> Optional[tuple[np.ndarray, dict]]:
+        d = self._fiducial_dir(tile, round)
+        p = d / "local_sofima_flow_field.ome.zarr"
+        if not (p / "zarr.json").exists():
+            return None
+        arr = zarrio.read_ome_image(p).astype(np.float32)
+        attrs = zarrio.read_image_attrs(p)
+        return arr, attrs
+
+    # --------------------------------------------------- registered / decon
+    def save_local_registered_image(
+        self,
+        image: ArrayLike,
+        tile,
+        round=None,
+        bit=None,
+        deconvolution: bool = True,
+        extra_attributes: Optional[Mapping[str, Any]] = None,
+    ) -> None:
+        """Fiducial rounds → ``registered_decon_data``; readout bits →
+        **unwarped** ``decon_data`` (decode applies transforms lazily;
+        `qi2labDataStore.py:4578-4700`)."""
+        d = self._entity_dir(tile, round, bit)
+        name = "registered_decon_data" if round is not None else "decon_data"
+        attrs = {"deconvolution": bool(deconvolution)}
+        if extra_attributes:
+            attrs.update(dict(extra_attributes))
+        self._save_entity_image(
+            np.asarray(image), d, name, dtype=np.uint16, extra_attributes=attrs
+        )
+
+    def load_local_registered_image(
+        self, tile, round=None, bit=None, return_future: bool = False
+    ):
+        d = self._entity_dir(tile, round, bit)
+        name = "registered_decon_data" if round is not None else "decon_data"
+        return self._load_entity_image(d, name, return_future)
+
+    def save_local_feature_predictor_image(
+        self,
+        image: ArrayLike,
+        tile,
+        bit,
+        model_name: str = "",
+        extra_attributes: Optional[Mapping[str, Any]] = None,
+    ) -> None:
+        """U-FISH probability map, same shape as corrected
+        (`qi2labDataStore.py:4781-4870`)."""
+        d = self._readout_dir(tile, bit)
+        attrs = {"model_name": str(model_name)}
+        if extra_attributes:
+            attrs.update(dict(extra_attributes))
+        self._save_entity_image(
+            np.asarray(image, dtype=np.float32),
+            d,
+            "feature_predictor_data",
+            extra_attributes=attrs,
+        )
+
+    def load_local_feature_predictor_image(
+        self, tile, bit, return_future: bool = False
+    ):
+        return self._load_entity_image(
+            self._readout_dir(tile, bit), "feature_predictor_data", return_future
+        )
+
+    def save_local_feature_predictor_spots(
+        self, spots: pd.DataFrame, tile, bit
+    ) -> None:
+        d = self._fp_localizations_path / self._tile_id(tile)
+        d.mkdir(parents=True, exist_ok=True)
+        spots.to_parquet(d / (self._bit_id(bit) + ".parquet"), engine="pyarrow")
+
+    def load_local_feature_predictor_spots(self, tile, bit) -> Optional[pd.DataFrame]:
+        p = self._fp_localizations_path / self._tile_id(tile) / (
+            self._bit_id(bit) + ".parquet"
+        )
+        if not p.exists():
+            return None
+        return pd.read_parquet(p, engine="pyarrow")
+
+    # --------------------------------------------------------------- global
+    def save_global_coord_xforms_um(
+        self,
+        tile,
+        *,
+        affine_zyx_um: ArrayLike,
+        origin_zyx_um: ArrayLike,
+        spacing_zyx_um: ArrayLike,
+    ) -> None:
+        """Per-tile global (affine, origin, spacing) stored on round-1
+        fiducial attrs (`qi2labDataStore.py:5056-5115`)."""
+        d = self._fiducial_dir(tile, 0)
+        self._save_attrs(
+            d,
+            {
+                "affine_zyx_um": np.asarray(affine_zyx_um, dtype=np.float64)
+                .reshape(4, 4)
+                .tolist(),
+                "origin_zyx_um": [float(v) for v in np.asarray(origin_zyx_um).ravel()],
+                "spacing_zyx_um": [float(v) for v in np.asarray(spacing_zyx_um).ravel()],
+            },
+        )
+
+    def load_global_coord_xforms_um(
+        self, tile
+    ) -> Optional[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        attrs = self._load_attrs(self._fiducial_dir(tile, 0))
+        if "affine_zyx_um" not in attrs:
+            return None
+        return (
+            np.asarray(attrs["affine_zyx_um"], dtype=np.float64),
+            np.asarray(attrs["origin_zyx_um"], dtype=np.float64),
+            np.asarray(attrs["spacing_zyx_um"], dtype=np.float64),
+        )
+
+    def save_global_fiducial_image(
+        self,
+        image: ArrayLike,
+        *,
+        affine_zyx_um: ArrayLike,
+        origin_zyx_um: ArrayLike,
+        spacing_zyx_um: ArrayLike,
+        all_channels: bool = False,
+    ) -> None:
+        name = "fused_all_channels_zyx" if all_channels else "fused_fiducial_zyx"
+        arr = np.asarray(image)
+        zarrio.write_ome_image(
+            self._fused_path / "fused.zarr" / name,
+            arr,
+            chunks=zarrio.fused_chunks(arr.shape),
+            extra_attributes={
+                "affine_zyx_um": np.asarray(affine_zyx_um, dtype=np.float64)
+                .reshape(4, 4)
+                .tolist(),
+                "origin_zyx_um": [float(v) for v in np.asarray(origin_zyx_um).ravel()],
+                "spacing_zyx_um": [float(v) for v in np.asarray(spacing_zyx_um).ravel()],
+            },
+        )
+
+    def load_global_fiducial_image(
+        self, return_future: bool = False, all_channels: bool = False
+    ):
+        name = "fused_all_channels_zyx" if all_channels else "fused_fiducial_zyx"
+        p = self._fused_path / "fused.zarr" / (name + ".ome.zarr")
+        if not (p / "zarr.json").exists():
+            return None
+        img = zarrio.read_ome_image(p, return_future=return_future)
+        attrs = zarrio.read_image_attrs(p)
+        return img, (
+            np.asarray(attrs["affine_zyx_um"], dtype=np.float64),
+            np.asarray(attrs["origin_zyx_um"], dtype=np.float64),
+            np.asarray(attrs["spacing_zyx_um"], dtype=np.float64),
+        )
+
+    # --------------------------------------------------------- segmentation
+    def save_global_cellpose_segmentation_image(
+        self,
+        image: ArrayLike,
+        *,
+        downsampling: Sequence[float] = (1.0, 1.0, 1.0),
+    ) -> None:
+        arr = np.asarray(image)
+        zarrio.write_ome_image(
+            self._segmentation_path / "cellpose" / "cellpose.zarr" / "masks_fiducial_iso_zyx",
+            arr,
+            chunks=zarrio.fused_chunks(arr.shape),
+            extra_attributes={"downsampling": [float(v) for v in downsampling]},
+        )
+
+    def load_global_cellpose_segmentation_image(self, return_future: bool = False):
+        p = (
+            self._segmentation_path
+            / "cellpose"
+            / "cellpose.zarr"
+            / "masks_fiducial_iso_zyx.ome.zarr"
+        )
+        if not (p / "zarr.json").exists():
+            return None
+        return zarrio.read_ome_image(p, return_future=return_future)
+
+    def save_global_cellpose_outlines(self, outlines: dict) -> None:
+        d = self._segmentation_path / "cellpose"
+        d.mkdir(parents=True, exist_ok=True)
+        with (d / "cell_outlines.json").open("w", encoding="utf-8") as fh:
+            json.dump(zarrio._json_safe(outlines), fh)
+
+    def load_global_cellpose_outlines(self) -> Optional[dict]:
+        p = self._segmentation_path / "cellpose" / "cell_outlines.json"
+        if not p.exists():
+            return None
+        with p.open("r", encoding="utf-8") as fh:
+            return json.load(fh)
+
+    # ------------------------------------------------------- decoded tables
+    @property
+    def decode_run_key(self) -> Optional[str]:
+        return self._decode_run_key
+
+    @decode_run_key.setter
+    def decode_run_key(self, value: Optional[str]) -> None:
+        if value is not None and not re.match(r"^[A-Za-z0-9_\-]+$", value):
+            raise ValueError(f"invalid decode_run_key {value!r}")
+        self._decode_run_key = value
+
+    def _decoded_run_root(self) -> Path:
+        if self._decode_run_key:
+            return self._decoded_path / self._decode_run_key
+        return self._decoded_path
+
+    def decoded_temporary_dir(self, iteration: int) -> Path:
+        d = self._decoded_run_root() / "temporary" / f"iteration_{iteration:03d}"
+        d.mkdir(parents=True, exist_ok=True)
+        return d
+
+    def clear_decoded_temporary(self) -> None:
+        d = self._decoded_run_root() / "temporary"
+        if d.exists():
+            shutil.rmtree(d)
+
+    def save_local_decoded_spots(self, features: pd.DataFrame, tile) -> None:
+        d = self._decoded_run_root()
+        d.mkdir(parents=True, exist_ok=True)
+        features.to_parquet(
+            d / (self._tile_id(tile) + "_decoded_features.parquet"), engine="pyarrow"
+        )
+
+    def load_local_decoded_spots(self, tile) -> Optional[pd.DataFrame]:
+        p = self._decoded_run_root() / (self._tile_id(tile) + "_decoded_features.parquet")
+        if not p.exists():
+            return None
+        return pd.read_parquet(p, engine="pyarrow")
+
+    def save_global_filtered_decoded_spots(self, features: pd.DataFrame) -> None:
+        """Final filtered table: parquet + gzipped CSV (the Proseg contract;
+        `qi2labDataStore.py:5339-5371`, `README.md:92-99`)."""
+        d = self._filtered_path
+        if self._decode_run_key:
+            d = d / self._decode_run_key
+        d.mkdir(parents=True, exist_ok=True)
+        features.to_parquet(d / "decoded_features.parquet", engine="pyarrow")
+        with gzip.open(d / "decoded_features.csv.gz", "wt") as fh:
+            features.to_csv(fh, index=False)
+
+    def load_global_filtered_decoded_spots(self) -> Optional[pd.DataFrame]:
+        d = self._filtered_path
+        if self._decode_run_key:
+            d = d / self._decode_run_key
+        p = d / "decoded_features.parquet"
+        if not p.exists():
+            return None
+        return pd.read_parquet(p, engine="pyarrow")

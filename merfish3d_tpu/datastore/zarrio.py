@@ -1,0 +1,268 @@
+"""OME-NGFF v0.5 zarr3 image I/O backed by TensorStore.
+
+Implements the image-store contract of the qi2lab datastore (reference:
+`qi2labDataStore.py:1431-1536, 1708-1789, 2239-2370` and `docs/datastore.md`):
+each image is a standalone OME-NGFF v0.5 group directory ``<name>.ome.zarr/``
+holding a group-level ``zarr.json`` (with the ``ome`` multiscales block plus
+flat extra attributes) and a single-scale zarr v3 array at ``0/`` compressed
+with blosc (zstd, bitshuffle).
+
+TensorStore gives us a native (C++) async I/O path: reads return futures so
+the pipeline can overlap host decompression with TPU compute.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Mapping, Sequence
+
+import numpy as np
+import tensorstore as ts
+
+_SPACE_AXES = ("z", "y", "x")
+
+
+def _json_safe(value: Any) -> Any:
+    """Convert numpy scalars/arrays and paths to JSON-encodable types."""
+    if isinstance(value, np.ndarray):
+        return [_json_safe(v) for v in value.tolist()]
+    if isinstance(value, (np.integer,)):
+        return int(value)
+    if isinstance(value, (np.floating,)):
+        return float(value)
+    if isinstance(value, (np.bool_,)):
+        return bool(value)
+    if isinstance(value, Path):
+        return str(value)
+    if isinstance(value, dict):
+        return {str(k): _json_safe(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [_json_safe(v) for v in value]
+    return value
+
+
+def image_store_path(path: Path | str) -> Path:
+    """Normalize a logical image name to its ``.ome.zarr`` directory."""
+    p = Path(path)
+    if p.name.endswith(".ome.zarr"):
+        return p
+    if p.suffixes:
+        raise ValueError(
+            f"Invalid image store name '{p.name}'; use bare names or '.ome.zarr'."
+        )
+    return p.with_name(p.name + ".ome.zarr")
+
+
+def default_chunks(shape: Sequence[int]) -> list[int]:
+    """Default chunk layout: z-plane chunks ``[1, Y, X]`` for 3D stacks.
+
+    Matches the reference access pattern (per-z-plane decode loops;
+    `qi2labDataStore.py:1570-1591`). Leading non-spatial axes get chunk 1.
+    """
+    shape = list(int(s) for s in shape)
+    if len(shape) == 2:
+        return [min(shape[0], 2048), min(shape[1], 2048)]
+    chunks = [1] * (len(shape) - 2)
+    chunks += [min(shape[-2], 2048), min(shape[-1], 2048)]
+    return chunks
+
+
+def fused_chunks(shape: Sequence[int]) -> list[int]:
+    """Chunk layout for large fused volumes (`qi2labDataStore.py:1594-1629`)."""
+    shape = list(int(s) for s in shape)
+    chunks = [1] * max(0, len(shape) - 3)
+    tail = shape[-3:]
+    if len(tail) == 3:
+        chunks += [min(tail[0], 16), min(tail[1], 512), min(tail[2], 512)]
+    else:
+        chunks += [min(s, 512) for s in tail]
+    return chunks
+
+
+def _ome_axes(ndim: int, units: str = "micrometer") -> list[dict]:
+    axes: list[dict] = []
+    if ndim > 3:
+        for i in range(ndim - 3):
+            axes.append({"name": "c" if i == ndim - 4 else f"d{i}", "type": "channel"})
+    for name in _SPACE_AXES[-min(ndim, 3):]:
+        axes.append({"name": name, "type": "space", "unit": units})
+    return axes
+
+
+def _array_spec(
+    path: Path,
+    shape: Sequence[int],
+    dtype: np.dtype,
+    chunks: Sequence[int],
+    *,
+    compression_level: int = 5,
+    cname: str = "zstd",
+) -> dict:
+    return {
+        "driver": "zarr3",
+        "kvstore": {"driver": "file", "path": str(path)},
+        "metadata": {
+            "shape": [int(s) for s in shape],
+            "data_type": np.dtype(dtype).name,
+            "chunk_grid": {
+                "name": "regular",
+                "configuration": {"chunk_shape": [int(c) for c in chunks]},
+            },
+            "codecs": [
+                {"name": "bytes", "configuration": {"endian": "little"}},
+                {
+                    "name": "blosc",
+                    "configuration": {
+                        "cname": cname,
+                        "clevel": int(compression_level),
+                        "shuffle": "bitshuffle",
+                        "typesize": np.dtype(dtype).itemsize,
+                    },
+                },
+            ],
+            "fill_value": 0,
+        },
+        "create": True,
+        "delete_existing": True,
+    }
+
+
+def write_ome_image(
+    path: Path | str,
+    array: np.ndarray,
+    *,
+    scale: Sequence[float] | None = None,
+    translation: Sequence[float] | None = None,
+    extra_attributes: Mapping[str, Any] | None = None,
+    chunks: Sequence[int] | None = None,
+    dtype: np.dtype | str | None = None,
+) -> Path:
+    """Write an array as a standalone OME-NGFF v0.5 image group.
+
+    ``scale``/``translation`` follow the reference convention: only written
+    when available, ordered like the array axes (zyx for 3D).
+    Extra attributes are written flat into the group ``zarr.json`` attributes
+    beside the ``ome`` key (reference `_write_extra_attributes`).
+    """
+    root = image_store_path(path)
+    root.mkdir(parents=True, exist_ok=True)
+    array = np.asarray(array)
+    if dtype is not None:
+        array = array.astype(dtype)
+    if chunks is None:
+        chunks = default_chunks(array.shape)
+
+    # group-level zarr.json with OME multiscales
+    transforms: list[dict] = []
+    ndim = array.ndim
+    if scale is not None:
+        s = [1.0] * (ndim - len(list(scale))) + [float(v) for v in scale]
+        transforms.append({"type": "scale", "scale": s})
+    else:
+        transforms.append({"type": "scale", "scale": [1.0] * ndim})
+    if translation is not None:
+        t = [0.0] * (ndim - len(list(translation))) + [float(v) for v in translation]
+        transforms.append({"type": "translation", "translation": t})
+
+    attributes: dict[str, Any] = {
+        "ome": {
+            "version": "0.5",
+            "multiscales": [
+                {
+                    "axes": _ome_axes(ndim),
+                    "datasets": [
+                        {"path": "0", "coordinateTransformations": transforms}
+                    ],
+                }
+            ],
+        }
+    }
+    if extra_attributes:
+        attributes.update(_json_safe(dict(extra_attributes)))
+
+    group_meta = {"zarr_format": 3, "node_type": "group", "attributes": attributes}
+    with (root / "zarr.json").open("w", encoding="utf-8") as fh:
+        json.dump(group_meta, fh, indent=2)
+
+    store = ts.open(_array_spec(root / "0", array.shape, array.dtype, chunks)).result()
+    store[...] = array
+    return root
+
+
+def open_ome_array(path: Path | str) -> ts.TensorStore:
+    """Open the level-0 array of an OME image (lazy TensorStore handle)."""
+    root = image_store_path(path)
+    return ts.open(
+        {"driver": "zarr3", "kvstore": {"driver": "file", "path": str(root / "0")}}
+    ).result()
+
+
+def read_ome_image(path: Path | str, return_future: bool = False):
+    """Read the level-0 array; optionally return the TensorStore read future.
+
+    Mirrors the reference's future-returning reads
+    (`qi2labDataStore._load_from_zarr_array:2239-2269`) so callers can
+    overlap decompression with device compute.
+    """
+    arr = open_ome_array(path)
+    future = arr.read()
+    if return_future:
+        return future
+    return np.asarray(future.result())
+
+
+def read_image_attrs(path: Path | str) -> dict[str, Any]:
+    """Read flat extra attributes from the group zarr.json (``ome`` removed)."""
+    root = image_store_path(path)
+    meta_path = root / "zarr.json"
+    if not meta_path.exists():
+        return {}
+    with meta_path.open("r", encoding="utf-8") as fh:
+        meta = json.load(fh)
+    attrs = dict(meta.get("attributes", {}))
+    attrs.pop("ome", None)
+    return attrs
+
+
+def write_image_attrs(
+    path: Path | str, extra_attributes: Mapping[str, Any], merge: bool = True
+) -> None:
+    """Merge (or replace) flat extra attributes in the group zarr.json."""
+    root = image_store_path(path)
+    meta_path = root / "zarr.json"
+    payload = _json_safe(dict(extra_attributes))
+    if meta_path.exists():
+        with meta_path.open("r", encoding="utf-8") as fh:
+            meta = json.load(fh)
+    else:
+        meta = {"zarr_format": 3, "node_type": "group", "attributes": {}}
+    attrs = meta.get("attributes", {})
+    if not isinstance(attrs, dict):
+        attrs = {}
+    if merge:
+        attrs.update(payload)
+    else:
+        ome = attrs.get("ome")
+        attrs = dict(payload)
+        if ome is not None:
+            attrs["ome"] = ome
+    meta["attributes"] = attrs
+    with meta_path.open("w", encoding="utf-8") as fh:
+        json.dump(meta, fh, indent=2)
+
+
+def read_ome_transforms(path: Path | str) -> tuple[list[float], list[float]]:
+    """Return (scale, translation) from the OME multiscales block."""
+    root = image_store_path(path)
+    with (root / "zarr.json").open("r", encoding="utf-8") as fh:
+        meta = json.load(fh)
+    ms = meta.get("attributes", {}).get("ome", {}).get("multiscales", [{}])[0]
+    scale: list[float] = []
+    translation: list[float] = []
+    for tr in ms.get("datasets", [{}])[0].get("coordinateTransformations", []):
+        if tr.get("type") == "scale":
+            scale = [float(v) for v in tr["scale"]]
+        elif tr.get("type") == "translation":
+            translation = [float(v) for v in tr["translation"]]
+    return scale, translation

@@ -1,0 +1,23 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX initializes.
+
+Multi-chip sharding paths are validated on virtual CPU devices (the driver
+separately dry-runs the multichip path); kernels are written for TPU but are
+platform-portable under jit.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
