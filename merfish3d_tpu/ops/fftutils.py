@@ -1,0 +1,140 @@
+"""FFT sizing, linear-convolution padding, and cached FFT convolution.
+
+TPU-native equivalents of the reference FFT helpers
+(reference `utils/rlgc.py:73-360`): 2,3-smooth FFT sizes, symmetric
+linear-convolution padding, centered/ifftshifted PSF embedding, and
+``irfftn(rfftn(x) * H)`` convolution. Under jit, XLA preplans the FFTs, so no
+explicit plan caching is needed (the reference caches cuFFT buffers).
+
+All functions are pure and shape-static, so they can live inside
+``lax.while_loop`` bodies and be vmapped over a leading batch axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def next_smooth_fft_size(x: int) -> int:
+    """Smallest 2,3-smooth integer >= x (reference `rlgc.py:73-103`)."""
+    if x <= 1:
+        return 1
+    n = int(x)
+    while True:
+        m = n
+        while m % 2 == 0:
+            m //= 2
+        while m % 3 == 0:
+            m //= 3
+        if m == 1:
+            return n
+        n += 1
+
+
+def axis_linear_fft_padding(
+    length: int, psf_support: int, halo_multiplier: int = 1
+) -> tuple[int, int]:
+    """Per-axis (before, after) padding: PSF halo + growth to a smooth FFT
+    size (reference `rlgc.py:105-135`)."""
+    halo = max((int(psf_support) // 2) * int(halo_multiplier), 0)
+    length_with_halo = length + 2 * halo
+    new_length = next_smooth_fft_size(length_with_halo)
+    fft_extra = new_length - length_with_halo
+    pad_before = halo + fft_extra // 2
+    pad_after = halo + fft_extra - fft_extra // 2
+    return pad_before, pad_after
+
+
+PadWidth = tuple[tuple[int, int], tuple[int, int], tuple[int, int]]
+
+
+def linear_fft_pad_width(
+    image_shape: tuple[int, int, int],
+    psf_shape: tuple[int, int, int],
+    pad_yx: bool = True,
+) -> PadWidth:
+    """Static pad widths for linear FFT conv (reference `rlgc.py:136-176`)."""
+    pad_z = axis_linear_fft_padding(image_shape[0], psf_shape[0])
+    if pad_yx:
+        pad_y = axis_linear_fft_padding(image_shape[1], psf_shape[1])
+        pad_x = axis_linear_fft_padding(image_shape[2], psf_shape[2])
+    else:
+        pad_y = (0, 0)
+        pad_x = (0, 0)
+    return (pad_z, pad_y, pad_x)
+
+
+def pad_symmetric(image: jnp.ndarray, pad_width: PadWidth) -> jnp.ndarray:
+    """Symmetric (reflect-including-edge) padding; static widths."""
+    return jnp.pad(image, pad_width, mode="symmetric")
+
+
+def remove_padding_zyx(arr: jnp.ndarray, pad_width: PadWidth) -> jnp.ndarray:
+    slices = tuple(
+        slice(b, arr.shape[i] - a if a > 0 else None)
+        for i, (b, a) in enumerate(pad_width)
+    )
+    return arr[slices]
+
+
+def enforce_symmetric_boundary(arr: jnp.ndarray, pad_width: PadWidth) -> jnp.ndarray:
+    """Rebuild the padding region as a symmetric reflection of the interior
+    (reference `rlgc.py:235-277`). Static shapes: crop then re-pad."""
+    return pad_symmetric(remove_padding_zyx(arr, pad_width), pad_width)
+
+
+def observed_region_mask(shape: tuple[int, ...], pad_width: PadWidth) -> np.ndarray:
+    """Binary mask of the original (unpadded) image region
+    (reference `rlgc.py:359-387`)."""
+    mask = np.zeros(shape, dtype=np.float32)
+    slices = tuple(
+        slice(b, shape[i] - a if a > 0 else None)
+        for i, (b, a) in enumerate(pad_width)
+    )
+    mask[slices] = 1.0
+    return mask
+
+
+def pad_psf(
+    psf: jnp.ndarray, image_shape: tuple[int, int, int], normalize: bool = True
+) -> jnp.ndarray:
+    """Embed + center a PSF into the padded image shape and ifftshift it so
+    that `irfftn(rfftn(x) * rfftn(psf))` is a centered convolution
+    (reference `rlgc.py:280-319`)."""
+    psf = jnp.asarray(psf, jnp.float32)
+    if psf.ndim == 2:
+        psf = psf[None]
+    embedded = jnp.zeros(image_shape, jnp.float32)
+    embedded = embedded.at[
+        : psf.shape[0], : psf.shape[1], : psf.shape[2]
+    ].set(psf)
+    for axis, axis_size in enumerate(image_shape):
+        embedded = jnp.roll(embedded, int(axis_size / 2), axis=axis)
+    for axis, axis_size in enumerate(psf.shape):
+        embedded = jnp.roll(embedded, -int(axis_size / 2), axis=axis)
+    embedded = jnp.fft.ifftshift(embedded)
+    if normalize:
+        s = jnp.sum(embedded)
+        embedded = embedded / jnp.where(s != 0, s, 1.0)
+    return embedded.astype(jnp.float32)
+
+
+def fft_conv(image: jnp.ndarray, H: jnp.ndarray, shape: tuple[int, int, int]) -> jnp.ndarray:
+    """Linear convolution ``irfftn(rfftn(image) * H, s=shape)`` in float32
+    (reference `rlgc.py:322-356`). XLA fuses and preplans the transforms."""
+    f = jnp.fft.rfftn(image)
+    return jnp.fft.irfftn(f * H, s=shape).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("image_shape",))
+def psf_otfs(psf: jnp.ndarray, image_shape: tuple[int, int, int]):
+    """Precompute (otf, conj(otf), otf*conj(otf)) for the padded image shape
+    (reference `rlgc.py:593-595`)."""
+    padded_psf = pad_psf(psf, image_shape)
+    otf = jnp.fft.rfftn(padded_psf)
+    otf_t = jnp.conj(otf)
+    return otf, otf_t, otf * otf_t

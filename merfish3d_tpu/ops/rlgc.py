@@ -1,0 +1,296 @@
+"""Richardson-Lucy Gradient-Consensus (RLGC) deconvolution on TPU.
+
+TPU-native reimplementation of the reference RLGC solver
+(reference `utils/rlgc.py:507-768`, Manton & York gradient-consensus):
+
+1. Symmetric linear-convolution padding to 2,3-smooth FFT sizes.
+2. Per-iteration 50:50 binomial photon split (JAX PRNG; iteration folded
+   into the key).
+3. Forward model via batched 3D rFFT convolution.
+4. Split-KLD early stopping: restore the previous reconstruction if either
+   split KLD increased (safe mode).
+5. Consensus-gated multiplicative update (elementwise; XLA fuses this with
+   the inverse-FFT epilogue, replacing the reference's CUDA
+   ``filter_update`` ElementwiseKernel `rlgc.py:23-31`).
+6. Boundary re-symmetrization each iteration, plus updated-fraction and
+   max-relative-delta stops.
+
+The whole iteration loop is a single jitted ``lax.while_loop`` so the TPU
+never round-trips to host between iterations; batching over readout bits is
+a ``vmap`` over the leading axis (`rlgc_batch`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fftutils import (
+    enforce_symmetric_boundary,
+    fft_conv,
+    linear_fft_pad_width,
+    observed_region_mask,
+    pad_psf,
+    pad_symmetric,
+    remove_padding_zyx,
+)
+
+_EPS_KLD = 1e-4
+
+
+def _kl_div(p: jnp.ndarray, q: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked KLD with eps smoothing (reference `rlgc.py:389-419`)."""
+    p = (p + _EPS_KLD) * mask
+    q = (q + _EPS_KLD) * mask
+    p = p / jnp.sum(p)
+    q = q / jnp.sum(q)
+    kld = p * (jnp.log(p) - jnp.log(q))
+    kld = jnp.where(jnp.isnan(kld), 0.0, kld)
+    return jnp.sum(kld)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("pad_width", "safe_mode", "limit", "max_delta", "max_iters"),
+)
+def _rlgc_core(
+    observed: jnp.ndarray,
+    psf: jnp.ndarray,
+    key: jnp.ndarray,
+    *,
+    pad_width,
+    safe_mode: bool = True,
+    limit: float = 0.01,
+    max_delta: float = 0.001,
+    max_iters: int = 100,
+):
+    """Jitted RLGC solve on a pre-padded observed image. Returns
+    (recon_padded, num_iters)."""
+    shape = observed.shape
+    mask = jnp.asarray(observed_region_mask(shape, pad_width))
+    num_pixels = float(np.prod([s - b - a for s, (b, a) in zip(shape, pad_width)]))
+
+    padded_psf = pad_psf(psf, shape)
+    otf = jnp.fft.rfftn(padded_psf)
+    otf_t = jnp.conj(otf)
+    otf_otf_t = otf * otf_t
+    # Hᵀ·mask normalization, clamped (reference `rlgc.py:598-601`)
+    update_norm = jnp.maximum(fft_conv(mask, otf_t, shape), 1e-6)
+
+    init_recon = jnp.full(
+        shape, jnp.sum(observed * mask) / num_pixels, dtype=jnp.float32
+    )
+    observed_int = observed.astype(jnp.int32)
+
+    def cond(carry):
+        _, _, _, _, it, done = carry
+        return jnp.logical_and(~done, it < max_iters)
+
+    def body(carry):
+        recon, prev_recon, prev_kld1, prev_kld2, it, _ = carry
+        iter_key = jax.random.fold_in(key, it)
+        split1 = jax.random.binomial(
+            iter_key, observed_int, 0.5, dtype=jnp.float32
+        )
+        split2 = observed - split1
+
+        Hu = fft_conv(recon, otf, shape)
+        kld1 = _kl_div(Hu, split1, mask)
+        kld2 = _kl_div(Hu, split2, mask)
+        if safe_mode:
+            should_restore = (kld1 > prev_kld1) | (kld2 > prev_kld2)
+        else:
+            should_restore = (kld1 > prev_kld1) & (kld2 > prev_kld2)
+
+        def do_restore(_):
+            return prev_recon, prev_recon, prev_kld1, prev_kld2, it, jnp.bool_(True)
+
+        def do_update(_):
+            denom = 0.5 * (Hu + 1e-12)
+            ht1 = fft_conv(mask * (split1 / denom), otf_t, shape) / update_norm
+            ht2 = fft_conv(mask * (split2 / denom), otf_t, shape) / update_norm
+            ht = ht1 + ht2
+            consensus = fft_conv((ht1 - 1.0) * (ht2 - 1.0), otf_otf_t, shape)
+            # consensus-gated multiplicative update (`rlgc.py:23-31,693`)
+            new_recon = jnp.where(consensus < 0, recon, recon * ht)
+            new_recon = enforce_symmetric_boundary(new_recon, pad_width)
+
+            num_updated = jnp.sum((consensus >= 0) * mask)
+            updated_fraction = num_updated / num_pixels
+            obs_new = new_recon * mask
+            obs_old = recon * mask
+            recon_max = jnp.maximum(jnp.max(obs_new), 1e-12)
+            max_rel_delta = jnp.max(jnp.abs(obs_new - obs_old) / recon_max)
+            done = (updated_fraction < limit) | (max_rel_delta < max_delta)
+            return new_recon, recon, kld1, kld2, it + 1, done
+
+        return jax.lax.cond(should_restore, do_restore, do_update, None)
+
+    carry = (
+        init_recon,
+        init_recon,
+        jnp.float32(jnp.inf),
+        jnp.float32(jnp.inf),
+        jnp.int32(0),
+        jnp.bool_(False),
+    )
+    recon, _, _, _, num_iters, _ = jax.lax.while_loop(cond, body, carry)
+    return recon, num_iters
+
+
+def rlgc(
+    image: np.ndarray,
+    psf: np.ndarray,
+    *,
+    seed: int = 42,
+    safe_mode: bool = True,
+    limit: float = 0.01,
+    max_delta: float = 0.001,
+    max_iters: int = 100,
+    pad_yx: bool = True,
+) -> np.ndarray:
+    """RLGC deconvolve one 3D volume; returns float32 of the input shape.
+
+    Single-volume convenience wrapper (reference `rlgc.py:507-768`).
+    For throughput, prefer :func:`rlgc_batch`.
+    """
+    image = np.asarray(image, dtype=np.float32)
+    psf = np.asarray(psf, dtype=np.float32)
+    if psf.ndim == 2:
+        psf = psf[None]
+    pad_width = linear_fft_pad_width(image.shape, psf.shape, pad_yx=pad_yx)
+    padded = pad_symmetric(jnp.asarray(image), pad_width)
+    key = jax.random.PRNGKey(seed)
+    recon, _ = _rlgc_core(
+        padded,
+        jnp.asarray(psf),
+        key,
+        pad_width=pad_width,
+        safe_mode=safe_mode,
+        limit=limit,
+        max_delta=max_delta,
+        max_iters=max_iters,
+    )
+    out = remove_padding_zyx(recon, pad_width)
+    return np.asarray(out, dtype=np.float32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("pad_width", "safe_mode", "limit", "max_delta", "max_iters"),
+)
+def _rlgc_batch_core(
+    padded: jnp.ndarray,
+    psf: jnp.ndarray,
+    keys: jnp.ndarray,
+    *,
+    pad_width,
+    safe_mode: bool,
+    limit: float,
+    max_delta: float,
+    max_iters: int,
+):
+    fn = partial(
+        _rlgc_core,
+        pad_width=pad_width,
+        safe_mode=safe_mode,
+        limit=limit,
+        max_delta=max_delta,
+        max_iters=max_iters,
+    )
+    return jax.vmap(lambda img, k: fn(img, psf, k))(padded, keys)
+
+
+def rlgc_batch(
+    images: np.ndarray,
+    psf: np.ndarray,
+    *,
+    seed: int = 42,
+    safe_mode: bool = True,
+    limit: float = 0.01,
+    max_delta: float = 0.001,
+    max_iters: int = 100,
+) -> np.ndarray:
+    """Deconvolve a batch of same-shaped volumes (e.g. all readout bits of a
+    tile) in one fused TPU program. Per-volume seeds are derived from
+    ``seed`` by index, matching the reference's per-tile RNG seed offsets
+    (`rlgc.py:996`)."""
+    images = np.asarray(images, dtype=np.float32)
+    psf = np.asarray(psf, dtype=np.float32)
+    if psf.ndim == 2:
+        psf = psf[None]
+    pad_width = linear_fft_pad_width(images.shape[1:], psf.shape)
+    padded = jax.vmap(lambda im: pad_symmetric(im, pad_width))(jnp.asarray(images))
+    keys = jax.vmap(jax.random.PRNGKey)(seed + np.arange(images.shape[0]))
+    recon, _ = _rlgc_batch_core(
+        padded,
+        jnp.asarray(psf),
+        keys,
+        pad_width=pad_width,
+        safe_mode=safe_mode,
+        limit=limit,
+        max_delta=max_delta,
+        max_iters=max_iters,
+    )
+    out = jax.vmap(lambda r: remove_padding_zyx(r, pad_width))(recon)
+    return np.asarray(out, dtype=np.float32)
+
+
+def chunked_rlgc(
+    image: np.ndarray,
+    psf: np.ndarray,
+    *,
+    crop_yx: int = 2048,
+    seed: int = 42,
+    safe_mode: bool = True,
+    limit: float = 0.01,
+    max_delta: float = 0.001,
+    max_iters: int = 100,
+) -> np.ndarray:
+    """Lateral-tiled RLGC for volumes larger than HBM budget.
+
+    Retained (non-overlapping) YX tiles of at most ``crop_yx`` exactly cover
+    the image; each tile is deconvolved with a discarded halo equal to the
+    full PSF support per axis and a per-tile seed offset
+    (reference `rlgc.py:795-1031`). On TPU the tile size is chosen
+    statically from the HBM budget rather than by OOM-retry.
+    """
+    image = np.asarray(image, dtype=np.float32)
+    psf = np.asarray(psf, dtype=np.float32)
+    if psf.ndim == 2:
+        psf = psf[None]
+    nz, ny, nx = image.shape
+    if ny <= crop_yx and nx <= crop_yx:
+        return rlgc(
+            image, psf, seed=seed, safe_mode=safe_mode, limit=limit,
+            max_delta=max_delta, max_iters=max_iters,
+        )
+
+    halo_y, halo_x = int(psf.shape[1]), int(psf.shape[2])
+    out = np.empty_like(image)
+    tile_idx = 0
+    for y0, y1 in _axis_retained_bounds(ny, crop_yx):
+        for x0, x1 in _axis_retained_bounds(nx, crop_yx):
+            ys, ye = max(0, y0 - halo_y), min(ny, y1 + halo_y)
+            xs, xe = max(0, x0 - halo_x), min(nx, x1 + halo_x)
+            tile = image[:, ys:ye, xs:xe]
+            dec = rlgc(
+                tile, psf, seed=seed + tile_idx, safe_mode=safe_mode,
+                limit=limit, max_delta=max_delta, max_iters=max_iters,
+            )
+            out[:, y0:y1, x0:x1] = dec[:, y0 - ys : y1 - ys, x0 - xs : x1 - xs]
+            tile_idx += 1
+    return out
+
+
+def _axis_retained_bounds(length: int, crop: int) -> list[tuple[int, int]]:
+    """Non-overlapping retained tile bounds exactly covering [0, length)
+    (reference `rlgc.py:479-504`)."""
+    if length <= crop:
+        return [(0, length)]
+    n = int(np.ceil(length / crop))
+    edges = np.linspace(0, length, n + 1).round().astype(int)
+    return [(int(edges[i]), int(edges[i + 1])) for i in range(n)]

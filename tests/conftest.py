@@ -7,12 +7,19 @@ platform-portable under jit.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment's sitecustomize force-registers the tunneled 'axon' TPU
+# backend via JAX_PLATFORMS=axon; override BOTH the env var and the config
+# (the sitecustomize prepends axon to the config) so tests run on local CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,113 @@
+"""RLGC deconvolution kernel tests: FFT conv correctness vs scipy, blur
+recovery on synthetic Gaussian-blob volumes (the reference test geometry),
+and tiled-vs-whole consistency."""
+
+import numpy as np
+import pytest
+import scipy.ndimage
+import scipy.signal
+
+import jax.numpy as jnp
+
+from merfish3d_tpu.ops import fftutils
+from merfish3d_tpu.ops.rlgc import chunked_rlgc, rlgc, rlgc_batch
+
+
+def _gaussian_psf(shape=(7, 11, 11), sigma=(1.2, 1.8, 1.8)):
+    zz, yy, xx = np.meshgrid(
+        *[np.arange(s) - s // 2 for s in shape], indexing="ij"
+    )
+    psf = np.exp(
+        -0.5 * ((zz / sigma[0]) ** 2 + (yy / sigma[1]) ** 2 + (xx / sigma[2]) ** 2)
+    )
+    return (psf / psf.sum()).astype(np.float32)
+
+
+def _blob_volume(shape=(12, 48, 48), n=6, seed=0):
+    rng = np.random.default_rng(seed)
+    vol = np.zeros(shape, np.float32)
+    for _ in range(n):
+        z, y, x = [rng.integers(3, s - 3) for s in shape]
+        vol[z, y, x] = rng.uniform(2000, 8000)
+    return vol
+
+
+def test_next_smooth_fft_size():
+    assert fftutils.next_smooth_fft_size(1) == 1
+    assert fftutils.next_smooth_fft_size(5) == 6
+    assert fftutils.next_smooth_fft_size(17) == 18
+    assert fftutils.next_smooth_fft_size(65) == 72
+    assert fftutils.next_smooth_fft_size(96) == 96
+
+
+def test_fft_conv_matches_scipy():
+    rng = np.random.default_rng(1)
+    img = rng.random((8, 24, 24)).astype(np.float32)
+    psf = _gaussian_psf((5, 7, 7), (1.0, 1.5, 1.5))
+    pad = fftutils.linear_fft_pad_width(img.shape, psf.shape)
+    padded = np.asarray(fftutils.pad_symmetric(jnp.asarray(img), pad))
+    H = jnp.fft.rfftn(fftutils.pad_psf(jnp.asarray(psf), padded.shape))
+    out = np.asarray(fftutils.fft_conv(jnp.asarray(padded), H, padded.shape))
+    expected = scipy.signal.fftconvolve(padded, psf, mode="same")
+    # circular wrap vs scipy zero-padding differ only inside the halo;
+    # compare the retained (interior) region
+    interior = tuple(slice(b, s - a) for (b, a), s in zip(pad, padded.shape))
+    np.testing.assert_allclose(out[interior], expected[interior], rtol=1e-3, atol=1e-3)
+
+
+def test_pad_psf_unit_sum():
+    psf = _gaussian_psf()
+    p = np.asarray(fftutils.pad_psf(jnp.asarray(psf), (16, 36, 36)))
+    assert p.shape == (16, 36, 36)
+    np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-5)
+
+
+def test_rlgc_recovers_blobs():
+    """Deconvolution must sharpen a blurred point source: the deconvolved
+    image should concentrate more energy at the true blob locations than
+    the blurred observation does."""
+    truth = _blob_volume()
+    psf = _gaussian_psf()
+    blurred = scipy.signal.fftconvolve(truth, psf, mode="same")
+    rng = np.random.default_rng(2)
+    observed = rng.poisson(np.clip(blurred, 0, None) + 2).astype(np.float32)
+
+    decon = rlgc(observed, psf, seed=3, max_iters=60)
+    assert decon.shape == truth.shape
+    assert np.all(np.isfinite(decon))
+
+    mask = scipy.ndimage.binary_dilation(truth > 0, iterations=1)
+    frac_obs = observed[mask].sum() / observed.sum()
+    frac_dec = decon[mask].sum() / decon.sum()
+    assert frac_dec > 2.0 * frac_obs  # energy concentrated at point sources
+
+
+def test_rlgc_batch_matches_single():
+    truth = _blob_volume()
+    psf = _gaussian_psf()
+    blurred = scipy.signal.fftconvolve(truth, psf, mode="same")
+    observed = np.stack(
+        [
+            np.random.default_rng(i).poisson(np.clip(blurred, 0, None) + 5)
+            for i in range(2)
+        ]
+    ).astype(np.float32)
+    batch = rlgc_batch(observed, psf, seed=10, max_iters=15)
+    single0 = rlgc(observed[0], psf, seed=10, max_iters=15)
+    np.testing.assert_allclose(batch[0], single0, rtol=1e-4, atol=1e-3)
+
+
+def test_chunked_rlgc_covers_image():
+    truth = _blob_volume((8, 64, 64), n=10)
+    psf = _gaussian_psf((5, 7, 7))
+    blurred = scipy.signal.fftconvolve(truth, psf, mode="same")
+    observed = np.random.default_rng(4).poisson(
+        np.clip(blurred, 0, None) + 5
+    ).astype(np.float32)
+    whole = rlgc(observed, psf, seed=5, max_iters=10)
+    tiled = chunked_rlgc(observed, psf, crop_yx=32, seed=5, max_iters=10)
+    assert tiled.shape == observed.shape
+    assert np.all(np.isfinite(tiled))
+    # interior agreement (away from tile seams the halo makes tiles ~exact)
+    corr = np.corrcoef(whole.ravel(), tiled.ravel())[0, 1]
+    assert corr > 0.95
