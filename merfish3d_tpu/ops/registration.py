@@ -1,0 +1,93 @@
+"""Staged pairwise fiducial registration (local affine).
+
+TPU-native reimplementation of the reference registration stack
+(`multiview_registration.register_pair_to_fixed:241-365`):
+
+stage 1: phase correlation on max-Z projections → lateral pull shift,
+stage 2: warp the moving volume by the lateral estimate, then full-volume
+3D phase correlation restricted to the valid lateral overlap
+(`_overlap_slices_after_translation:83-113`) → residual shift.
+
+Returns a 4x4 physical (µm) translation-only transform mapping
+fixed/reference coordinates → moving coordinates (the convention expected by
+:func:`merfish3d_tpu.ops.warp.warp_affine`).
+
+TPU note: the overlap window sizes are floored to multiples of 8 so XLA
+compilations bucket across rounds/tiles instead of recompiling per shift.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .phase_corr import overlap_slices_after_translation, phase_cross_correlation
+from .warp import warp_affine
+
+
+def _bucket_slices(slices, shapes, multiple: int = 8):
+    out = []
+    for sl, n in zip(slices, shapes):
+        size = sl.stop - sl.start
+        size = max((size // multiple) * multiple, min(size, multiple))
+        out.append(slice(sl.start, sl.start + size))
+    return tuple(out)
+
+
+def register_pair_to_fixed(
+    fixed: np.ndarray,
+    moving: np.ndarray,
+    *,
+    spacing_zyx_um,
+    upsample_factor: int = 10,
+) -> np.ndarray:
+    """Estimate the 4x4 physical transform aligning ``moving`` to ``fixed``."""
+    if fixed.shape != moving.shape or fixed.ndim != 3:
+        raise ValueError(
+            f"expected matching 3D shapes, got {fixed.shape} vs {moving.shape}"
+        )
+    spacing = np.asarray(spacing_zyx_um, dtype=np.float32)
+
+    fixed_j = jnp.asarray(fixed, jnp.float32)
+    moving_j = jnp.asarray(moving, jnp.float32)
+    fixed_proj = jnp.max(fixed_j, axis=0)
+    moving_proj = jnp.max(moving_j, axis=0)
+    xy_push = np.asarray(
+        phase_cross_correlation(
+            fixed_proj, moving_proj, upsample_factor=upsample_factor
+        )
+    )
+    xy_pull = (-xy_push).astype(np.float32)
+
+    xy_transform = np.eye(4, dtype=np.float32)
+    xy_transform[1, 3] = float(xy_pull[0]) * float(spacing[1])
+    xy_transform[2, 3] = float(xy_pull[1]) * float(spacing[2])
+    moving_xy = warp_affine(
+        moving,
+        transform_zyx_um=xy_transform,
+        spacing_zyx_um=spacing,
+        reference_shape=fixed.shape,
+    )
+
+    overlap = overlap_slices_after_translation(
+        fixed.shape, (0.0, float(xy_pull[0]), float(xy_pull[1]))
+    )
+    if overlap is None:
+        residual_push = np.zeros(3, dtype=np.float32)
+    else:
+        overlap = _bucket_slices(overlap, fixed.shape)
+        residual_push = np.asarray(
+            phase_cross_correlation(
+                jnp.asarray(fixed[overlap], jnp.float32),
+                jnp.asarray(moving_xy[overlap], jnp.float32),
+                upsample_factor=upsample_factor,
+            )
+        )
+    residual_pull = (-residual_push).astype(np.float32)
+    total_pull = residual_pull.copy()
+    total_pull[1] += xy_pull[0]
+    total_pull[2] += xy_pull[1]
+
+    transform = np.eye(4, dtype=np.float32)
+    transform[:3, 3] = total_pull * spacing
+    return transform

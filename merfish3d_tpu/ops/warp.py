@@ -1,0 +1,206 @@
+"""Affine and affine+flow volume warps on TPU.
+
+TPU-native replacement for ``cupyx.scipy.ndimage.affine_transform`` /
+``map_coordinates`` warps (reference `multiview_registration.py:835-1171`).
+All warps use trilinear ``jax.scipy.ndimage.map_coordinates`` (order=1,
+constant fill) on static-shape coordinate grids; large volumes are warped
+in z-chunks via ``lax.map`` so the coordinate grid never exceeds
+``z_chunk × Y × X``.
+
+Physical-transform convention (matches the reference exactly): the 4x4
+``transform_zyx_um`` maps output/reference physical coordinates to
+input/moving physical coordinates, with
+``matrix_px = (A * s_row) / s_col`` and
+``offset_px = (A @ origin + t - origin) / s``
+(reference `multiview_registration.py:906-907`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def transform_to_pixel(
+    transform_zyx_um: np.ndarray,
+    spacing_zyx_um,
+    origin_zyx_um=(0.0, 0.0, 0.0),
+) -> tuple[np.ndarray, np.ndarray]:
+    """Convert a physical 4x4 (ref→moving) to pixel matrix + offset."""
+    transform = np.asarray(transform_zyx_um, dtype=np.float32)
+    spacing = np.asarray(spacing_zyx_um, dtype=np.float32)
+    origin = np.asarray(origin_zyx_um, dtype=np.float32)
+    linear = transform[:3, :3]
+    translation = transform[:3, 3]
+    matrix_px = (linear * spacing[np.newaxis, :]) / spacing[:, np.newaxis]
+    offset_px = (linear @ origin + translation - origin) / spacing
+    return matrix_px, offset_px
+
+
+@partial(jax.jit, static_argnames=("reference_shape", "order", "z_chunk"))
+def _affine_warp_core(
+    image: jnp.ndarray,
+    matrix_px: jnp.ndarray,
+    offset_px: jnp.ndarray,
+    *,
+    reference_shape: tuple[int, int, int],
+    order: int = 1,
+    z_chunk: int = 8,
+    cval: float = 0.0,
+):
+    nz, ny, nx = reference_shape
+    yy, xx = jnp.meshgrid(
+        jnp.arange(ny, dtype=jnp.float32),
+        jnp.arange(nx, dtype=jnp.float32),
+        indexing="ij",
+    )
+
+    def warp_plane_block(z0):
+        zs = z0 + jnp.arange(z_chunk, dtype=jnp.float32)
+        # output coords (3, z_chunk, ny, nx)
+        zc = jnp.broadcast_to(zs[:, None, None], (z_chunk, ny, nx))
+        yc = jnp.broadcast_to(yy[None], (z_chunk, ny, nx))
+        xc = jnp.broadcast_to(xx[None], (z_chunk, ny, nx))
+        coords = jnp.stack([zc, yc, xc])  # (3, ...)
+        flat = coords.reshape(3, -1)
+        src = matrix_px @ flat + offset_px[:, None]
+        src = src.reshape(3, z_chunk, ny, nx)
+        return jax.scipy.ndimage.map_coordinates(
+            image, [src[0], src[1], src[2]], order=order, mode="constant", cval=cval
+        )
+
+    n_blocks = -(-nz // z_chunk)
+    z_starts = jnp.arange(n_blocks, dtype=jnp.float32) * z_chunk
+    out = jax.lax.map(warp_plane_block, z_starts)
+    return out.reshape(n_blocks * z_chunk, ny, nx)[:nz]
+
+
+def warp_affine(
+    image,
+    *,
+    transform_zyx_um,
+    spacing_zyx_um,
+    reference_shape,
+    reference_origin_zyx_um=(0.0, 0.0, 0.0),
+    cval: float = 0.0,
+    order: int = 1,
+    z_chunk: int = 8,
+) -> np.ndarray:
+    """Warp ``image`` onto the reference grid under a physical 4x4 affine
+    (reference `warp_array_to_reference_gpu`, `multiview_registration.py:835-941`)."""
+    matrix_px, offset_px = transform_to_pixel(
+        transform_zyx_um, spacing_zyx_um, reference_origin_zyx_um
+    )
+    out = _affine_warp_core(
+        jnp.asarray(image, jnp.float32),
+        jnp.asarray(matrix_px),
+        jnp.asarray(offset_px),
+        reference_shape=tuple(int(v) for v in reference_shape),
+        order=order,
+        z_chunk=z_chunk,
+        cval=cval,
+    )
+    return np.asarray(out)
+
+
+@partial(jax.jit, static_argnames=("reference_shape", "z_chunk"))
+def _affine_flow_warp_core(
+    image: jnp.ndarray,
+    flow_xyz: jnp.ndarray,  # (3, fz, fy, fx), channels X, Y, Z
+    matrix_px: jnp.ndarray,
+    offset_px: jnp.ndarray,
+    map_stride_zyx_px: jnp.ndarray,
+    map_box_start_zyx_px: jnp.ndarray,
+    *,
+    reference_shape: tuple[int, int, int],
+    z_chunk: int = 4,
+):
+    """Single-resample composed warp: interpolate the SOFIMA flow at each
+    reference voxel, displace, then apply the pixel affine and sample the
+    native moving image once
+    (reference `multiview_registration.py:944-1171`)."""
+    nz, ny, nx = reference_shape
+    yy, xx = jnp.meshgrid(
+        jnp.arange(ny, dtype=jnp.float32),
+        jnp.arange(nx, dtype=jnp.float32),
+        indexing="ij",
+    )
+
+    def warp_block(z0):
+        zs = z0 + jnp.arange(z_chunk, dtype=jnp.float32)
+        zc = jnp.broadcast_to(zs[:, None, None], (z_chunk, ny, nx))
+        yc = jnp.broadcast_to(yy[None], (z_chunk, ny, nx))
+        xc = jnp.broadcast_to(xx[None], (z_chunk, ny, nx))
+        # flow lattice coordinates of each reference voxel
+        fz = (zc - map_box_start_zyx_px[0]) / map_stride_zyx_px[0]
+        fy = (yc - map_box_start_zyx_px[1]) / map_stride_zyx_px[1]
+        fx = (xc - map_box_start_zyx_px[2]) / map_stride_zyx_px[2]
+        interp = lambda ch: jax.scipy.ndimage.map_coordinates(
+            ch, [fz, fy, fx], order=1, mode="nearest"
+        )
+        dx = interp(flow_xyz[0])
+        dy = interp(flow_xyz[1])
+        dz = interp(flow_xyz[2])
+        # displaced reference coords (still in reference px)
+        zd = zc + dz
+        yd = yc + dy
+        xd = xc + dx
+        flat = jnp.stack([zd, yd, xd]).reshape(3, -1)
+        src = matrix_px @ flat + offset_px[:, None]
+        src = src.reshape(3, z_chunk, ny, nx)
+        return jax.scipy.ndimage.map_coordinates(
+            image, [src[0], src[1], src[2]], order=1, mode="constant", cval=0.0
+        )
+
+    n_blocks = -(-nz // z_chunk)
+    z_starts = jnp.arange(n_blocks, dtype=jnp.float32) * z_chunk
+    out = jax.lax.map(warp_block, z_starts)
+    return out.reshape(n_blocks * z_chunk, ny, nx)[:nz]
+
+
+def warp_affine_plus_flow(
+    image,
+    flow_xyz,
+    *,
+    transform_zyx_um,
+    spacing_zyx_um,
+    reference_shape,
+    map_stride_zyx_px,
+    map_box_start_xyz_px,
+    reference_origin_zyx_um=(0.0, 0.0, 0.0),
+    z_chunk: int = 4,
+) -> np.ndarray:
+    """Composed affine + SOFIMA-flow warp with a single resample of the
+    native moving image. ``flow_xyz`` is ``(3, fz, fy, fx)`` with channels
+    X, Y, Z and values in reference px (docs/datastore.md:176-209)."""
+    matrix_px, offset_px = transform_to_pixel(
+        transform_zyx_um, spacing_zyx_um, reference_origin_zyx_um
+    )
+    box_start_xyz = np.asarray(map_box_start_xyz_px, dtype=np.float32)
+    box_start_zyx = box_start_xyz[::-1].copy()
+    out = _affine_flow_warp_core(
+        jnp.asarray(image, jnp.float32),
+        jnp.asarray(flow_xyz, jnp.float32),
+        jnp.asarray(matrix_px),
+        jnp.asarray(offset_px),
+        jnp.asarray(map_stride_zyx_px, dtype=jnp.float32),
+        jnp.asarray(box_start_zyx),
+        reference_shape=tuple(int(v) for v in reference_shape),
+        z_chunk=z_chunk,
+    )
+    return np.asarray(out)
+
+
+def transform_points_to_reference(
+    points_zyx_um: np.ndarray, transform_zyx_um: np.ndarray
+) -> np.ndarray:
+    """Map physical points from moving space back to reference space using
+    the inverse affine (reference `multiview_registration.py:1174-1214`)."""
+    inv = np.linalg.inv(np.asarray(transform_zyx_um, dtype=np.float64))
+    pts = np.asarray(points_zyx_um, dtype=np.float64)
+    homo = np.concatenate([pts, np.ones((len(pts), 1))], axis=1)
+    out = (inv @ homo.T).T[:, :3]
+    return out.astype(np.float32)

@@ -1,0 +1,153 @@
+"""Phase-correlation + warp tests modeled on the reference GPU contract
+tests (`test_sofima_deformable_registration.py:121-221`): synthetic sums of
+anisotropic Gaussians, known shifts recovered under the warp convention."""
+
+import numpy as np
+import pytest
+import scipy.ndimage
+
+import jax.numpy as jnp
+
+from merfish3d_tpu.ops.phase_corr import phase_cross_correlation
+from merfish3d_tpu.ops.registration import register_pair_to_fixed
+from merfish3d_tpu.ops.warp import warp_affine, warp_affine_plus_flow
+
+
+def _gaussian_blobs(shape=(16, 64, 64), n=12, seed=0, offset=(0.0, 0.0, 0.0),
+                    noise=0.5, noise_seed=100):
+    """Sum of anisotropic Gaussians evaluated analytically at coordinates
+    shifted by ``offset`` (so a shifted copy has no interpolation artifacts),
+    plus independent sensor-like noise for spectral texture."""
+    rng = np.random.default_rng(seed)
+    zz, yy, xx = np.meshgrid(
+        *[np.arange(s, dtype=np.float64) for s in shape], indexing="ij"
+    )
+    zz, yy, xx = zz - offset[0], yy - offset[1], xx - offset[2]
+    vol = np.zeros(shape, np.float32)
+    for _ in range(n):
+        c = [rng.uniform(10, s - 10) if s > 24 else rng.uniform(3, max(s - 3, 4)) for s in shape]
+        amp = rng.uniform(200, 1000)
+        vol += (amp * np.exp(
+            -((zz - c[0]) ** 2) / (2 * 1.2**2)
+            - ((yy - c[1]) ** 2) / (2 * 1.2**2)
+            - ((xx - c[2]) ** 2) / (2 * 1.2**2)
+        )).astype(np.float32)
+    nrng = np.random.default_rng(noise_seed)
+    vol += nrng.normal(0, noise, shape).astype(np.float32)
+    return vol
+
+
+def test_phase_corr_integer_shift_2d():
+    img = _gaussian_blobs((1, 96, 96), n=40)[0]
+    moved = _gaussian_blobs((1, 96, 96), n=40, offset=(0, 7, -11), noise_seed=101)[0]
+    # push convention (skimage): returns the negative of the applied shift
+    shift = np.asarray(phase_cross_correlation(jnp.asarray(img), jnp.asarray(moved)))
+    np.testing.assert_allclose(shift, [-7, 11], atol=0.15)
+
+
+def test_phase_corr_subpixel_2d():
+    img = _gaussian_blobs((1, 96, 96), n=40)[0]
+    moved = _gaussian_blobs((1, 96, 96), n=40, offset=(0, 3.4, -2.6), noise_seed=101)[0]
+    shift = np.asarray(
+        phase_cross_correlation(jnp.asarray(img), jnp.asarray(moved), upsample_factor=10)
+    )
+    np.testing.assert_allclose(shift, [-3.4, 2.6], atol=0.2)
+
+
+def test_phase_corr_3d_shift():
+    vol = _gaussian_blobs()
+    moved = _gaussian_blobs(offset=(2.0, -5.0, 3.0), noise_seed=101)
+    shift = np.asarray(
+        phase_cross_correlation(jnp.asarray(vol), jnp.asarray(moved), upsample_factor=10)
+    )
+    np.testing.assert_allclose(shift, [-2.0, 5.0, -3.0], atol=0.25)
+
+
+def test_warp_affine_translation_convention():
+    """transform maps reference coords → moving coords: warping `moving`
+    created by shifting `fixed` with the registered transform must
+    reproduce `fixed`."""
+    vol = _gaussian_blobs()
+    spacing = (0.31, 0.098, 0.098)
+    pull_px = np.array([1.0, 4.0, -6.0])
+    # moving(p) = fixed(p - pull) → sampling moving at p+pull recovers fixed
+    moving = scipy.ndimage.shift(vol, pull_px, order=1)
+    transform = np.eye(4, dtype=np.float32)
+    transform[:3, 3] = pull_px * np.asarray(spacing)
+    warped = warp_affine(
+        moving,
+        transform_zyx_um=transform,
+        spacing_zyx_um=spacing,
+        reference_shape=vol.shape,
+    )
+    interior = (slice(3, -3),) * 3
+    err = np.abs(warped[interior] - vol[interior])
+    assert np.median(err) < 1.0
+    assert np.corrcoef(warped[interior].ravel(), vol[interior].ravel())[0, 1] > 0.999
+
+
+def test_register_pair_recovers_known_shift():
+    vol = _gaussian_blobs(shape=(16, 96, 96), n=40, seed=3)
+    spacing = (0.31, 0.098, 0.098)
+    true_pull = np.array([1.0, 6.0, -9.0], dtype=np.float32)
+    moving = _gaussian_blobs(shape=(16, 96, 96), n=40, seed=3, offset=true_pull,
+                             noise_seed=101)
+    transform = register_pair_to_fixed(vol, moving, spacing_zyx_um=spacing)
+    est_pull_px = transform[:3, 3] / np.asarray(spacing)
+    np.testing.assert_allclose(est_pull_px, true_pull, atol=0.5)
+    # applying the transform aligns moving to fixed
+    warped = warp_affine(
+        moving,
+        transform_zyx_um=transform,
+        spacing_zyx_um=spacing,
+        reference_shape=vol.shape,
+    )
+    interior = (slice(3, -3), slice(12, -12), slice(12, -12))
+    assert np.corrcoef(warped[interior].ravel(), vol[interior].ravel())[0, 1] > 0.99
+
+
+def test_warp_affine_plus_flow_identity_flow_matches_affine():
+    vol = _gaussian_blobs()
+    spacing = (0.31, 0.098, 0.098)
+    transform = np.eye(4, dtype=np.float32)
+    transform[:3, 3] = np.array([0.5, 2.0, -1.0]) * np.asarray(spacing)
+    flow = np.zeros((3, 4, 8, 8), np.float32)
+    a = warp_affine(
+        vol, transform_zyx_um=transform, spacing_zyx_um=spacing, reference_shape=vol.shape
+    )
+    b = warp_affine_plus_flow(
+        vol,
+        flow,
+        transform_zyx_um=transform,
+        spacing_zyx_um=spacing,
+        reference_shape=vol.shape,
+        map_stride_zyx_px=(4.0, 8.0, 8.0),
+        map_box_start_xyz_px=(4.0, 4.0, 2.0),
+    )
+    np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_warp_affine_plus_flow_constant_flow():
+    """A constant flow of +2 px in X equals an affine with +2 px X pull."""
+    vol = _gaussian_blobs()
+    spacing = (0.31, 0.098, 0.098)
+    identity = np.eye(4, dtype=np.float32)
+    flow = np.zeros((3, 4, 8, 8), np.float32)
+    flow[0] = 2.0  # X displacement in reference px
+    shift_transform = np.eye(4, dtype=np.float32)
+    shift_transform[2, 3] = 2.0 * spacing[2]
+    a = warp_affine(
+        vol, transform_zyx_um=shift_transform, spacing_zyx_um=spacing,
+        reference_shape=vol.shape,
+    )
+    b = warp_affine_plus_flow(
+        vol,
+        flow,
+        transform_zyx_um=identity,
+        spacing_zyx_um=spacing,
+        reference_shape=vol.shape,
+        map_stride_zyx_px=(4.0, 8.0, 8.0),
+        map_box_start_xyz_px=(4.0, 4.0, 2.0),
+    )
+    interior = (slice(1, -1), slice(4, -4), slice(4, -4))
+    np.testing.assert_allclose(a[interior], b[interior], atol=0.5)
