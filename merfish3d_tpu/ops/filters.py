@@ -1,0 +1,109 @@
+"""Separable image filters and resampling ops.
+
+TPU-native replacements for cupyx.scipy.ndimage filters used by the
+reference: Gaussian lowpass (`PixelDecoder._lowpass_image:1597-1630`,
+σ=(3,1,1) default), hot-pixel median replacement
+(`utils/imageprocessing.replace_hot_pixels:59`), and numba anisotropic
+mean downsampling (`utils/imageprocessing.downsample_image_anisotropic:147-223`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
+    """Matches scipy.ndimage.gaussian_filter1d kernel construction."""
+    radius = int(truncate * float(sigma) + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _conv_axis(vol: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Reflect-padded 1D convolution along ``axis`` of a 3D volume."""
+    r = (kernel.shape[0] - 1) // 2
+    pad = [(0, 0)] * vol.ndim
+    pad[axis] = (r, r)
+    padded = jnp.pad(vol, pad, mode="symmetric")  # scipy.ndimage "reflect" == np.pad "symmetric"
+    moved = jnp.moveaxis(padded, axis, -1)
+    lead_shape = moved.shape[:-1]
+    flat = moved.reshape(-1, 1, 1, moved.shape[-1])  # (batch, C=1, H=1, W)
+    out = jax.lax.conv_general_dilated(
+        flat,
+        kernel[None, None, None, :],  # (O=1, I=1, 1, K)
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    out = out.reshape(*lead_shape, -1)
+    return jnp.moveaxis(out, -1, axis)
+
+
+@partial(jax.jit, static_argnames=("sigma", "truncate"))
+def gaussian_lowpass(
+    volume: jnp.ndarray, sigma=(3.0, 1.0, 1.0), truncate: float = 4.0
+) -> jnp.ndarray:
+    """Separable Gaussian filter (reflect boundary), matching
+    scipy/cupyx ``gaussian_filter`` semantics. ``sigma`` is per-axis over
+    the trailing 3 dims; sigma 0 skips the axis (2D per-plane mode)."""
+    vol = volume.astype(jnp.float32)
+    lead = vol.ndim - 3
+    for ax, s in enumerate(sigma):
+        if s and s > 0:
+            k = jnp.asarray(_gaussian_kernel1d(float(s), truncate))
+            if lead:
+                vol = jax.vmap(lambda v: _conv_axis(v, k, ax))(vol)
+            else:
+                vol = _conv_axis(vol, k, ax)
+    return vol
+
+
+@partial(jax.jit, static_argnames=())
+def _median3x3_plane(plane: jnp.ndarray) -> jnp.ndarray:
+    """3x3 median via a 9-element sorting network on the VPU."""
+    padded = jnp.pad(plane, 1, mode="reflect")
+    stack = jnp.stack(
+        [
+            padded[dy : dy + plane.shape[0], dx : dx + plane.shape[1]]
+            for dy in range(3)
+            for dx in range(3)
+        ]
+    )
+    return jnp.median(stack, axis=0)
+
+
+def replace_hot_pixels(
+    noise_map: np.ndarray, images: np.ndarray, threshold: float = 375.0
+) -> np.ndarray:
+    """Replace hot pixels (noise map above threshold) with the local 3x3
+    median, per plane (reference `imageprocessing.replace_hot_pixels:28-88`)."""
+    noise_map = jnp.asarray(noise_map, jnp.float32)
+    hot = noise_map > threshold
+    imgs = jnp.asarray(images, jnp.float32)
+    if imgs.ndim == 2:
+        imgs = imgs[None]
+    med = jax.vmap(_median3x3_plane)(imgs)
+    out = jnp.where(hot[None] if hot.ndim == 2 else hot, med, imgs)
+    return np.asarray(out.astype(jnp.uint16))
+
+
+def downsample_image_anisotropic(
+    image: np.ndarray, factors: tuple[int, int, int]
+) -> np.ndarray:
+    """Anisotropic mean downsampling by integer factors (reference
+    `imageprocessing.downsample_image_anisotropic:147-223`, numba prange →
+    block-mean reshape on device)."""
+    image = np.asarray(image)
+    fz, fy, fx = (int(f) for f in factors)
+    nz, ny, nx = image.shape
+    tz, ty, tx = nz // fz * fz, ny // fy * fy, nx // fx * fx
+    trimmed = jnp.asarray(image[:tz, :ty, :tx], jnp.float32)
+    out = trimmed.reshape(tz // fz, fz, ty // fy, fy, tx // fx, fx).mean(
+        axis=(1, 3, 5)
+    )
+    return np.asarray(out)
