@@ -1,0 +1,100 @@
+"""F1 scoring of decoded spots against ground truth.
+
+Greedy closest-first one-to-one same-gene matching within a radius via
+per-gene KD-trees (reference
+`cli/statphysbio_simulation/calculate_F1.py:19-185`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from scipy.spatial import cKDTree
+
+
+def match_spots_f1(
+    decoded: pd.DataFrame,
+    ground_truth: pd.DataFrame,
+    *,
+    radius_um: float = 1.0,
+    coords=("global_z", "global_y", "global_x"),
+) -> dict:
+    """Greedy one-to-one same-gene matching; returns precision/recall/F1."""
+    tp = 0
+    n_decoded = len(decoded)
+    n_gt = len(ground_truth)
+    genes = sorted(set(ground_truth["gene_id"].astype(str)))
+    for gene in genes:
+        d = decoded[decoded["gene_id"].astype(str) == gene]
+        g = ground_truth[ground_truth["gene_id"].astype(str) == gene]
+        if d.empty or g.empty:
+            continue
+        d_pts = d[list(coords)].to_numpy(dtype=float)
+        g_pts = g[list(coords)].to_numpy(dtype=float)
+        tree = cKDTree(g_pts)
+        # all candidate pairs within radius, sorted by distance (greedy)
+        pairs = []
+        dists, idxs = tree.query(d_pts, k=min(4, len(g_pts)))
+        dists = np.atleast_2d(dists)
+        idxs = np.atleast_2d(idxs)
+        for di in range(len(d_pts)):
+            for k in range(dists.shape[1]):
+                if np.isfinite(dists[di, k]) and dists[di, k] <= radius_um:
+                    pairs.append((dists[di, k], di, int(idxs[di, k])))
+        pairs.sort()
+        used_d: set[int] = set()
+        used_g: set[int] = set()
+        for dist, di, gi in pairs:
+            if di in used_d or gi in used_g:
+                continue
+            used_d.add(di)
+            used_g.add(gi)
+            tp += 1
+    fp = n_decoded - tp
+    fn = n_gt - tp
+    precision = tp / n_decoded if n_decoded else 0.0
+    recall = tp / n_gt if n_gt else 0.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if (precision + recall) > 0
+        else 0.0
+    )
+    return {
+        "true_positives": tp,
+        "false_positives": fp,
+        "false_negatives": fn,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "n_decoded": n_decoded,
+        "n_ground_truth": n_gt,
+    }
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        prog="sim-f1score", description="F1 score decoded spots vs ground truth"
+    )
+    parser.add_argument("--decoded", required=True, type=Path)
+    parser.add_argument("--ground-truth", required=True, type=Path)
+    parser.add_argument("--radius-um", type=float, default=1.0)
+    parser.add_argument("--output", type=Path, default=None)
+    args = parser.parse_args(argv)
+    decoded = (
+        pd.read_parquet(args.decoded)
+        if args.decoded.suffix == ".parquet"
+        else pd.read_csv(args.decoded)
+    )
+    gt = pd.read_csv(args.ground_truth)
+    result = match_spots_f1(decoded, gt, radius_um=args.radius_um)
+    print(json.dumps(result, indent=2))
+    if args.output:
+        args.output.write_text(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,13 @@ ArrayLike = Union[np.ndarray, Sequence]
 _ID_RE = re.compile(r"^(tile|round|bit)(\d+)$")
 
 
+def _maybe_float(value):
+    try:
+        return float(value)
+    except (TypeError, ValueError):
+        return None
+
+
 def _strict_id_sort_key(name: str) -> tuple[str, int]:
     m = _ID_RE.match(name)
     if not m:
@@ -491,27 +498,78 @@ class qi2labDataStore:
 
     # --------------------------------------------------- chromatic affines
     def save_chromatic_affine_transforms_zyx_um(
-        self, transforms: Mapping[str, ArrayLike], diagnostics: Optional[dict] = None
+        self, calibration: Mapping[str, Any], diagnostics: Optional[dict] = None
     ) -> None:
         """Per-channel 4x4 physical-space chromatic affines
-        (`qi2labDataStore.py:175-275`). Keys are channel/wavelength labels."""
-        payload = {
-            str(k): np.asarray(v, dtype=np.float64).reshape(4, 4).tolist()
-            for k, v in transforms.items()
-        }
-        self._chromatic_affine_transforms_zyx_um = payload
-        self._set_calibration_attribute("chromatic_affine_transforms_zyx_um", payload)
+        (`qi2labDataStore.py:175-275`). Structured payload:
+        ``{"channels": {name: {"channel_index", "wavelength_um",
+        "affine_zyx_um"}}}``. A flat ``{name: 4x4}`` mapping is also
+        accepted and normalized to the structured form."""
+        calibration = dict(calibration)
+        if "channels" not in calibration:
+            calibration = {
+                "channels": {
+                    str(k): {
+                        "channel_index": i,
+                        "wavelength_um": _maybe_float(k),
+                        "affine_zyx_um": np.asarray(v, dtype=np.float64)
+                        .reshape(4, 4)
+                        .tolist(),
+                    }
+                    for i, (k, v) in enumerate(calibration.items())
+                }
+            }
+        self._chromatic_affine_transforms_zyx_um = zarrio._json_safe(calibration)
+        self._set_calibration_attribute(
+            "chromatic_affine_transforms_zyx_um",
+            self._chromatic_affine_transforms_zyx_um,
+        )
         if diagnostics is not None:
             self._set_calibration_attribute("chromatic_affine_diagnostics", diagnostics)
 
-    def load_chromatic_affine_transforms_zyx_um(self) -> dict[str, np.ndarray]:
-        """Returns per-channel affines; identity fallback for missing keys."""
+    def load_chromatic_affine_transforms_zyx_um(self) -> dict[str, Any]:
+        """Returns the structured chromatic calibration payload (may be {})."""
         payload = getattr(self, "_chromatic_affine_transforms_zyx_um", None)
         if payload is None:
             payload = self._get_calibration_attribute(
                 "chromatic_affine_transforms_zyx_um", {}
             ) or {}
-        return {k: np.asarray(v, dtype=np.float64) for k, v in payload.items()}
+        return dict(payload)
+
+    def load_chromatic_affine_transform_zyx_um(
+        self,
+        channel_name: Optional[str] = None,
+        channel_index: Optional[int] = None,
+        wavelength_um: Optional[float] = None,
+    ) -> np.ndarray:
+        """One chromatic affine with identity fallback
+        (`qi2labDataStore.py:220-275`)."""
+        channels = self.load_chromatic_affine_transforms_zyx_um().get("channels", {})
+        if not isinstance(channels, Mapping):
+            return np.eye(4, dtype=np.float32)
+        candidates = []
+        if channel_name is not None and str(channel_name) in channels:
+            candidates.append(channels[str(channel_name)])
+        if channel_index is not None:
+            for ch in channels.values():
+                if isinstance(ch, Mapping) and int(ch.get("channel_index", -1)) == int(
+                    channel_index
+                ):
+                    candidates.append(ch)
+        if wavelength_um is not None:
+            for ch in channels.values():
+                if not isinstance(ch, Mapping):
+                    continue
+                stored = ch.get("wavelength_um")
+                if stored is not None and np.isclose(
+                    float(stored), float(wavelength_um)
+                ):
+                    candidates.append(ch)
+        for ch in candidates:
+            affine = ch.get("affine_zyx_um")
+            if affine is not None:
+                return np.asarray(affine, dtype=np.float32)
+        return np.eye(4, dtype=np.float32)
 
     # ----------------------------------------------------------- tile setup
     def initialize_tile(self, tile: Union[int, str]) -> None:

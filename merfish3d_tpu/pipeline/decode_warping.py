@@ -1,0 +1,111 @@
+"""Decode-time warp composition.
+
+Composes round affine ∘ chromatic⁻¹ (+ optional SOFIMA flow) to warp native
+readout bit images into the round-1 reference frame at decode time with a
+single resample (reference `utils/decode_warping.py:15-237`).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from ..ops.warp import warp_affine, warp_affine_plus_flow
+
+
+def load_bit_round_transform_zyx_um(datastore, *, tile, bit_id):
+    """Round id + physical transform for one bit; reference-round bits get
+    (None, identity) (reference `decode_warping.py:15-53`)."""
+    round_index = datastore.load_local_round_linker(tile=tile, bit=bit_id) - 1
+    if round_index <= 0:
+        return None, np.eye(4, dtype=np.float32)
+    round_id = datastore.round_ids[round_index]
+    transform = datastore.load_local_round_transform_zyx_um(tile=tile, round=round_id)
+    if transform is None:
+        raise RuntimeError(
+            f"Missing local round transform for tile={tile} round={round_id}."
+        )
+    return round_id, np.asarray(transform, dtype=np.float32)
+
+
+def compose_decode_warp_transform_zyx_um(
+    *, round_transform_zyx_um, chromatic_transform_zyx_um
+) -> np.ndarray:
+    """inv(chromatic) @ round_transform (reference `decode_warping.py:56-83`)."""
+    return np.linalg.inv(
+        np.asarray(chromatic_transform_zyx_um, dtype=np.float32)
+    ) @ np.asarray(round_transform_zyx_um, dtype=np.float32)
+
+
+def warp_image_with_sofima_metadata(
+    image,
+    *,
+    transform_zyx_um,
+    spacing_zyx_um,
+    sofima_flow_field_xyz_px,
+    flow_attrs,
+    reference_shape=None,
+):
+    """Composed affine+flow warp from stored flow metadata
+    (reference `decode_warping.py:172-227`)."""
+    if reference_shape is None:
+        reference_shape = flow_attrs["reference_shape_zyx_px"]
+    return warp_affine_plus_flow(
+        image,
+        sofima_flow_field_xyz_px,
+        transform_zyx_um=transform_zyx_um,
+        spacing_zyx_um=spacing_zyx_um,
+        reference_shape=tuple(int(v) for v in reference_shape),
+        map_stride_zyx_px=flow_attrs["map_stride_zyx_px"],
+        map_box_start_xyz_px=flow_attrs["map_box_start_xyz_px"],
+    ).astype(np.float32, copy=False)
+
+
+def warp_bit_image_to_reference(
+    image: np.ndarray,
+    *,
+    datastore: Any,
+    tile,
+    bit_id: str,
+    emission_wavelength_um: float,
+) -> np.ndarray:
+    """Warp one native bit image into the round-1 local reference frame,
+    short-circuiting when the composed transform is identity and no flow is
+    stored (reference `decode_warping.py:86-169`)."""
+    round_id, round_transform = load_bit_round_transform_zyx_um(
+        datastore, tile=tile, bit_id=bit_id
+    )
+    chromatic = datastore.load_chromatic_affine_transform_zyx_um(
+        wavelength_um=emission_wavelength_um
+    )
+    transform = compose_decode_warp_transform_zyx_um(
+        round_transform_zyx_um=round_transform,
+        chromatic_transform_zyx_um=chromatic,
+    )
+    spacing = datastore.voxel_size_zyx_um
+
+    flow = None
+    if round_id is not None:
+        flow = datastore.load_local_sofima_flow_field(tile=tile, round=round_id)
+
+    if flow is None and np.allclose(transform, np.eye(4, dtype=np.float32)):
+        return np.asarray(image, dtype=np.float32)
+
+    if flow is not None:
+        flow_field, flow_attrs = flow
+        return warp_image_with_sofima_metadata(
+            image,
+            transform_zyx_um=transform,
+            spacing_zyx_um=spacing,
+            sofima_flow_field_xyz_px=flow_field,
+            flow_attrs=flow_attrs,
+            reference_shape=image.shape,
+        )
+
+    return warp_affine(
+        image,
+        transform_zyx_um=transform,
+        spacing_zyx_um=spacing,
+        reference_shape=image.shape,
+    ).astype(np.float32, copy=False)

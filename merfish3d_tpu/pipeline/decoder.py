@@ -1,0 +1,586 @@
+"""PixelDecoder: exact two-threshold MERFISH caller orchestration.
+
+TPU-native reimplementation of the reference decoder
+(`PixelDecoder.py`, ~4.6k LoC): codebook normalization + derived caller
+thresholds, per-tile decode (decon × U-FISH probability weighting →
+decode-warp → Gaussian lowpass → MXU nearest-codeword decode → connected
+components → region stats → decoded-features table), global + iterative
+normalization-vector estimation, and the self-optimizing
+normalization-by-decoding loop.
+
+Device compute runs through :mod:`merfish3d_tpu.ops` (jitted/batched); this
+module is host-side choreography against the datastore, identical in
+contract to the reference (per-tile parquet schema, thresholds, vectors).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+import jax.numpy as jnp
+
+from ..ops import cc as cc_ops
+from ..ops import decode as decode_ops
+from ..ops.filters import gaussian_lowpass
+from . import decode_warping
+from .filtering import (
+    assign_cells,
+    filter_blank_fraction,
+    filter_lr,
+    remove_duplicates_in_tile_overlap,
+    remove_duplicates_within_tile,
+)
+
+DEFAULT_DECODE_LOWPASS_SIGMA = (3.0, 1.0, 1.0)
+
+
+class PixelDecoder:
+    """Per-pixel MERFISH decoder over a qi2lab datastore."""
+
+    def __init__(
+        self,
+        datastore,
+        *,
+        merfish_bits: Optional[int] = None,
+        use_mask: bool = False,
+        z_range: Optional[tuple[int, int]] = None,
+        include_blanks: bool = True,
+        verbose: int = 1,
+        is_3D: bool = True,
+        magnitude_threshold: tuple[float, float] = (1.5, 10.0),
+        minimum_pixels: int = 16,
+        maximum_pixels: int = 500,
+        decode_run_key: Optional[str] = None,
+        component_capacity: int = 65536,
+    ):
+        self._datastore = datastore
+        self._verbose = verbose
+        self._is_3D = is_3D
+        self._z_range = z_range
+        self._include_blanks = include_blanks
+        self._magnitude_threshold = tuple(magnitude_threshold)
+        self._minimum_pixels = float(minimum_pixels)
+        self._maximum_pixels = float(maximum_pixels)
+        self._component_capacity = int(component_capacity)
+        self._decode_run_key = decode_run_key
+        if decode_run_key is not None:
+            datastore.decode_run_key = decode_run_key
+        self._n_merfish_bits = int(merfish_bits or datastore.num_bits)
+        self._load_codebook()
+        self._global_normalization_vector: Optional[np.ndarray] = None
+        self._global_background_vector: Optional[np.ndarray] = None
+        self._iterative_normalization_vector: Optional[np.ndarray] = None
+        self._iterative_background_vector: Optional[np.ndarray] = None
+        self._df_barcodes_loaded = pd.DataFrame()
+
+    # ------------------------------------------------------------- codebook
+    def _load_codebook(self) -> None:
+        """Load codebook; drop 1-on-bit codewords; derive the exact caller
+        thresholds from the median on-bit count B
+        (reference `_load_codebook:538-583`)."""
+        df = self._datastore.codebook
+        if df is None:
+            raise ValueError("datastore has no codebook")
+        matrix = df.iloc[:, 1 : 1 + self._n_merfish_bits].to_numpy(dtype=np.float32)
+        gene_ids = df["gene_id"].astype(str).to_numpy()
+        on_counts = matrix.sum(axis=1)
+        keep = on_counts > 1
+        self._codebook_matrix = matrix[keep]
+        self._gene_ids = list(gene_ids[keep])
+        self._blank_mask = np.array(
+            [g.lower().startswith("blank") for g in self._gene_ids]
+        )
+        b = int(np.median(self._codebook_matrix.sum(axis=1)))
+        self._on_bits_median = b
+        pixel, transcript = decode_ops.caller_thresholds(b)
+        self._pixel_distance_threshold = pixel
+        self._transcript_distance_threshold = transcript
+        self._on_bits_1based = (
+            np.argsort(~self._codebook_matrix.astype(bool), axis=1, kind="stable")[
+                :, :b
+            ].astype(np.int32)
+            + 1
+        )
+
+    @property
+    def gene_ids(self) -> list[str]:
+        return list(self._gene_ids)
+
+    @property
+    def codebook_matrix(self) -> np.ndarray:
+        return self._codebook_matrix.copy()
+
+    # ------------------------------------------------------------ z-slicing
+    def _z_slice(self, nz: int) -> slice:
+        if self._z_range is None:
+            return slice(0, nz)
+        lo, hi = self._z_range
+        return slice(max(0, int(lo)), min(nz, int(hi)))
+
+    # ------------------------------------------------------- bit data loads
+    def _effective_lowpass_sigma(self, sigma) -> tuple[float, float, float]:
+        if sigma is None:
+            return (0.0, 0.0, 0.0)
+        s = tuple(float(v) for v in sigma)
+        if not self._is_3D:
+            return (0.0, s[1], s[2])
+        return s
+
+    def _load_warped_bit_image(self, tile_id, bit_id) -> np.ndarray:
+        """decon × U-FISH probability, warped into the round-1 frame
+        (reference `_load_bit_data:1476-1595`)."""
+        decon = self._datastore.load_local_registered_image(tile=tile_id, bit=bit_id)
+        pred = self._datastore.load_local_feature_predictor_image(
+            tile=tile_id, bit=bit_id
+        )
+        if decon is None:
+            raise ValueError(f"missing decon data for {tile_id}/{bit_id}")
+        image = np.asarray(decon, dtype=np.float32)
+        if pred is not None:
+            image = image * np.asarray(pred, dtype=np.float32)
+        _ex, em_wvl = self._datastore.load_local_wavelengths_um(
+            tile=tile_id, bit=bit_id
+        )
+        return decode_warping.warp_bit_image_to_reference(
+            image,
+            datastore=self._datastore,
+            tile=tile_id,
+            bit_id=bit_id,
+            emission_wavelength_um=em_wvl,
+        )
+
+    def _load_bit_data(self, tile_idx: int) -> np.ndarray:
+        tile_id = self._datastore.tile_ids[tile_idx]
+        bits = self._datastore.bit_ids[: self._n_merfish_bits]
+        images = [self._load_warped_bit_image(tile_id, b) for b in bits]
+        stack = np.stack(images).astype(np.float32)
+        zsl = self._z_slice(stack.shape[1])
+        self._z_crop_offset = zsl.start
+        self._load_global_xforms(tile_idx)
+        return stack[:, zsl]
+
+    def _load_global_xforms(self, tile_idx: int) -> None:
+        """Global affine/origin/spacing with stage-position fallback plus the
+        camera-to-stage affine (reference `_load_bit_data:1540-1580`)."""
+        ds = self._datastore
+        xforms = ds.load_global_coord_xforms_um(tile_idx)
+        spacing = np.asarray(ds.voxel_size_zyx_um, dtype=np.float64)
+        stage = ds.load_local_stage_position_zyx_um(tile_idx, round=0)
+        camera_affine = np.eye(4)
+        origin = np.zeros(3)
+        if stage is not None:
+            origin = np.asarray(stage[0], dtype=np.float64)
+            camera_affine = np.asarray(stage[1], dtype=np.float64)
+        if xforms is not None:
+            affine, origin, spacing = (np.asarray(v, np.float64) for v in xforms)
+        else:
+            affine = np.eye(4)
+        self._spacing = spacing
+        self._origin = origin
+        self._affine = affine
+        self._camera_to_stage_affine = camera_affine
+
+    # ---------------------------------------------------- global norm stats
+    def _global_normalization_vectors(
+        self,
+        low_percentile_cut: float = 10.0,
+        high_percentile_cut: float = 90.0,
+        hot_pixel_threshold: float = 50000.0,
+        tile_indices: Optional[Sequence[int]] = None,
+        lowpass_sigma=DEFAULT_DECODE_LOWPASS_SIGMA,
+    ) -> None:
+        """Percentile seeding of the normalization vectors over ≤5 random
+        tiles (reference `_global_normalization_vectors:688-873`)."""
+        ds = self._datastore
+        if tile_indices is not None:
+            tiles = [ds.tile_ids[i] for i in tile_indices]
+        elif len(ds.tile_ids) > 5:
+            tiles = random.sample(ds.tile_ids, 5)
+        else:
+            tiles = list(ds.tile_ids)
+        sigma = self._effective_lowpass_sigma(lowpass_sigma)
+        n_bits = self._n_merfish_bits
+        norm = np.ones(n_bits, np.float32)
+        bg = np.zeros(n_bits, np.float32)
+        for bit_idx, bit_id in enumerate(ds.bit_ids[:n_bits]):
+            images = []
+            for tile_id in tiles:
+                img = self._load_warped_bit_image(tile_id, bit_id)
+                med = np.median(img[img.shape[0] // 2])
+                img = np.where(img > hot_pixel_threshold, med, img)
+                img = img[self._z_slice(img.shape[0])]
+                img = np.asarray(gaussian_lowpass(jnp.asarray(img), sigma=sigma))
+                images.append(img.astype(np.float32))
+            low_pixels = []
+            for img in images:
+                cut = np.percentile(img, low_percentile_cut)
+                low_pixels.append(img[img < cut].ravel())
+            low_pixels = np.concatenate(low_pixels) if low_pixels else np.array([])
+            bg[bit_idx] = np.median(low_pixels) if low_pixels.size else 0.0
+            high_pixels = []
+            for img in images:
+                shifted = np.clip(img - bg[bit_idx], 0, None)
+                cut = np.percentile(shifted, high_percentile_cut)
+                high_pixels.append(shifted[shifted > cut].ravel())
+            high_pixels = np.concatenate(high_pixels) if high_pixels else np.array([])
+            norm[bit_idx] = np.median(high_pixels) if high_pixels.size else 1.0
+        self._global_normalization_vector = norm
+        self._global_background_vector = bg
+        ds.save_decode_normalization_vectors(norm, bg, run_key="global")
+
+    def _load_global_normalization_vectors(
+        self, recalculate: bool = False, **kwargs
+    ) -> None:
+        stored = self._datastore.load_decode_normalization_vectors(run_key="global")
+        if stored is not None and not recalculate:
+            self._global_normalization_vector, self._global_background_vector = stored
+            return
+        self._global_normalization_vectors(**kwargs)
+
+    def _prepare_normalization_state(self) -> tuple[np.ndarray, np.ndarray]:
+        """iterative > global > identity (reference
+        `_prepare_normalization_state:2847-2894`)."""
+        if self._iterative_normalization_vector is not None:
+            return (
+                self._iterative_normalization_vector,
+                self._iterative_background_vector,
+            )
+        stored = self._datastore.load_decode_normalization_vectors(run_key="iterative")
+        if stored is not None:
+            self._iterative_normalization_vector = stored[0]
+            self._iterative_background_vector = stored[1]
+            return stored
+        if self._global_normalization_vector is not None:
+            return self._global_normalization_vector, self._global_background_vector
+        stored = self._datastore.load_decode_normalization_vectors(run_key="global")
+        if stored is not None:
+            self._global_normalization_vector, self._global_background_vector = stored
+            return stored
+        n = self._n_merfish_bits
+        return np.ones(n, np.float32), np.zeros(n, np.float32)
+
+    # --------------------------------------------------------------- decode
+    def decode_one_tile(
+        self,
+        tile_idx: int,
+        *,
+        lowpass_sigma=DEFAULT_DECODE_LOWPASS_SIGMA,
+        optimize_normalization_weights: bool = False,
+        save: bool = True,
+    ) -> pd.DataFrame:
+        """Decode a single tile end-to-end
+        (reference `decode_one_tile:4048-4157`)."""
+        norm, bg = self._prepare_normalization_state()
+        image_data = self._load_bit_data(tile_idx)
+        sigma = self._effective_lowpass_sigma(lowpass_sigma)
+        if any(s > 0 for s in sigma):
+            image_lp = np.asarray(
+                gaussian_lowpass(jnp.asarray(image_data), sigma=sigma)
+            )
+        else:
+            image_lp = image_data
+        decoded, mag, dist, scaled = decode_ops.decode_volume(
+            image_lp,
+            self._codebook_matrix,
+            bg[: self._n_merfish_bits],
+            norm[: self._n_merfish_bits],
+            magnitude_threshold=self._magnitude_threshold,
+            distance_threshold=self._pixel_distance_threshold,
+        )
+        # intensity source: raw lowpassed data during normalization
+        # optimization, scaled traces otherwise (`PixelDecoder.py:2503-2510`)
+        intensity = image_lp if optimize_normalization_weights else scaled
+        df = self._extract_barcodes(
+            decoded, mag, dist, intensity.astype(np.float32), tile_idx
+        )
+        if save:
+            self._datastore.save_local_decoded_spots(df, tile_idx)
+        return df
+
+    def _extract_barcodes(
+        self,
+        decoded: np.ndarray,
+        magnitude: np.ndarray,
+        distance: np.ndarray,
+        intensity: np.ndarray,  # (bits, Z, Y, X)
+        tile_idx: int,
+    ) -> pd.DataFrame:
+        """Connected components + region features → decoded-features rows
+        (reference `_extract_barcodes:2476-2770`)."""
+        labels = cc_ops.label_connected(
+            jnp.asarray(decoded.astype(np.int32)), use_2d=not self._is_3D
+        )
+        stats = cc_ops.component_stats(
+            jnp.asarray(decoded.astype(np.int32)),
+            labels,
+            jnp.asarray(distance.astype(np.float32)),
+            jnp.asarray(magnitude.astype(np.float32)),
+            jnp.asarray(intensity),
+            capacity=self._component_capacity,
+        )
+        valid = np.asarray(stats["valid"])
+        area = np.asarray(stats["area"])[valid]
+        if valid.sum() == 0:
+            return self._empty_barcode_frame()
+        centroid = np.asarray(stats["centroid_zyx"])[valid]
+        codeword = np.asarray(stats["codeword"])[valid]
+        dist_min = np.asarray(stats["distance_min"])[valid]
+        mag_mean = np.asarray(stats["magnitude_mean"])[valid]
+        bit_means = np.asarray(stats["bit_means"])[:, valid].T  # (n, bits)
+        moments = np.asarray(stats["moments"])[valid]
+
+        keep = (area >= self._minimum_pixels) & (area <= self._maximum_pixels)
+        if not keep.any():
+            return self._empty_barcode_frame()
+        area, centroid, codeword, dist_min, mag_mean, bit_means, moments = (
+            a[keep]
+            for a in (area, centroid, codeword, dist_min, mag_mean, bit_means, moments)
+        )
+
+        eig = cc_ops.inertia_tensor_eigvals(moments, area)
+        n_on = self._on_bits_1based.shape[1]
+        on_sel = self._on_bits_1based[codeword]
+
+        df = pd.DataFrame(
+            {
+                "area": area.astype(np.float64),
+                "z": centroid[:, 0].astype(np.float64),
+                "y": centroid[:, 1].astype(np.float64),
+                "x": centroid[:, 2].astype(np.float64),
+            }
+        )
+        for i in range(3):
+            df[f"inertia_tensor_eigvals-{i}"] = eig[:, i].astype(np.float64)
+        df["distance_min"] = dist_min.astype(np.float64)
+        df["magnitude_mean"] = mag_mean.astype(np.float64)
+        df["barcode_id"] = codeword.astype(np.int32) + 1
+        df["gene_id"] = [self._gene_ids[c] for c in codeword]
+        df["tile_idx"] = int(tile_idx)
+        for i in range(n_on):
+            df[f"on_bit_{i + 1}"] = on_sel[:, i]
+        for b in range(self._n_merfish_bits):
+            df[f"bit{b + 1:02d}_mean_intensity"] = bit_means[:, b].astype(np.float64)
+
+        # z-crop re-offset (`_decoded_z_to_source_z`)
+        if getattr(self, "_z_crop_offset", 0):
+            df["z"] = df["z"] + float(self._z_crop_offset)
+        df["tile_z"] = np.round(df["z"], 0).astype(int)
+        df["tile_y"] = np.round(df["y"], 0).astype(int)
+        df["tile_x"] = np.round(df["x"], 0).astype(int)
+
+        pts = df[["z", "y", "x"]].to_numpy(dtype=np.float64)
+        pts = self._warp_pixels(pts)
+        df["global_z"] = np.round(pts[:, 0], 2)
+        df["global_y"] = np.round(pts[:, 1], 2)
+        df["global_x"] = np.round(pts[:, 2], 2)
+
+        bit_cols = [
+            f"bit{i:02d}_mean_intensity" for i in range(1, self._n_merfish_bits + 1)
+        ]
+        bm = df[bit_cols].to_numpy(dtype=np.float64)
+        total = bm.sum(axis=1)
+        on0 = on_sel - 1
+        signal = np.take_along_axis(bm, on0, axis=1).sum(axis=1)
+        df["signal_mean"] = signal / float(n_on)
+        df["bkd_mean"] = (total - signal) / float(self._n_merfish_bits - n_on)
+        df["s-b_mean"] = df["signal_mean"] - df["bkd_mean"]
+
+        df = df[
+            df["distance_min"] <= self._transcript_distance_threshold
+        ].reset_index(drop=True)
+        if not self._include_blanks:
+            df = df[~df["gene_id"].str.lower().str.startswith("blank")].reset_index(
+                drop=True
+            )
+        return df
+
+    def _warp_pixels(self, pts: np.ndarray) -> np.ndarray:
+        """pixel → µm → camera-to-stage → global affine
+        (reference `_warp_pixel:2266-2305`)."""
+        out = pts * self._spacing[None, :] + self._origin[None, :]
+        homo = np.concatenate([out, np.ones((len(out), 1))], axis=1)
+        out = (self._camera_to_stage_affine @ homo.T).T[:, :3]
+        homo = np.concatenate([out, np.ones((len(out), 1))], axis=1)
+        return (self._affine @ homo.T).T[:, :3]
+
+    def _empty_barcode_frame(self) -> pd.DataFrame:
+        cols = (
+            ["area", "z", "y", "x"]
+            + [f"inertia_tensor_eigvals-{i}" for i in range(3)]
+            + ["distance_min", "magnitude_mean", "barcode_id", "gene_id", "tile_idx"]
+            + [f"on_bit_{i + 1}" for i in range(self._on_bits_1based.shape[1])]
+            + [
+                f"bit{b + 1:02d}_mean_intensity"
+                for b in range(self._n_merfish_bits)
+            ]
+            + ["tile_z", "tile_y", "tile_x", "global_z", "global_y", "global_x"]
+            + ["signal_mean", "bkd_mean", "s-b_mean"]
+        )
+        return pd.DataFrame(columns=cols)
+
+    # ------------------------------------------- normalization optimization
+    def _iterative_normalization_vectors(self) -> None:
+        """Per-bit medians of on-/off-bit intensities from non-blank decoded
+        transcripts → new normalization/background vectors
+        (reference `_iterative_normalization_vectors:903-1067`)."""
+        df = self._df_barcodes_loaded
+        keep = ~df["gene_id"].astype(str).str.lower().str.startswith("blank")
+        df = df[keep]
+        n_bits = self._n_merfish_bits
+        if self._iterative_normalization_vector is None:
+            old_norm = np.round(self._global_normalization_vector[:n_bits], 1)
+            old_bg = np.round(self._global_background_vector[:n_bits], 1)
+        else:
+            old_norm = np.asarray(self._iterative_normalization_vector)
+            old_bg = np.asarray(self._iterative_background_vector)
+        bit_cols = [f"bit{i:02d}_mean_intensity" for i in range(1, n_bits + 1)]
+        if df.empty:
+            self._datastore.save_decode_normalization_vectors(
+                old_norm.astype(np.float32), old_bg.astype(np.float32),
+                run_key="iterative",
+            )
+            self._iterative_normalization_vector = old_norm.astype(np.float32)
+            self._iterative_background_vector = old_bg.astype(np.float32)
+            return
+        bm = df[bit_cols].to_numpy(dtype=np.float64)  # (n, bits)
+        n_on = self._on_bits_1based.shape[1]
+        on0 = (
+            df[[f"on_bit_{i + 1}" for i in range(n_on)]].to_numpy(dtype=np.int64) - 1
+        )
+        on_mask = np.zeros_like(bm, dtype=bool)
+        np.put_along_axis(on_mask, on0, True, axis=1)
+        with np.errstate(all="ignore"):
+            norm = np.round(
+                np.nanmedian(np.where(on_mask, bm, np.nan), axis=0), 1
+            )
+            bg = np.round(np.nanmedian(np.where(~on_mask, bm, np.nan), axis=0), 1)
+        norm = np.nan_to_num(norm, nan=1.0)
+        norm = np.where(norm == 0.0, 1.0, norm)
+        bg = np.nan_to_num(bg, nan=0.0)
+        self._iterative_normalization_vector = norm.astype(np.float32)
+        self._iterative_background_vector = bg.astype(np.float32)
+        self._datastore.save_decode_normalization_vectors(
+            self._iterative_normalization_vector,
+            self._iterative_background_vector,
+            run_key="iterative",
+        )
+
+    def optimize_normalization_by_decoding(
+        self,
+        n_random_tiles: int = 20,
+        n_iterations: int = 5,
+        *,
+        minimum_pixels: Optional[float] = None,
+        lowpass_sigma=DEFAULT_DECODE_LOWPASS_SIGMA,
+    ) -> None:
+        """Self-optimizing normalization loop
+        (reference `optimize_normalization_by_decoding:4159-4308`)."""
+        ds = self._datastore
+        if minimum_pixels is not None:
+            self._minimum_pixels = float(minimum_pixels)
+        n_tiles = len(ds.tile_ids)
+        sample_idx = (
+            sorted(random.sample(range(n_tiles), n_random_tiles))
+            if n_tiles > n_random_tiles
+            else list(range(n_tiles))
+        )
+        self._load_global_normalization_vectors(
+            recalculate=True,
+            tile_indices=sample_idx[:5],
+            lowpass_sigma=lowpass_sigma,
+        )
+        for _it in range(n_iterations):
+            frames = []
+            for tile_idx in sample_idx:
+                df = self.decode_one_tile(
+                    tile_idx,
+                    lowpass_sigma=lowpass_sigma,
+                    optimize_normalization_weights=True,
+                    save=False,
+                )
+                frames.append(df)
+            self._df_barcodes_loaded = (
+                pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+            )
+            if not self._is_3D and not self._df_barcodes_loaded.empty:
+                self._df_barcodes_loaded = remove_duplicates_within_tile(
+                    self._df_barcodes_loaded
+                )
+            self._iterative_normalization_vectors()
+
+    # -------------------------------------------------------- full pipeline
+    def decode_all_tiles(
+        self,
+        *,
+        assign_to_cells: bool = False,
+        prep_for_baysor: bool = False,
+        lowpass_sigma=DEFAULT_DECODE_LOWPASS_SIGMA,
+        filter_method: str = "blank_fraction",
+        target_misid_rate: float = 0.05,
+        overlap_radius_um: float = 0.75,
+    ) -> pd.DataFrame:
+        """Decode every tile, then filter/dedup/assign and save the global
+        filtered table (reference `decode_all_tiles:4310-4422`)."""
+        ds = self._datastore
+        for tile_idx in range(len(ds.tile_ids)):
+            self.decode_one_tile(tile_idx, lowpass_sigma=lowpass_sigma, save=True)
+        frames = [
+            ds.load_local_decoded_spots(t)
+            for t in range(len(ds.tile_ids))
+            if ds.load_local_decoded_spots(t) is not None
+        ]
+        df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+        self._df_barcodes_loaded = df
+        df = self._apply_filter_method(df, filter_method, target_misid_rate)
+        if not self._is_3D and not df.empty:
+            df = remove_duplicates_within_tile(df)
+        if len(ds.tile_ids) > 1 and not df.empty:
+            df = remove_duplicates_in_tile_overlap(df, radius_um=overlap_radius_um)
+        if assign_to_cells and not df.empty:
+            outlines = ds.load_global_cellpose_outlines()
+            if outlines is not None:
+                df = assign_cells(df, outlines)
+        ds.save_global_filtered_decoded_spots(df)
+        state = ds.datastore_state
+        state.update({"DecodedSpots": True, "FilteredSpots": True})
+        ds.datastore_state = state
+        return df
+
+    def _apply_filter_method(
+        self, df: pd.DataFrame, method: str, target_misid_rate: float
+    ) -> pd.DataFrame:
+        """reference `_apply_filter_method:4467-4504`."""
+        if df.empty or method in (None, "none"):
+            return df
+        n_blank = int(self._blank_mask.sum())
+        n_total = len(self._gene_ids)
+        if method == "blank_fraction":
+            return filter_blank_fraction(
+                df, n_blank_codewords=n_blank, n_total_codewords=n_total,
+                target_misid_rate=target_misid_rate,
+            )
+        if method == "lr":
+            return filter_lr(df, target_misid_rate=target_misid_rate)
+        raise ValueError(f"unknown filter method {method!r}")
+
+    def optimize_filtering(
+        self, filter_method: str = "blank_fraction", target_misid_rate: float = 0.05
+    ) -> pd.DataFrame:
+        """Re-filter existing per-tile decodes without re-decoding
+        (reference `optimize_filtering:4506-4584`)."""
+        ds = self._datastore
+        frames = [
+            ds.load_local_decoded_spots(t)
+            for t in range(len(ds.tile_ids))
+            if ds.load_local_decoded_spots(t) is not None
+        ]
+        df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+        df = self._apply_filter_method(df, filter_method, target_misid_rate)
+        if len(ds.tile_ids) > 1 and not df.empty:
+            df = remove_duplicates_in_tile_overlap(df)
+        ds.save_global_filtered_decoded_spots(df)
+        return df

@@ -201,11 +201,21 @@ def test_normalization_vectors_and_chromatic(store):
     xf = np.eye(4)
     xf[0, 3] = 0.1
     store.save_chromatic_affine_transforms_zyx_um({"0.561": xf})
-    out = store.load_chromatic_affine_transforms_zyx_um()
-    np.testing.assert_allclose(out["0.561"], xf)
+    np.testing.assert_allclose(
+        store.load_chromatic_affine_transform_zyx_um(wavelength_um=0.561), xf
+    )
+    np.testing.assert_allclose(
+        store.load_chromatic_affine_transform_zyx_um(channel_name="0.561"), xf
+    )
+    # identity fallback for unknown channel
+    np.testing.assert_allclose(
+        store.load_chromatic_affine_transform_zyx_um(wavelength_um=0.9), np.eye(4)
+    )
     # reopen persistence
     ds2 = qi2labDataStore(store.datastore_path)
-    np.testing.assert_allclose(ds2.load_chromatic_affine_transforms_zyx_um()["0.561"], xf)
+    np.testing.assert_allclose(
+        ds2.load_chromatic_affine_transform_zyx_um(wavelength_um=0.561), xf
+    )
     np.testing.assert_allclose(ds2.global_normalization_vector, np.arange(8) + 1)
 
 

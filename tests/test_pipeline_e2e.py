@@ -1,0 +1,69 @@
+"""End-to-end simulation regression: synthetic experiment → decode → F1.
+
+The TPU analog of the reference E2E matrix
+(`tests/test_simulation_example_pipeline.py`): generate a hermetic
+synthetic MERFISH experiment, run the full decode pipeline (normalization
+seeding + iterative optimization + decode + blank-fraction filter), and
+pin the F1 score.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from merfish3d_tpu.cli.simulation.calculate_f1 import match_spots_f1
+from merfish3d_tpu.pipeline import PixelDecoder
+from merfish3d_tpu.utils.simulation import generate_synthetic_experiment
+
+
+@pytest.fixture(scope="module")
+def experiment(tmp_path_factory):
+    path = tmp_path_factory.mktemp("sim") / "qi2labdatastore"
+    ds, gt = generate_synthetic_experiment(
+        path, shape=(10, 96, 96), n_spots=80, seed=7
+    )
+    return ds, gt
+
+
+def test_decode_one_tile_produces_barcodes(experiment):
+    ds, gt = experiment
+    decoder = PixelDecoder(
+        ds,
+        minimum_pixels=4,
+        magnitude_threshold=(0.9, 10.0),
+        verbose=0,
+    )
+    decoder._load_global_normalization_vectors(recalculate=True)
+    df = decoder.decode_one_tile(0, save=True)
+    assert not df.empty
+    # schema: all reference columns present
+    for col in (
+        "area", "z", "y", "x", "tile_z", "tile_y", "tile_x",
+        "global_z", "global_y", "global_x", "gene_id", "barcode_id",
+        "tile_idx", "on_bit_1", "on_bit_4", "bit01_mean_intensity",
+        "bit16_mean_intensity", "signal_mean", "bkd_mean", "s-b_mean",
+        "distance_min", "magnitude_mean", "inertia_tensor_eigvals-0",
+        "inertia_tensor_eigvals-2",
+    ):
+        assert col in df.columns, col
+    # persisted
+    saved = ds.load_local_decoded_spots(0)
+    assert len(saved) == len(df)
+
+
+def test_e2e_f1(experiment):
+    ds, gt = experiment
+    decoder = PixelDecoder(
+        ds,
+        minimum_pixels=4,
+        magnitude_threshold=(0.9, 10.0),
+        verbose=0,
+    )
+    decoder.optimize_normalization_by_decoding(
+        n_random_tiles=1, n_iterations=2
+    )
+    df = decoder.decode_all_tiles(filter_method="blank_fraction")
+    assert not df.empty
+    result = match_spots_f1(df, gt, radius_um=1.0)
+    # regression pin: the synthetic config must decode nearly perfectly
+    assert result["f1"] >= 0.9, result
