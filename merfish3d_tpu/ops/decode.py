@@ -61,20 +61,25 @@ def caller_thresholds(on_bits_median: int) -> tuple[float, float]:
 
 def _scale_clip_normalize(traces, background, normalization):
     """(t - bg)/norm → clip [0,1] → L2 normalize; returns (unit, magnitude,
-    scaled) (reference `:1976-2092`)."""
-    scaled = (traces - background[None, :]) / normalization[None, :]
+    scaled) (reference `:1976-2092`).
+
+    Layout: ``traces`` is **(bits, N)** — bits in sublanes, pixels in lanes.
+    A pixels-major (N, bits=16) layout pads 16 → 128 lanes on TPU (8x HBM
+    waste); bits-major wastes nothing and needs no transposes.
+    """
+    scaled = (traces - background[:, None]) / normalization[:, None]
     scaled = jnp.clip(scaled, 0.0, 1.0)
-    mag = jnp.sqrt(jnp.sum(scaled * scaled, axis=1))
-    unit = scaled / jnp.maximum(mag, 1e-12)[:, None]
+    mag = jnp.sqrt(jnp.sum(scaled * scaled, axis=0))
+    unit = scaled / jnp.maximum(mag, 1e-12)[None, :]
     return unit, mag, scaled
 
 
 def _decode_chunk_xla(traces, codebook_t, background, normalization):
-    """traces: (N, bits) f32; codebook_t: (bits, words) L2-normalized."""
+    """traces: (bits, N) f32; codebook_t: (bits, words) L2-normalized."""
     unit, mag, scaled = _scale_clip_normalize(traces, background, normalization)
-    sims = jnp.dot(unit, codebook_t, preferred_element_type=jnp.float32)
-    best = jnp.argmax(sims, axis=1).astype(jnp.int32)
-    max_sim = jnp.max(sims, axis=1)
+    sims = jnp.dot(codebook_t.T, unit, preferred_element_type=jnp.float32)
+    best = jnp.argmax(sims, axis=0).astype(jnp.int32)
+    max_sim = jnp.max(sims, axis=0)
     dist = jnp.sqrt(jnp.maximum(2.0 - 2.0 * max_sim, 0.0))
     return best, dist, mag, scaled
 
@@ -89,70 +94,72 @@ def _pad_to(x, size, axis, value=0.0):
 
 
 def _decode_kernel(traces_ref, cb_ref, bg_ref, norm_ref, best_ref, dist_ref, mag_ref, scaled_ref):
-    """Fused Pallas decode: scale+clip+normalize+MXU matmul+argmax."""
-    traces = traces_ref[:]  # (TILE_N, BITS_P)
-    bg = bg_ref[:]          # (1, BITS_P)
+    """Fused Pallas decode: scale+clip+normalize+MXU matmul+argmax.
+
+    Bits-major layout: traces block (BITS_P, TILE_N), codebook (WORDS_P,
+    BITS_P); similarities (WORDS_P, TILE_N) never leave VMEM."""
+    traces = traces_ref[:]  # (BITS_P, TILE_N)
+    bg = bg_ref[:]          # (BITS_P, 1)
     nrm = norm_ref[:]
     scaled = jnp.clip((traces - bg) / nrm, 0.0, 1.0)
-    mag = jnp.sqrt(jnp.sum(scaled * scaled, axis=1, keepdims=True))
+    mag = jnp.sqrt(jnp.sum(scaled * scaled, axis=0, keepdims=True))
     unit = scaled / jnp.maximum(mag, 1e-12)
-    sims = jnp.dot(unit, cb_ref[:], preferred_element_type=jnp.float32)
-    best = jnp.argmax(sims, axis=1).astype(jnp.int32)
-    max_sim = jnp.max(sims, axis=1)
-    best_ref[:] = best[:, None]
-    dist_ref[:] = jnp.sqrt(jnp.maximum(2.0 - 2.0 * max_sim, 0.0))[:, None]
+    sims = jnp.dot(cb_ref[:], unit, preferred_element_type=jnp.float32)
+    best = jnp.argmax(sims, axis=0).astype(jnp.int32)
+    max_sim = jnp.max(sims, axis=0)
+    best_ref[:] = best[None, :]
+    dist_ref[:] = jnp.sqrt(jnp.maximum(2.0 - 2.0 * max_sim, 0.0))[None, :]
     mag_ref[:] = mag
     scaled_ref[:] = scaled
 
 
 @partial(jax.jit, static_argnames=("tile_n",))
-def _decode_chunk_pallas(traces, codebook_t, background, normalization, tile_n: int = 2048):
-    """Pallas-fused decode over a (N, bits) chunk. Bits and words are padded
-    to lane width; padded words carry -inf similarity via zero codeword
-    columns (unit traces are nonnegative, so a zero column can win only when
-    sims are all ~0, where distance ~ sqrt(2) > threshold — harmless, and we
-    mask padded words by setting them to -1 columns instead)."""
-    n, bits = traces.shape
+def _decode_chunk_pallas(traces, codebook_t, background, normalization, tile_n: int = 4096):
+    """Pallas-fused decode over a (bits, N) chunk. Words are padded to the
+    sublane tile with -1 rows (unit traces ≥ 0, so padded similarities can
+    never beat a real codeword except in the all-zero-trace case, where the
+    distance ≥ sqrt(2) fails the threshold anyway)."""
+    bits, n = traces.shape
     words = codebook_t.shape[1]
     bits_p = max(8, -(-bits // 8) * 8)
-    words_p = max(128, -(-words // 128) * 128)
+    words_p = max(8, -(-words // 8) * 8)
     n_p = -(-n // tile_n) * tile_n
 
-    traces_p = _pad_to(_pad_to(traces, n_p, 0), bits_p, 1)
-    # pad codebook with -1 columns: unit traces ≥ 0 → padded sims ≤ 0 ≤ real
-    cb_p = _pad_to(_pad_to(codebook_t, bits_p, 0), words_p, 1, value=-1.0)
-    bg_p = _pad_to(background[None, :], bits_p, 1)
-    # padded normalization = 1 avoids div-by-zero on padded bit lanes
-    norm_p = _pad_to(normalization[None, :], bits_p, 1, value=1.0)
+    traces_p = _pad_to(_pad_to(traces, n_p, 1), bits_p, 0)
+    # codebook as (words_p, bits_p), padded words = -1 rows
+    cb_p = _pad_to(_pad_to(codebook_t.T, bits_p, 1), words_p, 0, value=-1.0)
+    bg_p = _pad_to(background[:, None], bits_p, 0)
+    # padded normalization = 1 avoids div-by-zero on padded bit rows
+    norm_p = _pad_to(normalization[:, None], bits_p, 0, value=1.0)
 
     grid = (n_p // tile_n,)
     best, dist, mag, scaled = pl.pallas_call(
         _decode_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_n, bits_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bits_p, words_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bits_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bits_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bits_p, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((words_p, bits_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bits_p, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bits_p, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tile_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, bits_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bits_p, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_p, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_p, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_p, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_p, bits_p), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_p), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_p), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_p), jnp.float32),
+            jax.ShapeDtypeStruct((bits_p, n_p), jnp.float32),
         ),
     )(traces_p, cb_p, bg_p, norm_p)
     return (
-        best[:n, 0],
-        dist[:n, 0],
-        mag[:n, 0],
-        scaled[:n, :bits],
+        best[0, :n],
+        dist[0, :n],
+        mag[0, :n],
+        scaled[:bits, :n],
     )
 
 
@@ -183,7 +190,7 @@ def decode_planes(
     magnitude f16, distance f16, scaled f16) shaped like the spatial dims
     (reference `_decode_pixels:2148-2264`)."""
     bits, p, ny, nx = bit_planes.shape
-    traces = bit_planes.reshape(bits, -1).T  # (N, bits)
+    traces = bit_planes.reshape(bits, -1)  # (bits, N): contiguous, no copy
     if use_pallas:
         best, dist, mag, scaled = _decode_chunk_pallas(
             traces, codebook_t, background, normalization
@@ -199,7 +206,7 @@ def decode_planes(
         decoded.reshape(p, ny, nx),
         mag.astype(jnp.float16).reshape(p, ny, nx),
         dist.astype(jnp.float16).reshape(p, ny, nx),
-        scaled.astype(jnp.float16).T.reshape(bits, p, ny, nx),
+        scaled.astype(jnp.float16).reshape(bits, p, ny, nx),
     )
 
 

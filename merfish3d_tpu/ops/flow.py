@@ -1,0 +1,334 @@
+"""Deformable residual flow estimation (SOFIMA-equivalent) on TPU.
+
+TPU-native re-derivation of the reference SOFIMA pipeline
+(`utils/sofima_registration.py:499-713`): after affine initialization, a
+residual deformable flow field is estimated as
+
+1. **batched patch cross-correlation** on a regular lattice (all patches
+   cross-correlated in one vmapped FFT program — the reference calls
+   SOFIMA's ``JAXMaskedXCorrWithStatsCalculator``),
+2. **flow cleaning** by peak ratio / magnitude / deviation-from-median
+   (reference ``flow_utils.clean_flow`` semantics),
+3. **subpixel refinement** by 3-point parabolic interpolation of the
+   correlation peak,
+4. **dense relaxation**: invalid lattice sites are filled from the
+   per-channel median, then the field is relaxed under a data +
+   smoothness objective with Jacobi sweeps in a ``lax.while_loop`` (the
+   explicit-integrator analog of ``sofima.mesh.relax_mesh``),
+5. **axial stabilization**: Z flow clipped to median ± 5 px
+   (`_stabilize_axial_flow_component:81-148`),
+6. optional **residual iterations**: warp with the current field,
+   re-estimate, and compose the fields on the same lattice
+   (`_compose_flow_fields_same_grid:151-214`).
+
+Output convention matches the datastore contract (docs/datastore.md:176-209):
+shape ``(3, fz, fy, fx)``, channels X, Y, Z, values = displacement in
+reference px (ref coordinate + flow = coordinate in the affine-initialized
+moving image), lattice origin at the patch centers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class SofimaRegistrationConfig:
+    """Deformable-registration knobs (reference
+    `SofimaRegistrationConfig:9-46`; fields kept to the used subset)."""
+
+    patch_size_zyx: tuple[int, int, int] = (10, 32, 32)
+    stride_zyx: tuple[int, int, int] = (5, 16, 16)
+    max_magnitude_px: float = 8.0
+    min_peak_ratio: float = 1.4
+    max_deviation_px: float = 5.0
+    axial_clip_px: float = 5.0
+    num_residual_iterations: int = 2
+    relax_smoothness: float = 0.25
+    relax_iterations: int = 200
+    relax_tolerance: float = 1e-4
+
+
+def _lattice_starts(size: int, patch: int, stride: int) -> np.ndarray:
+    n = max(1, (size - patch) // stride + 1)
+    return np.arange(n) * stride
+
+
+@partial(jax.jit, static_argnames=("patch_size", "strides"))
+def _patch_xcorr_flow(
+    fixed: jnp.ndarray,
+    moving: jnp.ndarray,
+    *,
+    patch_size: tuple[int, int, int],
+    strides: tuple[int, int, int],
+):
+    """Integer + subpixel flow per lattice patch via batched FFT x-corr.
+
+    Returns (flow_zyx (P, 3), peak_ratio (P,)) with flow = displacement of
+    moving content relative to the reference patch."""
+    pz, py, px = patch_size
+    starts = [
+        _lattice_starts(s, p, st)
+        for s, p, st in zip(fixed.shape, patch_size, strides)
+    ]
+    grid = np.stack(
+        np.meshgrid(*starts, indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    grid = jnp.asarray(grid, jnp.int32)
+
+    def one_patch(start):
+        f = jax.lax.dynamic_slice(fixed, start, patch_size)
+        m = jax.lax.dynamic_slice(moving, start, patch_size)
+        f = f - jnp.mean(f)
+        m = m - jnp.mean(m)
+        F = jnp.fft.fftn(f)
+        M = jnp.fft.fftn(m)
+        corr = jnp.fft.ifftn(F * jnp.conj(M)).real
+        # restrict to plausible displacements (≤ quarter patch)
+        lim = jnp.asarray([pz // 4, py // 4, px // 4])
+        coords = [
+            jnp.fft.fftfreq(n) * n for n in patch_size
+        ]  # signed displacement per axis
+        mask = jnp.ones(patch_size, bool)
+        for ax, c in enumerate(coords):
+            shape = [1, 1, 1]
+            shape[ax] = patch_size[ax]
+            mask = mask & (jnp.abs(c.reshape(shape)) <= lim[ax])
+        corr_m = jnp.where(mask, corr, -jnp.inf)
+        flat = jnp.argmax(corr_m)
+        idx = jnp.stack(jnp.unravel_index(flat, corr.shape))
+        size = jnp.asarray(patch_size)
+        peak = jnp.where(idx > size // 2, idx - size, idx).astype(jnp.float32)
+
+        # peak ratio: best / second-best (outside a 1-px neighborhood)
+        best = corr_m[idx[0], idx[1], idx[2]]
+        neigh = jnp.zeros(patch_size, bool)
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    neigh = neigh.at[
+                        (idx[0] + dz) % pz, (idx[1] + dy) % py, (idx[2] + dx) % px
+                    ].set(True)
+        second = jnp.max(jnp.where(neigh, -jnp.inf, corr_m))
+        ratio = best / jnp.maximum(second, 1e-12)
+        ratio = jnp.where(second <= 0, jnp.inf, ratio)
+
+        # 3-point parabolic subpixel refinement per axis
+        sub = []
+        for ax in range(3):
+            n = patch_size[ax]
+            i0 = idx[ax]
+            get = lambda off: corr[
+                tuple(
+                    (idx[a] + (off if a == ax else 0)) % patch_size[a]
+                    for a in range(3)
+                )
+            ]
+            cm, c0, cp = get(-1), get(0), get(1)
+            denom = cm - 2 * c0 + cp
+            delta = jnp.where(
+                jnp.abs(denom) > 1e-12, 0.5 * (cm - cp) / denom, 0.0
+            )
+            sub.append(jnp.clip(delta, -0.5, 0.5))
+        # x-corr peak is the "push"; flow (content displacement) = -push
+        flow = -(peak + jnp.stack(sub))
+        return flow, ratio
+
+    flows, ratios = jax.lax.map(one_patch, grid)
+    lattice_shape = tuple(len(s) for s in starts)
+    return (
+        flows.reshape(*lattice_shape, 3),
+        ratios.reshape(lattice_shape),
+    )
+
+
+def _clean_flow(
+    flow_zyx: np.ndarray, ratios: np.ndarray, cfg: SofimaRegistrationConfig
+) -> np.ndarray:
+    """Validity mask: peak ratio, magnitude, per-channel deviation from the
+    median of surviving vectors (reference ``clean_flow`` semantics)."""
+    mag = np.linalg.norm(flow_zyx, axis=-1)
+    valid = (ratios >= cfg.min_peak_ratio) & (mag <= cfg.max_magnitude_px)
+    if valid.any():
+        med = np.median(flow_zyx[valid], axis=0)
+        dev = np.abs(flow_zyx - med).max(axis=-1)
+        valid = valid & (dev <= cfg.max_deviation_px)
+    return valid
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def _relax_field(
+    flow: jnp.ndarray,  # (fz, fy, fx, 3) median-initialized
+    measured: jnp.ndarray,
+    valid: jnp.ndarray,  # (fz, fy, fx) bool
+    *,
+    smoothness: float,
+    iterations: int,
+    tolerance: float,
+):
+    """Jacobi relaxation of data + Laplacian smoothness: the explicit
+    elastic-mesh analog. Valid sites are anchored to their measurement;
+    invalid sites take the neighbor average."""
+    w = valid[..., None].astype(jnp.float32)
+
+    def neighbor_avg(f):
+        total = jnp.zeros_like(f)
+        count = jnp.zeros_like(f[..., :1])
+        for ax in range(3):
+            for off in (-1, 1):
+                shifted = jnp.roll(f, off, axis=ax)
+                # zero-flux boundary: clamp the roll at edges
+                idx = jax.lax.broadcasted_iota(jnp.int32, f.shape[:3], ax)
+                n = f.shape[ax]
+                ok = ((idx - off) >= 0) & ((idx - off) < n)
+                ok = ok[..., None].astype(jnp.float32)
+                total = total + jnp.where(ok > 0, shifted, 0.0)
+                count = count + ok[..., :1]
+        return total / jnp.maximum(count, 1.0)
+
+    def cond(carry):
+        f, delta, it = carry
+        return (delta > tolerance) & (it < iterations)
+
+    def body(carry):
+        f, _, it = carry
+        avg = neighbor_avg(f)
+        data_weight = w / (w + smoothness)
+        new = data_weight * measured + (1.0 - data_weight) * avg
+        delta = jnp.max(jnp.abs(new - f))
+        return new, delta, it + 1
+
+    out, _, _ = jax.lax.while_loop(cond, body, (flow, jnp.float32(jnp.inf), 0))
+    return out
+
+
+def _compose_flow_fields_same_grid(
+    total_xyz: np.ndarray,
+    residual_xyz: np.ndarray,
+    stride_zyx: np.ndarray,
+) -> np.ndarray:
+    """total'(r) = residual(r) + total(r + residual(r)) on the shared
+    lattice (reference `_compose_flow_fields_same_grid:151-214`)."""
+    fz, fy, fx = total_xyz.shape[1:]
+    zz, yy, xx = jnp.meshgrid(
+        jnp.arange(fz, dtype=jnp.float32),
+        jnp.arange(fy, dtype=jnp.float32),
+        jnp.arange(fx, dtype=jnp.float32),
+        indexing="ij",
+    )
+    # residual displacement in lattice units (channels X,Y,Z ↔ axes x,y,z)
+    rz = residual_xyz[2] / stride_zyx[0]
+    ry = residual_xyz[1] / stride_zyx[1]
+    rx = residual_xyz[0] / stride_zyx[2]
+    coords = [zz + rz, yy + ry, xx + rx]
+    sampled = jnp.stack(
+        [
+            jax.scipy.ndimage.map_coordinates(
+                jnp.asarray(total_xyz[c]), coords, order=1, mode="nearest"
+            )
+            for c in range(3)
+        ]
+    )
+    return np.asarray(jnp.asarray(residual_xyz) + sampled, np.float32)
+
+
+def estimate_sofima_flow_field_xyz_px(
+    reference: np.ndarray,
+    moving: np.ndarray,
+    config: SofimaRegistrationConfig = SofimaRegistrationConfig(),
+) -> tuple[np.ndarray, dict]:
+    """Estimate the residual deformable flow of ``moving`` (already
+    affine-initialized into the reference frame) relative to ``reference``.
+
+    Returns (flow_field (3, fz, fy, fx) float32 with channels X, Y, Z, and a
+    metadata dict with the datastore attribute contract)."""
+    from ..ops.warp import warp_affine_plus_flow
+
+    cfg = config
+    patch = tuple(min(p, s) for p, s in zip(cfg.patch_size_zyx, reference.shape))
+    stride = tuple(min(st, p) for st, p in zip(cfg.stride_zyx, patch))
+    ref_j = jnp.asarray(reference, jnp.float32)
+
+    starts = [
+        _lattice_starts(s, p, st)
+        for s, p, st in zip(reference.shape, patch, stride)
+    ]
+    lattice_shape = tuple(len(s) for s in starts)
+    box_start_zyx = [float(s[0] + p / 2.0) for s, p in zip(starts, patch)]
+
+    total_xyz = np.zeros((3, *lattice_shape), np.float32)
+    valid_count = 0
+    current = np.asarray(moving, np.float32)
+    identity = np.eye(4, dtype=np.float32)
+
+    meta_common = dict(
+        map_stride_zyx_px=[float(s) for s in stride],
+        map_box_start_xyz_px=[box_start_zyx[2], box_start_zyx[1], box_start_zyx[0]],
+        map_box_size_xyz_px=[
+            float((lattice_shape[2] - 1) * stride[2] + 1),
+            float((lattice_shape[1] - 1) * stride[1] + 1),
+            float((lattice_shape[0] - 1) * stride[0] + 1),
+        ],
+        reference_shape_zyx_px=[int(v) for v in reference.shape],
+        moving_shape_zyx_px=[int(v) for v in moving.shape],
+    )
+
+    for iteration in range(max(1, cfg.num_residual_iterations)):
+        flow_zyx, ratios = _patch_xcorr_flow(
+            ref_j,
+            jnp.asarray(current, jnp.float32),
+            patch_size=patch,
+            strides=stride,
+        )
+        flow_zyx = np.asarray(flow_zyx)
+        ratios = np.asarray(ratios)
+        valid = _clean_flow(flow_zyx, ratios, cfg)
+        valid_count = int(valid.sum())
+        if valid_count == 0:
+            break
+        med = np.median(flow_zyx[valid], axis=0)
+        init = np.broadcast_to(med, flow_zyx.shape).astype(np.float32).copy()
+        relaxed = np.array(
+            _relax_field(
+                jnp.asarray(init),
+                jnp.asarray(flow_zyx.astype(np.float32)),
+                jnp.asarray(valid),
+                smoothness=cfg.relax_smoothness,
+                iterations=cfg.relax_iterations,
+                tolerance=cfg.relax_tolerance,
+            )
+        )
+        # axial clip to median ± axial_clip_px
+        z_med = float(np.median(relaxed[..., 0]))
+        relaxed[..., 0] = np.clip(
+            relaxed[..., 0], z_med - cfg.axial_clip_px, z_med + cfg.axial_clip_px
+        )
+        residual_xyz = np.stack(
+            [relaxed[..., 2], relaxed[..., 1], relaxed[..., 0]]
+        ).astype(np.float32)
+        if iteration == 0:
+            total_xyz = residual_xyz
+        else:
+            total_xyz = _compose_flow_fields_same_grid(
+                total_xyz, residual_xyz, np.asarray(stride, np.float64)
+            )
+        if iteration + 1 < cfg.num_residual_iterations:
+            current = warp_affine_plus_flow(
+                np.asarray(moving, np.float32),
+                total_xyz,
+                transform_zyx_um=identity,
+                spacing_zyx_um=(1.0, 1.0, 1.0),
+                reference_shape=reference.shape,
+                map_stride_zyx_px=meta_common["map_stride_zyx_px"],
+                map_box_start_xyz_px=meta_common["map_box_start_xyz_px"],
+            )
+
+    meta = dict(meta_common)
+    meta["sofima_status"] = "ok" if valid_count else "no_valid_vectors"
+    meta["valid_flow_vectors"] = valid_count
+    return total_xyz.astype(np.float32), meta

@@ -1,0 +1,133 @@
+"""Device mesh + sharded pipeline steps.
+
+TPU-native replacement for the reference's process-per-GPU distribution
+(SURVEY.md §2.9): instead of spawning one OS process per device and
+partitioning tiles/rounds/bits statically
+(`PixelDecoder.decode_all_tiles:4363-4392`,
+`DataRegistration._generate_registrations:2156-2173`), we lay a
+``jax.sharding.Mesh`` over the chips with axes ``(tile, z)``:
+
+- **tile axis** — data parallelism over tiles/bits (the dominant axis),
+- **z axis** — spatial domain decomposition inside one volume when a tile
+  exceeds a chip's HBM; XLA inserts the halo exchanges for the z-blurred
+  convolutions automatically (GSPMD), replacing the reference's
+  recompute-halo tiling (`rlgc.py:908-1020`).
+
+Cross-device reductions (per-bit normalization statistics) ride ICI via
+``psum`` — replacing the reference's temp-parquet gather
+(`PixelDecoder._save_barcodes:2785-2791`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_tile_shards: int | None = None, n_z_shards: int = 1, devices=None
+) -> Mesh:
+    """Build a (tile, z) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n_tile_shards is None:
+        n_tile_shards = n // n_z_shards
+    assert n_tile_shards * n_z_shards <= n
+    grid = np.asarray(devices[: n_tile_shards * n_z_shards]).reshape(
+        n_tile_shards, n_z_shards
+    )
+    return Mesh(grid, axis_names=("tile", "z"))
+
+
+def _gaussian_kernel(sigma: float) -> jnp.ndarray:
+    radius = int(4.0 * sigma + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return jnp.asarray((k / k.sum()).astype(np.float32))
+
+
+def _blur_axis(vol: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """1D convolution along one axis of an N-D array, SAME padding.
+
+    Uses lax.conv_general_dilated whose spatial halo on sharded axes is
+    handled by GSPMD collectives.
+    """
+    moved = jnp.moveaxis(vol, axis, -1)
+    lead = moved.shape[:-1]
+    flat = moved.reshape(-1, 1, moved.shape[-1])  # (batch, C=1, W)
+    out = jax.lax.conv_general_dilated(
+        flat,
+        kernel[None, None, :],
+        window_strides=(1,),
+        padding="SAME",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    out = out.reshape(*lead, -1)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def decode_pipeline_step(
+    tiles: jnp.ndarray,  # (T, bits, Z, Y, X) float32
+    codebook_t: jnp.ndarray,  # (bits, words) L2-normalized
+    background: jnp.ndarray,  # (bits,)
+    normalization: jnp.ndarray,  # (bits,)
+    *,
+    sigma=(3.0, 1.0, 1.0),
+    magnitude_threshold=(1.5, 10.0),
+    distance_threshold: float = 0.5172,
+):
+    """One full sharded decode step over a batch of tiles: Gaussian lowpass
+    (z-sharded conv → GSPMD halo exchange) → scale/clip/normalize →
+    MXU nearest-codeword → assignment masks → per-bit statistics reduced
+    across the mesh (the normalization-update reduction).
+
+    Shard-friendly formulation: bits live on the trailing contraction axis
+    (no flatten across sharded spatial dims).
+    """
+    x = tiles
+    for ax, s in zip((2, 3, 4), sigma):
+        if s and s > 0:
+            x = _blur_axis(x, _gaussian_kernel(float(s)), ax)
+    # (T, Z, Y, X, bits)
+    x = jnp.moveaxis(x, 1, -1)
+    scaled = jnp.clip((x - background) / normalization, 0.0, 1.0)
+    mag = jnp.sqrt(jnp.sum(scaled * scaled, axis=-1))
+    unit = scaled / jnp.maximum(mag, 1e-12)[..., None]
+    sims = jnp.einsum(
+        "...b,bw->...w", unit, codebook_t, preferred_element_type=jnp.float32
+    )
+    best = jnp.argmax(sims, axis=-1).astype(jnp.int16)
+    dist = jnp.sqrt(jnp.maximum(2.0 - 2.0 * jnp.max(sims, axis=-1), 0.0))
+    lo, hi = magnitude_threshold
+    assigned = (dist <= distance_threshold) & (mag >= lo) & (mag <= hi)
+    decoded = jnp.where(assigned, best, -1)
+
+    # per-bit statistics over assigned voxels — reduces across the full
+    # mesh (tile AND z shards): XLA emits the psum over ICI
+    w = assigned[..., None].astype(jnp.float32)
+    bit_sums = jnp.sum(scaled * w, axis=(0, 1, 2, 3))
+    counts = jnp.maximum(jnp.sum(w, axis=(0, 1, 2, 3)), 1.0)
+    bit_stats = bit_sums / counts
+    return decoded, dist.astype(jnp.float16), mag.astype(jnp.float16), bit_stats
+
+
+def make_sharded_decode_step(mesh: Mesh, **kwargs):
+    """jit `decode_pipeline_step` with (tile, z) shardings over the mesh."""
+    tile_sharding = NamedSharding(mesh, P("tile", None, "z", None, None))
+    repl = NamedSharding(mesh, P())
+    fn = partial(decode_pipeline_step, **kwargs)
+    return jax.jit(
+        fn,
+        in_shardings=(tile_sharding, repl, repl, repl),
+        out_shardings=(
+            NamedSharding(mesh, P("tile", "z", None, None)),
+            NamedSharding(mesh, P("tile", "z", None, None)),
+            NamedSharding(mesh, P("tile", "z", None, None)),
+            repl,
+        ),
+    )

@@ -201,7 +201,7 @@ def test_pallas_decode_matches_xla_interpret():
 
     rng = np.random.default_rng(0)
     cb = _mhd4_codebook()
-    traces = (rng.random((300, 16)) * 2).astype(np.float32)
+    traces = (rng.random((16, 300)) * 2).astype(np.float32)  # (bits, N)
     bg = (rng.random(16) * 0.1).astype(np.float32)
     norm = (rng.random(16) + 0.5).astype(np.float32)
     cbt = jnp.asarray(dec.normalize_codebook(cb).T)
@@ -222,7 +222,7 @@ def test_pallas_decode_matches_xla_interpret():
             jnp.asarray(traces), jnp.asarray(bg), jnp.asarray(norm)
         )[0]
     )
-    sims = unit @ np.asarray(cbt)
+    sims = np.asarray(cbt).T @ unit  # (words, N)
     for i in np.where(diff)[0]:
-        top2 = np.sort(sims[i])[::-1][:2]
+        top2 = np.sort(sims[:, i])[::-1][:2]
         assert top2[0] - top2[1] < 1e-6
