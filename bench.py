@@ -27,6 +27,11 @@ REFERENCE_VOXELS_PER_SEC = 1.0e8  # RTX 3090-class reference estimate
 
 def main() -> None:
     import jax
+
+    # persistent compile cache: first bench run pays the (tunnel) compile,
+    # subsequent runs start timing immediately
+    jax.config.update("jax_compilation_cache_dir", "/tmp/merfish3d_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from merfish3d_tpu.ops import decode as dec

@@ -1,0 +1,162 @@
+"""DataRegistration + global stitching pipeline tests on synthetic data."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from merfish3d_tpu.datastore import qi2labDataStore
+from merfish3d_tpu.pipeline.registration import DataRegistration
+from merfish3d_tpu.pipeline.stitching import global_register
+from merfish3d_tpu.utils.simulation import generate_synthetic_experiment
+
+
+def _make_shifted_experiment(tmp_path, shift_px=(0.0, 3.0, -4.0)):
+    """Synthetic experiment where moving rounds are analytically shifted
+    copies of the round-1 fiducial."""
+    rng = np.random.default_rng(0)
+    shape = (12, 96, 96)
+    ds = qi2labDataStore(tmp_path / "ds")
+    ds.channels_in_data = ["fid", "r1", "r2"]
+    ds.num_tiles = 1
+    ds.voxel_size_zyx_um = [0.31, 0.098, 0.098]
+    ds.experiment_order = np.array([[1, 1, 2], [2, 3, 4]])
+    cb = pd.DataFrame(
+        {"gene_id": ["g1", "g2"], **{f"bit{i:02d}": [1, 0] for i in range(1, 5)}}
+    )
+    ds.codebook = cb
+    ds.initialize_tile(0)
+
+    def beads(offset):
+        r = np.random.default_rng(1)
+        zz, yy, xx = np.meshgrid(
+            *[np.arange(s, dtype=np.float64) for s in shape], indexing="ij"
+        )
+        zz, yy, xx = zz - offset[0], yy - offset[1], xx - offset[2]
+        vol = np.zeros(shape, np.float32)
+        for _ in range(60):
+            c = [r.uniform(6, s - 6) for s in shape]
+            vol += (
+                r.uniform(400, 1200)
+                * np.exp(
+                    -((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2)
+                    / (2 * 1.2**2)
+                )
+            ).astype(np.float32)
+        return vol
+
+    fixed = beads((0, 0, 0)) + rng.normal(0, 1, shape).astype(np.float32)
+    moving = beads(shift_px) + rng.normal(0, 1, shape).astype(np.float32)
+    for r, img in ((0, fixed), (1, moving)):
+        ds.save_local_corrected_image(
+            np.clip(img + 20, 0, 65535).astype(np.uint16), tile=0, round=r
+        )
+        ds.save_local_stage_position_zyx_um([0, 0, 0], tile=0, round=r)
+        ds.save_local_wavelengths_um((0.488, 0.520), tile=0, round=r)
+    for b in range(4):
+        ds.save_local_corrected_image(
+            np.clip(fixed + 20, 0, 65535).astype(np.uint16), tile=0, bit=b
+        )
+        ds.save_local_wavelengths_um((0.561, 0.590), tile=0, bit=b)
+    return ds, np.asarray(shift_px)
+
+
+def test_register_one_tile_recovers_round_shift(tmp_path):
+    ds, shift_px = _make_shifted_experiment(tmp_path)
+    reg = DataRegistration(
+        ds,
+        decon_fiducial=False,
+        decon_readout=False,
+        global_registration=False,
+        verbose=0,
+    )
+    reg.register_one_tile(0)
+    xf = ds.load_local_round_transform_zyx_um(0, 1)
+    assert xf is not None
+    spacing = np.asarray(ds.voxel_size_zyx_um)
+    est_px = xf[:3, 3] / spacing
+    np.testing.assert_allclose(est_px, shift_px, atol=0.5)
+    # readout outputs exist
+    for b in range(4):
+        assert ds.load_local_registered_image(tile=0, bit=b) is not None
+        prob = ds.load_local_feature_predictor_image(tile=0, bit=b)
+        assert prob is not None and prob.min() >= 0 and prob.max() <= 1
+        spots = ds.load_local_feature_predictor_spots(tile=0, bit=b)
+        assert spots is not None and len(spots) > 10
+
+
+def test_register_all_tiles_resume(tmp_path):
+    ds, _ = _make_shifted_experiment(tmp_path)
+    reg = DataRegistration(
+        ds, decon_fiducial=False, decon_readout=False,
+        global_registration=False, verbose=0,
+    )
+    reg.register_all_tiles()
+    assert ds.datastore_state["LocalRegistered"] is True
+    assert reg._is_tile_complete(0)
+    # second call skips without error
+    reg.register_all_tiles()
+
+
+def test_global_register_two_tiles(tmp_path):
+    """Two overlapping tiles with a known stage error: global registration
+    must recover the correction and produce a fused volume."""
+    shape = (8, 64, 96)
+    spacing = np.asarray([0.31, 0.098, 0.098])
+    ds = qi2labDataStore(tmp_path / "ds")
+    ds.channels_in_data = ["fid", "r1", "r2"]
+    ds.num_tiles = 2
+    ds.voxel_size_zyx_um = list(spacing)
+    ds.experiment_order = np.array([[1, 1, 2]])
+    ds.codebook = pd.DataFrame(
+        {"gene_id": ["g1", "g2"], "bit01": [1, 0], "bit02": [0, 1]}
+    )
+
+    # a wide bead field; tile 1 sees it shifted by the true stage offset
+    rng = np.random.default_rng(2)
+    big = np.zeros((8, 64, 160), np.float32)
+    zz, yy, xx = np.meshgrid(
+        *[np.arange(s, dtype=np.float64) for s in big.shape], indexing="ij"
+    )
+    for _ in range(120):
+        c = [rng.uniform(2, s - 2) for s in big.shape]
+        big += (
+            rng.uniform(400, 1200)
+            * np.exp(
+                -((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2)
+                / (2 * 1.2**2)
+            )
+        ).astype(np.float32)
+
+    # tile 0: x ∈ [0, 96); tile 1 true position x = 64 px, stage reports 66 px
+    true_x_px = 64
+    stage_x_px = 66
+    tile0 = big[:, :, :96]
+    tile1 = big[:, :, true_x_px : true_x_px + 96]
+    for t, (img, stage_px) in enumerate(
+        [(tile0, 0.0), (tile1, stage_x_px)]
+    ):
+        ds.initialize_tile(t)
+        ds.save_local_corrected_image(
+            np.clip(img + 20, 0, 65535).astype(np.uint16), tile=t, round=0
+        )
+        ds.save_local_registered_image(
+            np.clip(img + 20, 0, 65535).astype(np.uint16), tile=t, round=0
+        )
+        ds.save_local_stage_position_zyx_um(
+            [0, 0, stage_px * spacing[2]], tile=t, round=0
+        )
+        ds.save_local_wavelengths_um((0.488, 0.520), tile=t, round=0)
+        ds.save_local_round_transform_zyx_um(np.eye(4), tile=t, round=0)
+
+    global_register(ds, verbose=0)
+    xf0 = ds.load_global_coord_xforms_um(0)
+    xf1 = ds.load_global_coord_xforms_um(1)
+    assert xf0 is not None and xf1 is not None
+    # tile 1 correction ≈ (true - stage) offset = -2 px in x
+    corr_px = xf1[0][:3, 3] / spacing
+    np.testing.assert_allclose(corr_px, [0, 0, true_x_px - stage_x_px], atol=0.5)
+    fused = ds.load_global_fiducial_image()
+    assert fused is not None
+    img, (affine, origin, sp) = fused
+    assert img.shape[2] >= 96 + true_x_px - 2
+    assert ds.datastore_state["Fused"] is True
