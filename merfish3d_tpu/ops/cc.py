@@ -146,6 +146,18 @@ def component_stats(
     )(scaled)
     bit_means = bit_sums / safe_area[None, :]
 
+    # per-bit intensity-weighted centroid sums (chromatic estimation
+    # support; reference `_add_on_bit_weighted_centroids:2324-2474` — the
+    # reference grey-dilates the label support first, here the plain
+    # component support is used)
+    def _wsum(b):
+        flat = b.reshape(-1).astype(jnp.float32)
+        return jnp.stack(
+            [seg_sum(flat * zz), seg_sum(flat * yy), seg_sum(flat * xx)], axis=-1
+        )
+
+    bit_w_coord_sums = jax.vmap(_wsum)(scaled)  # (bits, num, 3)
+
     # central second moments of the binary mask (inertia tensor inputs)
     m_zz = seg_sum(zz * zz) / safe_area - cz * cz
     m_yy = seg_sum(yy * yy) / safe_area - cy * cy
@@ -162,6 +174,8 @@ def component_stats(
         "distance_min": dist_min,
         "magnitude_mean": mag_mean,
         "bit_means": bit_means,
+        "bit_sums": bit_sums,
+        "bit_w_coord_sums": bit_w_coord_sums,
         "moments": jnp.stack([m_zz, m_yy, m_xx, m_zy, m_zx, m_yx], axis=1),
     }
 

@@ -27,6 +27,11 @@ from ..ops import cc as cc_ops
 from ..ops import decode as decode_ops
 from ..ops.filters import gaussian_lowpass
 from . import decode_warping
+from .chromatic import (
+    ChromaticAffineEstimationConfig,
+    estimate_chromatic_affines_from_barcodes,
+    save_identity_chromatic_affines,
+)
 from .filtering import (
     assign_cells,
     filter_blank_fraction,
@@ -56,6 +61,8 @@ class PixelDecoder:
         maximum_pixels: int = 500,
         decode_run_key: Optional[str] = None,
         component_capacity: int = 65536,
+        estimate_chromatic_affines: bool = False,
+        chromatic_affine_config: ChromaticAffineEstimationConfig = ChromaticAffineEstimationConfig(),
     ):
         self._datastore = datastore
         self._verbose = verbose
@@ -70,6 +77,9 @@ class PixelDecoder:
         if decode_run_key is not None:
             datastore.decode_run_key = decode_run_key
         self._n_merfish_bits = int(merfish_bits or datastore.num_bits)
+        self._estimate_chromatic = bool(estimate_chromatic_affines)
+        self._chromatic_affine_config = chromatic_affine_config
+        self._collect_chromatic_centroids = False
         self._load_codebook()
         self._global_normalization_vector: Optional[np.ndarray] = None
         self._global_background_vector: Optional[np.ndarray] = None
@@ -345,6 +355,14 @@ class PixelDecoder:
         n_on = self._on_bits_1based.shape[1]
         on_sel = self._on_bits_1based[codeword]
 
+        bit_w_coord_sums = None
+        bit_sums_arr = None
+        if self._collect_chromatic_centroids:
+            bit_w_coord_sums = np.asarray(stats["bit_w_coord_sums"])[:, valid][
+                :, keep
+            ]  # (bits, n, 3)
+            bit_sums_arr = np.asarray(stats["bit_sums"])[:, valid][:, keep]
+
         df = pd.DataFrame(
             {
                 "area": area.astype(np.float64),
@@ -364,6 +382,26 @@ class PixelDecoder:
             df[f"on_bit_{i + 1}"] = on_sel[:, i]
         for b in range(self._n_merfish_bits):
             df[f"bit{b + 1:02d}_mean_intensity"] = bit_means[:, b].astype(np.float64)
+
+        if bit_w_coord_sums is not None:
+            # sparse per-on-bit intensity-weighted centroid columns
+            # (reference `_add_on_bit_weighted_centroids:2324-2474`)
+            n_rows = len(df)
+            for b in range(self._n_merfish_bits):
+                for sfx in ("center_z", "center_y", "center_x", "intensity_sum"):
+                    df[f"bit{b + 1:02d}_{sfx}"] = np.nan
+            for col in range(n_on):
+                bits0 = on_sel[:, col] - 1
+                for row in range(n_rows):
+                    b = int(bits0[row])
+                    wsum = bit_sums_arr[b, row]
+                    if wsum <= self._chromatic_affine_config.centroid_weight_epsilon:
+                        continue
+                    center = bit_w_coord_sums[b, row] / wsum
+                    df.loc[row, f"bit{b + 1:02d}_center_z"] = center[0]
+                    df.loc[row, f"bit{b + 1:02d}_center_y"] = center[1]
+                    df.loc[row, f"bit{b + 1:02d}_center_x"] = center[2]
+                    df.loc[row, f"bit{b + 1:02d}_intensity_sum"] = wsum
 
         # z-crop re-offset (`_decoded_z_to_source_z`)
         if getattr(self, "_z_crop_offset", 0):
@@ -488,6 +526,9 @@ class PixelDecoder:
             if n_tiles > n_random_tiles
             else list(range(n_tiles))
         )
+        if self._estimate_chromatic:
+            save_identity_chromatic_affines(ds, self._n_merfish_bits)
+            self._collect_chromatic_centroids = True
         self._load_global_normalization_vectors(
             recalculate=True,
             tile_indices=sample_idx[:5],
@@ -510,7 +551,15 @@ class PixelDecoder:
                 self._df_barcodes_loaded = remove_duplicates_within_tile(
                     self._df_barcodes_loaded
                 )
+            if self._estimate_chromatic and not self._df_barcodes_loaded.empty:
+                estimate_chromatic_affines_from_barcodes(
+                    ds,
+                    self._df_barcodes_loaded,
+                    n_merfish_bits=self._n_merfish_bits,
+                    config=self._chromatic_affine_config,
+                )
             self._iterative_normalization_vectors()
+        self._collect_chromatic_centroids = False
 
     # -------------------------------------------------------- full pipeline
     def decode_all_tiles(
