@@ -1,0 +1,102 @@
+"""qi2lab-preprocess: local (+ optional global) registration CLI.
+
+Mirrors the reference command surface
+(`cli/qi2lab_microscopes/preprocess.py:28-261`): every
+SOFIMA/global-registration/fusion config field is exposed as a flag.
+argparse replaces Typer (not available in this environment); flag names
+match the reference kebab-case surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="qi2lab-preprocess",
+        description="Local registration, deconvolution, and spot prediction",
+    )
+    p.add_argument("--datastore-path", required=True, type=Path)
+    p.add_argument("--decon-fiducial", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--decon-readout", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--overwrite", action=argparse.BooleanOptionalAction, default=False)
+    p.add_argument("--deformable-registration", action=argparse.BooleanOptionalAction, default=False)
+    p.add_argument("--save-all-fiducial-registered", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--num-gpus", type=int, default=1, help="compat flag; devices are mesh-managed")
+    p.add_argument("--crop-yx-decon", type=int, default=2048)
+    p.add_argument("--ufish-model", type=str, default="simfish")
+    p.add_argument("--ufish-checkpoint", type=Path, default=None)
+    p.add_argument("--global-registration", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--global-registration-only", action=argparse.BooleanOptionalAction, default=False)
+    p.add_argument("--registration-diagnostics", action=argparse.BooleanOptionalAction, default=False)
+    p.add_argument("--decon-max-iters", type=int, default=40)
+    # SOFIMA config (reference SofimaRegistrationConfig fields)
+    p.add_argument("--sofima-patch-size-zyx", type=int, nargs=3, default=(10, 32, 32))
+    p.add_argument("--sofima-stride-zyx", type=int, nargs=3, default=(5, 16, 16))
+    p.add_argument("--sofima-max-magnitude-px", type=float, default=8.0)
+    p.add_argument("--sofima-min-peak-ratio", type=float, default=1.4)
+    p.add_argument("--sofima-max-deviation-px", type=float, default=5.0)
+    p.add_argument("--sofima-axial-clip-px", type=float, default=5.0)
+    p.add_argument("--sofima-num-residual-iterations", type=int, default=2)
+    # Global registration / fusion configs
+    p.add_argument("--global-binning-zyx", type=int, nargs=3, default=(3, 6, 6))
+    p.add_argument("--global-transform-type", type=str, default="translation")
+    p.add_argument("--fusion-chunk-px", type=int, default=512)
+    p.add_argument("--fusion-overlap-px", type=int, default=64)
+    return p
+
+
+def local_register_data(args) -> None:
+    from ...datastore import qi2labDataStore
+    from ...ops.flow import SofimaRegistrationConfig
+    from ...pipeline.registration import (
+        DataRegistration,
+        GlobalFusionConfig,
+        GlobalRegistrationConfig,
+    )
+
+    datastore = qi2labDataStore(args.datastore_path)
+    reg = DataRegistration(
+        datastore,
+        decon_fiducial=args.decon_fiducial,
+        decon_readout=args.decon_readout,
+        overwrite=args.overwrite,
+        deformable_registration=args.deformable_registration,
+        save_all_fiducial_registered=args.save_all_fiducial_registered,
+        crop_yx_decon=args.crop_yx_decon,
+        ufish_model=args.ufish_model,
+        ufish_checkpoint=args.ufish_checkpoint,
+        global_registration=args.global_registration,
+        sofima_config=SofimaRegistrationConfig(
+            patch_size_zyx=tuple(args.sofima_patch_size_zyx),
+            stride_zyx=tuple(args.sofima_stride_zyx),
+            max_magnitude_px=args.sofima_max_magnitude_px,
+            min_peak_ratio=args.sofima_min_peak_ratio,
+            max_deviation_px=args.sofima_max_deviation_px,
+            axial_clip_px=args.sofima_axial_clip_px,
+            num_residual_iterations=args.sofima_num_residual_iterations,
+        ),
+        global_registration_config=GlobalRegistrationConfig(
+            binning_zyx=tuple(args.global_binning_zyx),
+            transform_type=args.global_transform_type,
+        ),
+        global_fusion_config=GlobalFusionConfig(
+            chunk_px=args.fusion_chunk_px, overlap_px=args.fusion_overlap_px
+        ),
+        decon_max_iters=args.decon_max_iters,
+        verbose=2 if args.registration_diagnostics else 1,
+    )
+    if args.global_registration_only:
+        reg.global_register()
+    else:
+        reg.register_all_tiles()
+
+
+def main(argv=None) -> None:
+    local_register_data(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""sim-convert: simulation output → raw acquisition layout.
+
+Mirrors `cli/statphysbio_simulation/convert_simulation_to_experiment.py`
+(flat TIFF stacks → fake acquisition). The statphysbio archives are not
+redistributable, so this command additionally supports ``--generate`` to
+produce a hermetic synthetic experiment of the same shape (ground-truth
+spots + per-bit stacks rendered through a Gaussian PSF with Poisson
+noise), which the E2E/F1 harness consumes.
+
+Raw acquisition layout written:
+
+```
+experiment/
+├── metadata.json        # voxel size, wavelengths, n_bits/rounds, shape
+├── codebook.csv
+├── exp_order.csv
+├── GT_spots.csv         # ground truth (generate mode)
+└── tile0000/
+    ├── fiducial_round001.npy ...
+    └── bit001.npy ...
+```
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+
+def write_raw_experiment(
+    out_dir: Path,
+    *,
+    shape=(12, 128, 128),
+    n_genes=24,
+    n_blanks=4,
+    n_bits=16,
+    n_spots=150,
+    n_tiles=1,
+    voxel_size_zyx_um=(0.315, 0.098, 0.098),
+    seed=0,
+) -> Path:
+    """Generate a synthetic raw acquisition (generate mode)."""
+    from ...utils.simulation import _render_bit_volume, make_mhd4_codebook
+
+    rng = np.random.default_rng(seed)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    codebook = make_mhd4_codebook(n_genes, n_bits, n_blanks, seed=seed)
+    matrix = codebook.iloc[:, 1:].to_numpy(dtype=np.float64)
+    codebook.to_csv(out_dir / "codebook.csv", index=False)
+    n_rounds = n_bits // 2
+    eo = pd.DataFrame(
+        {
+            "round": np.arange(1, n_rounds + 1),
+            "readout 1": np.arange(1, n_bits + 1, 2),
+            "readout 2": np.arange(2, n_bits + 1, 2),
+        }
+    )
+    eo.to_csv(out_dir / "exp_order.csv", index=False)
+
+    gt_rows = []
+    spacing = np.asarray(voxel_size_zyx_um)
+    for tile_idx in range(n_tiles):
+        tdir = out_dir / f"tile{tile_idx:04d}"
+        tdir.mkdir(exist_ok=True)
+        margin = 8
+        spots = np.column_stack(
+            [
+                rng.uniform(2, shape[0] - 2, n_spots),
+                rng.uniform(margin, shape[1] - margin, n_spots),
+                rng.uniform(margin, shape[2] - margin, n_spots),
+            ]
+        )
+        genes = rng.integers(0, n_genes, n_spots)
+        amps = rng.uniform(800, 2000, n_spots)
+        for s in range(n_spots):
+            gt_rows.append(
+                {
+                    "gene_id": codebook["gene_id"].iloc[genes[s]],
+                    "tile_idx": tile_idx,
+                    "z": spots[s, 0],
+                    "y": spots[s, 1],
+                    "x": spots[s, 2],
+                    "global_z": spots[s, 0] * spacing[0],
+                    "global_y": spots[s, 1] * spacing[1],
+                    "global_x": spots[s, 2] * spacing[2],
+                }
+            )
+        beads = np.column_stack(
+            [
+                rng.uniform(1, shape[0] - 1, 60),
+                rng.uniform(4, shape[1] - 4, 60),
+                rng.uniform(4, shape[2] - 4, 60),
+            ]
+        )
+        fid = _render_bit_volume(shape, beads, rng.uniform(500, 1500, 60))
+        for r in range(n_rounds):
+            noisy = rng.poisson(fid + 40).astype(np.uint16)
+            np.save(tdir / f"fiducial_round{r + 1:03d}.npy", noisy)
+        for b in range(n_bits):
+            on = matrix[genes, b] > 0
+            vol = _render_bit_volume(shape, spots[on], amps[on])
+            noisy = rng.poisson(vol + 40).astype(np.uint16)
+            np.save(tdir / f"bit{b + 1:03d}.npy", noisy)
+
+    pd.DataFrame(gt_rows).to_csv(out_dir / "GT_spots.csv", index=False)
+    meta = {
+        "voxel_size_zyx_um": list(voxel_size_zyx_um),
+        "n_bits": n_bits,
+        "n_rounds": n_rounds,
+        "n_tiles": n_tiles,
+        "shape_zyx": list(shape),
+        "na": 1.35,
+        "ri": 1.4,
+        "fiducial_wavelengths_um": [0.488, 0.520],
+        "bit_wavelengths_um": [
+            [0.561, 0.590] if b % 2 == 0 else [0.635, 0.670] for b in range(n_bits)
+        ],
+    }
+    (out_dir / "metadata.json").write_text(json.dumps(meta, indent=2))
+    return out_dir
+
+
+def convert_tiffs(input_dir: Path, out_dir: Path) -> Path:
+    """Convert a directory of per-bit TIFF stacks into the raw layout
+    (PIL-based multipage TIFF reader; tifffile is not available)."""
+    from PIL import Image
+
+    input_dir, out_dir = Path(input_dir), Path(out_dir)
+    tdir = out_dir / "tile0000"
+    tdir.mkdir(parents=True, exist_ok=True)
+    for tif in sorted(input_dir.glob("*.tif*")):
+        img = Image.open(tif)
+        frames = []
+        for i in range(getattr(img, "n_frames", 1)):
+            img.seek(i)
+            frames.append(np.asarray(img))
+        np.save(tdir / (tif.stem + ".npy"), np.stack(frames))
+    for aux in ("codebook.csv", "exp_order.csv", "GT_spots.csv", "metadata.json"):
+        src = input_dir / aux
+        if src.exists():
+            (out_dir / aux).write_bytes(src.read_bytes())
+    return out_dir
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="sim-convert")
+    p.add_argument("--input-dir", type=Path, default=None)
+    p.add_argument("--output-dir", required=True, type=Path)
+    p.add_argument("--generate", action="store_true", help="generate synthetic data")
+    p.add_argument("--shape-zyx", type=int, nargs=3, default=(12, 128, 128))
+    p.add_argument("--n-spots", type=int, default=150)
+    p.add_argument("--n-genes", type=int, default=24)
+    p.add_argument("--n-bits", type=int, default=16)
+    p.add_argument("--n-tiles", type=int, default=1)
+    p.add_argument("--axial-step-um", type=float, default=0.315)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    if args.generate:
+        write_raw_experiment(
+            args.output_dir,
+            shape=tuple(args.shape_zyx),
+            n_spots=args.n_spots,
+            n_genes=args.n_genes,
+            n_bits=args.n_bits,
+            n_tiles=args.n_tiles,
+            voxel_size_zyx_um=(args.axial_step_um, 0.098, 0.098),
+            seed=args.seed,
+        )
+    else:
+        if args.input_dir is None:
+            raise SystemExit("--input-dir required unless --generate")
+        convert_tiffs(args.input_dir, args.output_dir)
+
+
+if __name__ == "__main__":
+    main()

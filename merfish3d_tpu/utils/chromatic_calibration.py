@@ -1,0 +1,216 @@
+"""Bead-based chromatic affine calibration.
+
+Reimplementation of the reference bead-calibration workflow
+(`utils/chromatic.py:run_chromatic_calibration / estimate_chromatic_affines /
+fit_affine_source_to_reference`): multi-channel bead stacks → RLGC decon →
+spot detection → mutual nearest-neighbor matching between channels →
+robust least-squares affine per channel toward the reference (lowest)
+wavelength. PSFs come from :mod:`merfish3d_tpu.models.psf` (replacing
+psfmodels).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+
+def detect_beads(
+    volume: np.ndarray, *, threshold: float = 0.5, max_beads: int = 5000
+) -> np.ndarray:
+    """Bead centroids (z, y, x in px) via the DoG spot predictor + 3D local
+    maxima + intensity-weighted 3x3x3 refinement."""
+    import scipy.ndimage
+
+    from ..models.ufish import DoGSpotPredictor
+
+    vol = np.asarray(volume, np.float32)
+    prob = DoGSpotPredictor().predict(vol)
+    peaks = (prob == scipy.ndimage.maximum_filter(prob, size=3)) & (prob > threshold)
+    zs, ys, xs = np.nonzero(peaks)
+    if len(zs) > max_beads:
+        order = np.argsort(prob[zs, ys, xs])[::-1][:max_beads]
+        zs, ys, xs = zs[order], ys[order], xs[order]
+    centers = np.empty((len(zs), 3), np.float64)
+    for i, (z, y, x) in enumerate(zip(zs, ys, xs)):
+        zl, zh = max(0, z - 1), min(vol.shape[0], z + 2)
+        yl, yh = max(0, y - 1), min(vol.shape[1], y + 2)
+        xl, xh = max(0, x - 1), min(vol.shape[2], x + 2)
+        roi = vol[zl:zh, yl:yh, xl:xh].astype(np.float64)
+        w = roi.sum()
+        if w <= 0:
+            centers[i] = (z, y, x)
+            continue
+        zz, yy, xx = np.meshgrid(
+            np.arange(zl, zh), np.arange(yl, yh), np.arange(xl, xh), indexing="ij"
+        )
+        centers[i] = (
+            (roi * zz).sum() / w,
+            (roi * yy).sum() / w,
+            (roi * xx).sum() / w,
+        )
+    return centers
+
+
+def mutual_nearest_neighbors(
+    source_pts: np.ndarray, target_pts: np.ndarray, max_distance: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Mutual-NN correspondences within ``max_distance``
+    (reference `chromatic.py` matching)."""
+    if len(source_pts) == 0 or len(target_pts) == 0:
+        return np.empty((0, 3)), np.empty((0, 3))
+    t_tree = cKDTree(target_pts)
+    s_tree = cKDTree(source_pts)
+    d_st, j = t_tree.query(source_pts)
+    d_ts, i = s_tree.query(target_pts)
+    keep = []
+    for s_idx, (t_idx, d) in enumerate(zip(j, d_st)):
+        if d <= max_distance and i[t_idx] == s_idx:
+            keep.append((s_idx, t_idx))
+    if not keep:
+        return np.empty((0, 3)), np.empty((0, 3))
+    s_idx, t_idx = zip(*keep)
+    return source_pts[list(s_idx)], target_pts[list(t_idx)]
+
+
+def fit_affine_source_to_reference(
+    source_zyx_um: np.ndarray,
+    target_zyx_um: np.ndarray,
+    *,
+    n_iterations: int = 5,
+    residual_threshold_um: float = 0.5,
+) -> tuple[np.ndarray, dict]:
+    """Robust full-affine LSQ with iterative residual trimming
+    (reference `fit_affine_source_to_reference`)."""
+    src = np.asarray(source_zyx_um, np.float64)
+    tgt = np.asarray(target_zyx_um, np.float64)
+    keep = np.ones(len(src), bool)
+    affine = np.eye(4)
+    for _ in range(max(1, n_iterations)):
+        if keep.sum() < 4:
+            break
+        homo = np.concatenate([src[keep], np.ones((keep.sum(), 1))], axis=1)
+        sol, *_ = np.linalg.lstsq(homo, tgt[keep], rcond=None)
+        affine = np.eye(4)
+        affine[:3, :4] = sol.T
+        pred = (np.concatenate([src, np.ones((len(src), 1))], axis=1) @ affine.T)[:, :3]
+        res = np.linalg.norm(pred - tgt, axis=1)
+        new_keep = res <= residual_threshold_um
+        if new_keep.sum() < 4 or np.array_equal(new_keep, keep):
+            keep = new_keep if new_keep.sum() >= 4 else keep
+            break
+        keep = new_keep
+    pred = (np.concatenate([src, np.ones((len(src), 1))], axis=1) @ affine.T)[:, :3]
+    res = np.linalg.norm(pred - tgt, axis=1)
+    diagnostics = {
+        "n_pairs": int(len(src)),
+        "n_inliers": int(keep.sum()),
+        "median_residual_um": float(np.median(res[keep])) if keep.any() else np.nan,
+    }
+    return affine.astype(np.float32), diagnostics
+
+
+def estimate_chromatic_affines(
+    channel_volumes: Sequence[np.ndarray],
+    emission_wavelengths_um: Sequence[float],
+    *,
+    voxel_size_zyx_um,
+    max_match_distance_um: float = 1.0,
+    detection_threshold: float = 0.5,
+) -> dict:
+    """Bead calibration across channels: detect beads per channel, match
+    mutual NNs to the reference (lowest wavelength), fit one affine per
+    channel (source = channel, target = reference, matching the
+    decode-warp convention). Returns the structured calibration payload."""
+    spacing = np.asarray(voxel_size_zyx_um, np.float64)
+    wavelengths = [float(w) for w in emission_wavelengths_um]
+    order = np.argsort(wavelengths)
+    ref_idx = int(order[0])
+    ref_wl = wavelengths[ref_idx]
+    centers = [
+        detect_beads(v, threshold=detection_threshold) * spacing
+        for v in channel_volumes
+    ]
+    channels = {}
+    for idx, wl in enumerate(wavelengths):
+        key = f"wavelength_{wl:.6f}"
+        if np.isclose(wl, ref_wl):
+            channels[key] = {
+                "channel_index": idx,
+                "channel_name": key,
+                "wavelength_um": wl,
+                "reference_channel": True,
+                "affine_zyx_um": np.eye(4).tolist(),
+                "status": "identity_reference",
+                "diagnostics": {"n_pairs": int(len(centers[idx]))},
+            }
+            continue
+        src, tgt = mutual_nearest_neighbors(
+            centers[idx], centers[ref_idx], max_match_distance_um
+        )
+        if len(src) < 4:
+            channels[key] = {
+                "channel_index": idx,
+                "channel_name": key,
+                "wavelength_um": wl,
+                "reference_channel": False,
+                "affine_zyx_um": np.eye(4).tolist(),
+                "status": "insufficient_matches",
+                "diagnostics": {"n_pairs": int(len(src))},
+            }
+            continue
+        affine, diag = fit_affine_source_to_reference(src, tgt)
+        channels[key] = {
+            "channel_index": idx,
+            "channel_name": key,
+            "wavelength_um": wl,
+            "reference_channel": False,
+            "affine_zyx_um": np.asarray(affine, np.float64).tolist(),
+            "status": "affine_estimated",
+            "diagnostics": diag,
+        }
+    return {
+        "reference_wavelength_um": ref_wl,
+        "voxel_size_zyx_um": [float(v) for v in spacing],
+        "estimator": "bead_mutual_nn_affine",
+        "channels": channels,
+    }
+
+
+def run_chromatic_calibration(
+    datastore,
+    channel_volumes: Sequence[np.ndarray],
+    emission_wavelengths_um: Sequence[float],
+    *,
+    deconvolve: bool = True,
+    detection_threshold: float = 0.5,
+) -> dict:
+    """Full calibration: optional RLGC decon of the bead stacks, affine
+    estimation, write-back to the datastore
+    (reference `run_chromatic_calibration`)."""
+    from ..models.psf import gaussian_psf
+    from ..ops.rlgc import rlgc
+
+    vols = [np.asarray(v, np.float32) for v in channel_volumes]
+    if deconvolve:
+        decon = []
+        for v, wl in zip(vols, emission_wavelengths_um):
+            psf = gaussian_psf(
+                emission_wavelength_um=wl,
+                na=datastore.na or 1.35,
+                ri=datastore.ri or 1.4,
+                voxel_size_zyx_um=datastore.voxel_size_zyx_um,
+                shape_zyx=(15, 15, 15),
+            )
+            decon.append(rlgc(v, psf, max_iters=30))
+        vols = decon
+    calibration = estimate_chromatic_affines(
+        vols,
+        emission_wavelengths_um,
+        voxel_size_zyx_um=datastore.voxel_size_zyx_um,
+        detection_threshold=detection_threshold,
+    )
+    datastore.save_chromatic_affine_transforms_zyx_um(calibration)
+    return calibration

@@ -1,0 +1,135 @@
+"""Full CLI pipeline E2E: the TPU analog of the reference simulation
+matrix harness (`tests/test_simulation_example_pipeline.py`), exercising
+the real pipeline through the CLI surface: sim-convert --generate →
+sim-datastore → sim-preprocess (RLGC decon + registration + prediction) →
+sim-decode → F1, plus segmentation and the static viewer export."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from merfish3d_tpu.cli.simulation import (
+    convert_simulation_to_experiment as sim_convert,
+)
+from merfish3d_tpu.cli.simulation import convert_to_datastore as sim_datastore
+from merfish3d_tpu.cli.simulation.calculate_f1 import match_spots_f1
+from merfish3d_tpu.cli.simulation.pixeldecode import decode_pixels
+from merfish3d_tpu.datastore import qi2labDataStore
+from merfish3d_tpu.pipeline.registration import DataRegistration
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_e2e")
+    raw = root / "raw"
+    sim_convert.write_raw_experiment(
+        raw, shape=(10, 96, 96), n_spots=60, n_genes=20, n_blanks=4, seed=11
+    )
+    ds = sim_datastore.convert_data(raw, root)
+    return root, raw, ds
+
+
+def test_raw_layout(workspace):
+    root, raw, ds = workspace
+    assert (raw / "codebook.csv").exists()
+    assert (raw / "exp_order.csv").exists()
+    assert (raw / "GT_spots.csv").exists()
+    assert (raw / "tile0000" / "bit001.npy").exists()
+    assert ds.num_bits == 16
+    assert ds.num_rounds == 8
+    assert ds.datastore_state["Corrected"] is True
+
+
+def test_full_pipeline_f1(workspace):
+    root, raw, ds = workspace
+    reg = DataRegistration(
+        ds,
+        decon_fiducial=False,  # rounds are identical copies in this sim
+        decon_readout=True,
+        decon_max_iters=12,
+        global_registration=True,
+        verbose=0,
+    )
+    reg.register_all_tiles()
+    assert ds.datastore_state["LocalRegistered"] is True
+    assert ds.datastore_state["Fused"] is True
+    # registration should find ~zero shift between identical-noise rounds
+    xf = ds.load_local_round_transform_zyx_um(0, 1)
+    spacing = np.asarray(ds.voxel_size_zyx_um)
+    assert np.all(np.abs(xf[:3, 3] / spacing) < 1.0)
+
+    df = decode_pixels(
+        ds.datastore_path,
+        minimum_pixels=4,
+        magnitude_threshold=(0.9, 10.0),
+        num_tiles=1,
+        num_iterations=2,
+    )
+    gt = pd.read_csv(raw / "GT_spots.csv")
+    result = match_spots_f1(df, gt, radius_um=1.0)
+    assert result["f1"] >= 0.85, result
+
+    # segmentation + assignment on the fused output
+    from merfish3d_tpu.pipeline.segmentation import segment_fiducial
+
+    outlines = segment_fiducial(ds, verbose=0)
+    assert ds.datastore_state["SegmentedCells"] is True
+
+    # static viewer export works
+    from merfish3d_tpu.viz.viewer import component_summary, export_overview
+
+    summary = component_summary(ds)
+    assert summary["decoded_available"] is True
+    assert summary["global_fused_available"] is True
+    png = root / "overview.png"
+    export_overview(ds, png)
+    assert png.exists() and png.stat().st_size > 1000
+
+
+def test_cli_parsers_smoke():
+    """Every CLI entry point parses its surface without executing."""
+    from merfish3d_tpu.cli.qi2lab import (
+        bulkseq_correlation,
+        chromatic_calibration,
+        create_datastore,
+        fuseall,
+        pixeldecode,
+        preprocess,
+        segment_fiducial,
+        viewer,
+    )
+    from merfish3d_tpu.cli.simulation import (
+        build_figure,
+        calculate_f1,
+        pixeldecode as sim_pixeldecode,
+        register_and_deconvolve,
+        sweep_f1,
+    )
+
+    assert preprocess.build_parser().parse_args(
+        ["--datastore-path", "/tmp/x", "--deformable-registration"]
+    ).deformable_registration
+    args = pixeldecode.build_parser().parse_args(
+        ["--datastore-path", "/tmp/x", "--magnitude-threshold", "0.9", "10"]
+    )
+    assert args.magnitude_threshold == [0.9, 10]
+    for mod in (
+        bulkseq_correlation, chromatic_calibration, create_datastore,
+        fuseall, segment_fiducial, viewer, build_figure, calculate_f1,
+        sim_pixeldecode, register_and_deconvolve, sweep_f1,
+    ):
+        assert hasattr(mod, "main")
+
+
+def test_nyquist_defaults(workspace):
+    from merfish3d_tpu.cli.qi2lab.pixeldecode import (
+        default_magnitude_threshold,
+        default_minimum_pixels,
+    )
+
+    _, _, ds = workspace
+    assert default_minimum_pixels(ds) == 16  # 3D
+    assert default_magnitude_threshold(ds) == (1.5, 10.0)
