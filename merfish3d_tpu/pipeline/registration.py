@@ -290,7 +290,11 @@ def _spot_table_from_probability(
     sums over the decon image)."""
     import scipy.ndimage
 
-    peaks = (prob == scipy.ndimage.maximum_filter(prob, size=3)) & (prob > threshold)
+    # maxima on the intensity image (the sigmoid probability saturates into
+    # plateaus over bright spots), gated by the probability map
+    peaks = (decon == scipy.ndimage.maximum_filter(decon, size=3)) & (
+        prob > threshold
+    )
     zs, ys, xs = np.nonzero(peaks)
     if len(zs) > max_spots:
         order = np.argsort(prob[zs, ys, xs])[::-1][:max_spots]

@@ -18,17 +18,31 @@ from scipy.spatial import cKDTree
 
 
 def detect_beads(
-    volume: np.ndarray, *, threshold: float = 0.5, max_beads: int = 5000
+    volume: np.ndarray,
+    *,
+    threshold: float = 0.5,
+    max_beads: int = 5000,
+    intensity_mad_multiplier: float = 10.0,
 ) -> np.ndarray:
     """Bead centroids (z, y, x in px) via the DoG spot predictor + 3D local
-    maxima + intensity-weighted 3x3x3 refinement."""
+    maxima + a robust absolute-intensity gate (median + k·MAD, rejecting
+    noise peaks) + intensity-weighted 3x3x3 refinement."""
     import scipy.ndimage
 
     from ..models.ufish import DoGSpotPredictor
 
     vol = np.asarray(volume, np.float32)
     prob = DoGSpotPredictor().predict(vol)
-    peaks = (prob == scipy.ndimage.maximum_filter(prob, size=3)) & (prob > threshold)
+    med = float(np.median(vol))
+    mad = float(np.median(np.abs(vol - med))) * 1.4826
+    intensity_floor = med + intensity_mad_multiplier * max(mad, 1e-6)
+    # local maxima on the raw intensity (the sigmoid probability saturates
+    # into plateaus over bright beads, making every plateau voxel a "max")
+    peaks = (
+        (vol == scipy.ndimage.maximum_filter(vol, size=3))
+        & (prob > threshold)
+        & (vol > intensity_floor)
+    )
     zs, ys, xs = np.nonzero(peaks)
     if len(zs) > max_beads:
         order = np.argsort(prob[zs, ys, xs])[::-1][:max_beads]

@@ -1,0 +1,164 @@
+"""Tests for shading estimation, darkfield/dehaze, dataio, PSFs, and bead
+chromatic calibration."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax.numpy as jnp
+
+from merfish3d_tpu.models.psf import born_wolf_psf, gaussian_psf, make_channel_psfs
+from merfish3d_tpu.ops.darkfield import dark_sectioning, dehaze_fast2, guided_filter
+from merfish3d_tpu.utils.chromatic_calibration import (
+    detect_beads,
+    estimate_chromatic_affines,
+    fit_affine_source_to_reference,
+    mutual_nearest_neighbors,
+)
+from merfish3d_tpu.utils.dataio import cell_by_gene_counts, write_sparse_mtx
+from merfish3d_tpu.utils.imageprocessing import (
+    apply_shading_correction,
+    estimate_shading,
+)
+
+
+def test_estimate_shading_recovers_vignette():
+    rng = np.random.default_rng(0)
+    yy, xx = np.meshgrid(np.linspace(-1, 1, 128), np.linspace(-1, 1, 128), indexing="ij")
+    true_field = 1.0 - 0.4 * (yy**2 + xx**2)
+    imgs = np.stack(
+        [true_field * rng.uniform(80, 120) + rng.normal(0, 2, (128, 128)) for _ in range(8)]
+    ).astype(np.float32)
+    field = estimate_shading(imgs, smooth_sigma=16.0)
+    # shape of the vignette recovered: corners darker than center
+    assert field[64, 64] > field[5, 5] * 1.2
+    corrected = apply_shading_correction(imgs[0], field)
+    cv_before = imgs[0].std() / imgs[0].mean()
+    cv_after = corrected.std() / corrected.mean()
+    assert cv_after < 0.5 * cv_before
+
+
+def test_guided_filter_smooths_preserving_edges():
+    rng = np.random.default_rng(1)
+    img = np.zeros((64, 64), np.float32)
+    img[:, 32:] = 1.0  # guided-filter eps convention assumes ~[0,1] range
+    noisy = img + rng.normal(0, 0.05, img.shape).astype(np.float32)
+    out = np.asarray(
+        guided_filter(jnp.asarray(noisy), jnp.asarray(noisy), radius=8, eps=1e-2)
+    )
+    # noise suppressed within flat regions
+    assert out[:, :24].std() < noisy[:, :24].std() * 0.5
+    # edge preserved
+    assert out[:, 40:].mean() - out[:, :24].mean() > 0.8
+
+
+def test_dehaze_removes_haze_floor():
+    rng = np.random.default_rng(2)
+    spots = np.zeros((96, 96), np.float32)
+    for _ in range(15):
+        y, x = rng.integers(10, 86, 2)
+        spots[y, x] = 500.0
+    import scipy.ndimage
+
+    img = scipy.ndimage.gaussian_filter(spots, 1.5) + 50.0  # haze floor
+    out = np.asarray(dehaze_fast2(jnp.asarray(img)))
+    # background suppressed relative to peaks
+    assert np.median(out) < 0.3 * np.median(img)
+    assert out.max() > 0.3 * img.max()
+    vol = dark_sectioning(np.stack([img, img]))
+    assert vol.shape == (2, 96, 96)
+
+
+def test_psf_models():
+    psf_g = gaussian_psf(
+        emission_wavelength_um=0.59, na=1.35, ri=1.4,
+        voxel_size_zyx_um=(0.31, 0.098, 0.098), shape_zyx=(15, 15, 15),
+    )
+    np.testing.assert_allclose(psf_g.sum(), 1.0, rtol=1e-5)
+    assert psf_g[7, 7, 7] == psf_g.max()
+    psf_bw = born_wolf_psf(
+        emission_wavelength_um=0.59, na=1.35, ri=1.4,
+        voxel_size_zyx_um=(0.31, 0.098, 0.098), shape_zyx=(15, 15, 15),
+    )
+    np.testing.assert_allclose(psf_bw.sum(), 1.0, rtol=1e-5)
+    assert psf_bw[7, 7, 7] == psf_bw.max()
+    psfs = make_channel_psfs(
+        [0.52, 0.59, 0.67], na=1.35, ri=1.4, voxel_size_zyx_um=(0.31, 0.098, 0.098)
+    )
+    assert len(psfs) == 3
+
+
+def test_bead_chromatic_calibration_recovers_affine():
+    rng = np.random.default_rng(3)
+    shape = (16, 96, 96)
+    spacing = np.array([0.31, 0.098, 0.098])
+    true_affine = np.eye(4)
+    true_affine[1, 3] = 0.3   # y shift µm
+    true_affine[2, 3] = -0.2  # x shift µm
+    beads_um = np.column_stack(
+        [
+            rng.uniform(2, 14, 40) * spacing[0],
+            rng.uniform(10, 86, 40) * spacing[1],
+            rng.uniform(10, 86, 40) * spacing[2],
+        ]
+    )
+
+    def render(points_um):
+        vol = np.zeros(shape, np.float32)
+        zz, yy, xx = np.meshgrid(
+            *[np.arange(s, dtype=np.float64) for s in shape], indexing="ij"
+        )
+        for p in points_um:
+            c = p / spacing
+            vol += (
+                800
+                * np.exp(
+                    -((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2)
+                    / (2 * 1.2**2)
+                )
+            ).astype(np.float32)
+        return vol + rng.normal(0, 1, shape).astype(np.float32)
+
+    ref_vol = render(beads_um)
+    # channel 2 beads appear displaced: applying true_affine to channel-2
+    # coords maps back to reference coords → channel-2 positions = inv(A) @ ref
+    inv = np.linalg.inv(true_affine)
+    homo = np.concatenate([beads_um, np.ones((len(beads_um), 1))], axis=1)
+    ch2_um = (homo @ inv.T)[:, :3]
+    ch2_vol = render(ch2_um)
+
+    calibration = estimate_chromatic_affines(
+        [ref_vol, ch2_vol], [0.52, 0.67], voxel_size_zyx_um=spacing
+    )
+    ch = calibration["channels"]["wavelength_0.670000"]
+    assert ch["status"] == "affine_estimated"
+    est = np.asarray(ch["affine_zyx_um"])
+    np.testing.assert_allclose(est[:3, 3], true_affine[:3, 3], atol=0.08)
+
+
+def test_mutual_nn_and_fit():
+    rng = np.random.default_rng(4)
+    src = rng.uniform(0, 100, (50, 3))
+    tgt = src + [0.5, -0.3, 0.2]
+    s, t = mutual_nearest_neighbors(src, tgt, max_distance=2.0)
+    assert len(s) == 50
+    affine, diag = fit_affine_source_to_reference(s, t)
+    np.testing.assert_allclose(affine[:3, 3], [0.5, -0.3, 0.2], atol=1e-6)
+    assert diag["n_inliers"] == 50
+
+
+def test_cell_by_gene_and_mtx(tmp_path):
+    df = pd.DataFrame(
+        {
+            "gene_id": ["g1", "g1", "g2", "blank01", "g2"],
+            "cell_id": [0, 0, 0, 1, -1],
+        }
+    )
+    counts = cell_by_gene_counts(df)
+    assert counts.loc[0, "g1"] == 2
+    assert counts.loc[0, "g2"] == 1
+    assert "blank01" not in counts.columns
+    out = write_sparse_mtx(counts, tmp_path / "mtx")
+    assert (out / "matrix.mtx").exists()
+    assert (out / "barcodes.tsv.gz").exists()
+    assert (out / "features.tsv.gz").exists()
