@@ -25,23 +25,26 @@ def _gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
 
 
 def _conv_axis(vol: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Reflect-padded 1D convolution along ``axis`` of a 3D volume."""
+    """Reflect-padded 1D convolution along one spatial axis of a 3D volume.
+
+    Runs as a 3D conv in NCDHW layout with the 1D kernel oriented along
+    ``axis`` — no transposes, so each pass reads and writes the volume
+    exactly once (HBM-bandwidth bound on TPU)."""
     r = (kernel.shape[0] - 1) // 2
     pad = [(0, 0)] * vol.ndim
     pad[axis] = (r, r)
-    padded = jnp.pad(vol, pad, mode="symmetric")  # scipy.ndimage "reflect" == np.pad "symmetric"
-    moved = jnp.moveaxis(padded, axis, -1)
-    lead_shape = moved.shape[:-1]
-    flat = moved.reshape(-1, 1, 1, moved.shape[-1])  # (batch, C=1, H=1, W)
+    # scipy.ndimage "reflect" == np.pad "symmetric"
+    padded = jnp.pad(vol, pad, mode="symmetric")
+    kshape = [1, 1, 1, 1, 1]
+    kshape[2 + axis] = kernel.shape[0]
     out = jax.lax.conv_general_dilated(
-        flat,
-        kernel[None, None, None, :],  # (O=1, I=1, 1, K)
-        window_strides=(1, 1),
+        padded[None, None],  # (N=1, C=1, Z, Y, X)
+        kernel.reshape(kshape),
+        window_strides=(1, 1, 1),
         padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
     )
-    out = out.reshape(*lead_shape, -1)
-    return jnp.moveaxis(out, -1, axis)
+    return out[0, 0]
 
 
 @partial(jax.jit, static_argnames=("sigma", "truncate"))

@@ -163,17 +163,35 @@ class PixelDecoder:
             emission_wavelength_um=em_wvl,
         )
 
-    def _load_bit_data(self, tile_idx: int) -> np.ndarray:
+    def _load_bit_data_for(self, tile_idx: int) -> dict:
+        """Thread-safe tile load: returns the warped bit stack plus the
+        global coordinate state as a snapshot (no instance mutation, so the
+        prefetcher may run it on a worker thread)."""
         tile_id = self._datastore.tile_ids[tile_idx]
         bits = self._datastore.bit_ids[: self._n_merfish_bits]
         images = [self._load_warped_bit_image(tile_id, b) for b in bits]
         stack = np.stack(images).astype(np.float32)
         zsl = self._z_slice(stack.shape[1])
-        self._z_crop_offset = zsl.start
-        self._load_global_xforms(tile_idx)
-        return stack[:, zsl]
+        return {
+            "image_data": stack[:, zsl],
+            "z_crop_offset": zsl.start,
+            "xforms": self._global_xforms_snapshot(tile_idx),
+        }
 
-    def _load_global_xforms(self, tile_idx: int) -> None:
+    def _load_bit_data(self, tile_idx: int) -> np.ndarray:
+        loaded = self._load_bit_data_for(tile_idx)
+        self._apply_tile_state(loaded)
+        return loaded["image_data"]
+
+    def _apply_tile_state(self, loaded: dict) -> None:
+        self._z_crop_offset = loaded["z_crop_offset"]
+        xf = loaded["xforms"]
+        self._spacing = xf["spacing"]
+        self._origin = xf["origin"]
+        self._affine = xf["affine"]
+        self._camera_to_stage_affine = xf["camera_to_stage_affine"]
+
+    def _global_xforms_snapshot(self, tile_idx: int) -> dict:
         """Global affine/origin/spacing with stage-position fallback plus the
         camera-to-stage affine (reference `_load_bit_data:1540-1580`)."""
         ds = self._datastore
@@ -189,10 +207,12 @@ class PixelDecoder:
             affine, origin, spacing = (np.asarray(v, np.float64) for v in xforms)
         else:
             affine = np.eye(4)
-        self._spacing = spacing
-        self._origin = origin
-        self._affine = affine
-        self._camera_to_stage_affine = camera_affine
+        return {
+            "spacing": spacing,
+            "origin": origin,
+            "affine": affine,
+            "camera_to_stage_affine": camera_affine,
+        }
 
     # ---------------------------------------------------- global norm stats
     def _global_normalization_vectors(
@@ -284,8 +304,27 @@ class PixelDecoder:
     ) -> pd.DataFrame:
         """Decode a single tile end-to-end
         (reference `decode_one_tile:4048-4157`)."""
+        loaded = self._load_bit_data_for(tile_idx)
+        return self._decode_loaded_tile(
+            tile_idx,
+            loaded,
+            lowpass_sigma=lowpass_sigma,
+            optimize_normalization_weights=optimize_normalization_weights,
+            save=save,
+        )
+
+    def _decode_loaded_tile(
+        self,
+        tile_idx: int,
+        loaded: dict,
+        *,
+        lowpass_sigma=DEFAULT_DECODE_LOWPASS_SIGMA,
+        optimize_normalization_weights: bool = False,
+        save: bool = True,
+    ) -> pd.DataFrame:
+        self._apply_tile_state(loaded)
         norm, bg = self._prepare_normalization_state()
-        image_data = self._load_bit_data(tile_idx)
+        image_data = loaded["image_data"]
         sigma = self._effective_lowpass_sigma(lowpass_sigma)
         if any(s > 0 for s in sigma):
             image_lp = np.asarray(
@@ -574,9 +613,18 @@ class PixelDecoder:
     ) -> pd.DataFrame:
         """Decode every tile, then filter/dedup/assign and save the global
         filtered table (reference `decode_all_tiles:4310-4422`)."""
+        from ..datastore.prefetch import TilePrefetcher
+
         ds = self._datastore
-        for tile_idx in range(len(ds.tile_ids)):
-            self.decode_one_tile(tile_idx, lowpass_sigma=lowpass_sigma, save=True)
+        n_tiles = len(ds.tile_ids)
+        # double-buffered tile streaming: the next tile's zarr reads +
+        # decode-warp run on host threads while the TPU decodes the
+        # current tile (replaces the reference's per-GPU worker processes)
+        prefetcher = TilePrefetcher(self._load_bit_data_for, range(n_tiles), depth=1)
+        for tile_idx, image_data in prefetcher:
+            self._decode_loaded_tile(
+                tile_idx, image_data, lowpass_sigma=lowpass_sigma, save=True
+            )
         frames = [
             ds.load_local_decoded_spots(t)
             for t in range(len(ds.tile_ids))
