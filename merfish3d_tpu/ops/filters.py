@@ -27,24 +27,35 @@ def _gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
 def _conv_axis(vol: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Reflect-padded 1D convolution along one spatial axis of a 3D volume.
 
-    Runs as a 3D conv in NCDHW layout with the 1D kernel oriented along
-    ``axis`` — no transposes, so each pass reads and writes the volume
-    exactly once (HBM-bandwidth bound on TPU)."""
+    TPU-layout-friendly formulation: fold the leading contiguous dims into
+    the batch and the trailing contiguous dims into the lane axis, then run
+    a 2D NCHW conv with the 1D kernel along H. All reshapes are on
+    contiguous dims (free); there are no transposes and no exotic layouts,
+    so each pass reads and writes the volume exactly once."""
     r = (kernel.shape[0] - 1) // 2
     pad = [(0, 0)] * vol.ndim
     pad[axis] = (r, r)
     # scipy.ndimage "reflect" == np.pad "symmetric"
     padded = jnp.pad(vol, pad, mode="symmetric")
-    kshape = [1, 1, 1, 1, 1]
-    kshape[2 + axis] = kernel.shape[0]
+    lead = int(np.prod(padded.shape[:axis])) if axis > 0 else 1
+    n = padded.shape[axis]
+    last = axis == padded.ndim - 1
+    if last:
+        # convolve along W so the (large) axis stays in lanes
+        view = padded.reshape(lead, 1, 1, n)
+        kshape = (1, 1, 1, -1)
+    else:
+        trail = int(np.prod(padded.shape[axis + 1 :]))
+        view = padded.reshape(lead, 1, n, trail)
+        kshape = (1, 1, -1, 1)
     out = jax.lax.conv_general_dilated(
-        padded[None, None],  # (N=1, C=1, Z, Y, X)
+        view,
         kernel.reshape(kshape),
-        window_strides=(1, 1, 1),
+        window_strides=(1, 1),
         padding="VALID",
-        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
-    return out[0, 0]
+    return out.reshape(*padded.shape[:axis], vol.shape[axis], *padded.shape[axis + 1 :])
 
 
 @partial(jax.jit, static_argnames=("sigma", "truncate"))
