@@ -36,6 +36,7 @@ def main() -> None:
 
     from merfish3d_tpu.ops import decode as dec
     from merfish3d_tpu.ops.filters import gaussian_lowpass
+    from merfish3d_tpu.ops.fused_decode import fused_lowpass_decode
 
     platform = jax.devices()[0].platform
     use_pallas = platform == "tpu"
@@ -57,17 +58,32 @@ def main() -> None:
     )
     tile.block_until_ready()
 
-    def step(tile):
-        lp = gaussian_lowpass(tile, sigma=(3.0, 1.0, 1.0))
-        return dec.decode_planes(
-            lp,
-            codebook_t,
-            background,
-            normalization,
-            magnitude_threshold=(0.9, 10.0),
-            distance_threshold=0.5176,
-            use_pallas=use_pallas,
-        )
+    if use_pallas:
+        # 3-pass fused Pallas pipeline (lowpass + decode, bits-major layout)
+        def step(tile):
+            return fused_lowpass_decode(
+                tile,
+                codebook_t,
+                background,
+                normalization,
+                sigma=(3.0, 1.0, 1.0),
+                magnitude_threshold=(0.9, 10.0),
+                distance_threshold=0.5176,
+            )
+
+    else:
+
+        def step(tile):
+            lp = gaussian_lowpass(tile, sigma=(3.0, 1.0, 1.0))
+            return dec.decode_planes(
+                lp,
+                codebook_t,
+                background,
+                normalization,
+                magnitude_threshold=(0.9, 10.0),
+                distance_threshold=0.5176,
+                use_pallas=False,
+            )
 
     step_jit = jax.jit(step)
     out = step_jit(tile)

@@ -1,0 +1,237 @@
+"""Fused Pallas decode pipeline: separable Gaussian lowpass + MERFISH
+nearest-codeword decode in three explicit HBM passes.
+
+XLA's conv lowering keeps materializing bits-minor relayout copies (8x
+HBM padding) for the (bits, Z, Y, X) lowpass, so the hot path owns its
+layout explicitly with bits in sublanes and X in lanes throughout:
+
+1. one XLA symmetric pad (z, y, x), edge-extended to tile multiples,
+2. ``_zconv_kernel``  — grid (Y, X) tiles, full padded Z per block,
+3. ``_yconv_kernel``  — grid (Z, Y, X) tiles; the y halo is covered by
+   passing the input twice with block index maps ``j`` and ``j+1``
+   (requires ``tile_y >= 2*ry``), so all BlockSpecs stay non-overlapping,
+4. ``_xconv_decode_kernel`` — grid (Z, Y) tiles, full padded X per block,
+   fusing the x-conv with scale → clip → L2-normalize → MXU matmul →
+   argmax + threshold assignment; similarities never leave VMEM.
+
+Each pass reads and writes the volume once (HBM-bandwidth bound).
+Numerics match ``gaussian_lowpass`` + ``decode_planes`` (tested in
+interpret mode on CPU and used by ``bench.py`` on TPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .filters import _gaussian_kernel1d
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel_or_identity(sigma: float) -> np.ndarray:
+    if sigma and sigma > 0:
+        return _gaussian_kernel1d(float(sigma))
+    return np.ones(1, np.float32)
+
+
+def _zconv_kernel(vol_ref, kern_ref, out_ref, *, taps: int, nz: int):
+    acc = kern_ref[0, 0] * vol_ref[:, 0:nz]
+    for k in range(1, taps):
+        acc += kern_ref[0, k] * vol_ref[:, k : k + nz]
+    out_ref[:] = acc
+
+
+def _yconv_kernel(v0_ref, v1_ref, kern_ref, out_ref, *, taps: int, tile_y: int):
+    vol = jnp.concatenate([v0_ref[:], v1_ref[:]], axis=2)  # (b, tz, 2*ty, tx)
+    acc = kern_ref[0, 0] * vol[:, :, 0:tile_y]
+    for k in range(1, taps):
+        acc += kern_ref[0, k] * vol[:, :, k : k + tile_y]
+    out_ref[:] = acc
+
+
+def _xconv_decode_kernel(
+    vol_ref, kern_ref, cb_ref, bg_ref, norm_ref, thr_ref,
+    decoded_ref, dist_ref, mag_ref, scaled_ref,
+    *, taps: int, nx: int,
+):
+    acc = kern_ref[0, 0] * vol_ref[:, :, :, 0:nx]
+    for k in range(1, taps):
+        acc += kern_ref[0, k] * vol_ref[:, :, :, k : k + nx]
+    bits_p, tz, ty, _ = acc.shape
+    traces = acc.reshape(bits_p, tz * ty * nx)
+    scaled = jnp.clip((traces - bg_ref[:]) / norm_ref[:], 0.0, 1.0)
+    mag = jnp.sqrt(jnp.sum(scaled * scaled, axis=0, keepdims=True))
+    unit = scaled / jnp.maximum(mag, 1e-12)
+    sims = jnp.dot(cb_ref[:], unit, preferred_element_type=jnp.float32)
+    best = jnp.argmax(sims, axis=0).astype(jnp.int32)
+    max_sim = jnp.max(sims, axis=0)
+    dist = jnp.sqrt(jnp.maximum(2.0 - 2.0 * max_sim, 0.0))
+    lo = thr_ref[0, 0]
+    hi = thr_ref[0, 1]
+    dthr = thr_ref[0, 2]
+    assigned = (dist <= dthr) & (mag[0] >= lo) & (mag[0] <= hi)
+    decoded_ref[:] = jnp.where(assigned, best, -1).reshape(1, tz, ty, nx)
+    dist_ref[:] = dist.reshape(1, tz, ty, nx)
+    mag_ref[:] = mag.reshape(1, tz, ty, nx)
+    scaled_ref[:] = scaled.reshape(bits_p, tz, ty, nx)
+
+
+def _pad_axis_to(x, size, axis, mode="edge"):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    if mode == "constant":
+        return jnp.pad(x, widths, constant_values=0.0)
+    return jnp.pad(x, widths, mode=mode)
+
+
+def _pad_const(x, size, axis, value):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "sigma", "magnitude_threshold", "distance_threshold",
+        "tile_z", "tile_y", "tile_x",
+    ),
+)
+def fused_lowpass_decode(
+    volume: jnp.ndarray,  # (bits, Z, Y, X) float32
+    codebook_t: jnp.ndarray,  # (bits, words) L2-normalized
+    background: jnp.ndarray,
+    normalization: jnp.ndarray,
+    *,
+    sigma=(3.0, 1.0, 1.0),
+    magnitude_threshold=(1.5, 10.0),
+    distance_threshold: float = 0.5176,
+    tile_z: int = 1,
+    tile_y: int = 8,
+    tile_x: int = 128,
+):
+    """Returns (decoded int16, magnitude f16, distance f16, scaled f16)."""
+    bits, nz, ny, nx = volume.shape
+    kz = jnp.asarray(_kernel_or_identity(sigma[0]))
+    ky = jnp.asarray(_kernel_or_identity(sigma[1]))
+    kx = jnp.asarray(_kernel_or_identity(sigma[2]))
+    rz, ry, rx = (int(k.shape[0] - 1) // 2 for k in (kz, ky, kx))
+    if 2 * ry > tile_y:
+        tile_y = _round_up(2 * ry, 8)
+
+    words = codebook_t.shape[1]
+    bits_p = max(8, _round_up(bits, 8))
+    words_p = max(8, _round_up(words, 8))
+
+    nz_t = _round_up(nz, tile_z)
+    ny_t = _round_up(ny, tile_y)
+    nx_t = _round_up(nx, tile_x)
+    zp = nz_t + 2 * rz
+    yp = ny_t + tile_y  # one extra block row covers the 2*ry halo
+    xp = _round_up(nx_t + 2 * rx, tile_x)
+
+    padded = jnp.pad(
+        volume, ((0, 0), (rz, rz), (ry, ry), (rx, rx)), mode="symmetric"
+    )
+    padded = _pad_const(padded, bits_p, 0, 0.0)
+    padded = _pad_axis_to(padded, zp, 1)
+    padded = _pad_axis_to(padded, yp, 2)
+    padded = _pad_axis_to(padded, xp, 3)
+
+    # ---- pass 1: z conv; y/x pass through (still padded)
+    z_out = pl.pallas_call(
+        partial(_zconv_kernel, taps=int(kz.shape[0]), nz=nz_t),
+        grid=(yp // tile_y, xp // tile_x),
+        in_specs=[
+            pl.BlockSpec((bits_p, zp, tile_y, tile_x), lambda j, i: (0, 0, j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, int(kz.shape[0])), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bits_p, nz_t, tile_y, tile_x), lambda j, i: (0, 0, j, i),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bits_p, nz_t, yp, xp), jnp.float32),
+    )(padded, kz[None, :])
+
+    # ---- pass 2: y conv via dual shifted blocks (y halo <= tile_y)
+    y_out = pl.pallas_call(
+        partial(_yconv_kernel, taps=int(ky.shape[0]), tile_y=tile_y),
+        grid=(nz_t // tile_z, ny_t // tile_y, xp // tile_x),
+        in_specs=[
+            pl.BlockSpec((bits_p, tile_z, tile_y, tile_x),
+                         lambda z, j, i: (0, z, j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bits_p, tile_z, tile_y, tile_x),
+                         lambda z, j, i: (0, z, j + 1, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, int(ky.shape[0])), lambda z, j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bits_p, tile_z, tile_y, tile_x), lambda z, j, i: (0, z, j, i),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bits_p, nz_t, ny_t, xp), jnp.float32),
+    )(z_out, z_out, ky[None, :])
+
+    # ---- pass 3: x conv + decode, full padded X per block
+    cb_p = _pad_const(_pad_const(codebook_t.T, bits_p, 1, 0.0), words_p, 0, -1.0)
+    bg_p = _pad_const(background[:, None], bits_p, 0, 0.0)
+    norm_p = _pad_const(normalization[:, None], bits_p, 0, 1.0)
+    thr = jnp.asarray(
+        [[magnitude_threshold[0], magnitude_threshold[1], distance_threshold, 0.0]],
+        jnp.float32,
+    )
+    decoded, dist, mag, scaled = pl.pallas_call(
+        partial(_xconv_decode_kernel, taps=int(kx.shape[0]), nx=nx_t),
+        grid=(nz_t // tile_z, ny_t // tile_y),
+        in_specs=[
+            pl.BlockSpec((bits_p, tile_z, tile_y, xp),
+                         lambda z, j: (0, z, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, int(kx.shape[0])), lambda z, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((words_p, bits_p), lambda z, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bits_p, 1), lambda z, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bits_p, 1), lambda z, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda z, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile_z, tile_y, nx_t), lambda z, j: (0, z, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_z, tile_y, nx_t), lambda z, j: (0, z, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_z, tile_y, nx_t), lambda z, j: (0, z, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bits_p, tile_z, tile_y, nx_t), lambda z, j: (0, z, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, nz_t, ny_t, nx_t), jnp.int32),
+            jax.ShapeDtypeStruct((1, nz_t, ny_t, nx_t), jnp.float32),
+            jax.ShapeDtypeStruct((1, nz_t, ny_t, nx_t), jnp.float32),
+            jax.ShapeDtypeStruct((bits_p, nz_t, ny_t, nx_t), jnp.float32),
+        ),
+    )(y_out, kx[None, :], cb_p, bg_p, norm_p, thr)
+
+    return (
+        decoded[0, :nz, :ny, :nx].astype(jnp.int16),
+        mag[0, :nz, :ny, :nx].astype(jnp.float16),
+        dist[0, :nz, :ny, :nx].astype(jnp.float16),
+        scaled[:bits, :nz, :ny, :nx].astype(jnp.float16),
+    )

@@ -226,3 +226,36 @@ def test_pallas_decode_matches_xla_interpret():
     for i in np.where(diff)[0]:
         top2 = np.sort(sims[:, i])[::-1][:2]
         assert top2[0] - top2[1] < 1e-6
+
+
+def test_fused_lowpass_decode_matches_reference_path():
+    """The 3-pass fused Pallas pipeline must reproduce
+    gaussian_lowpass + decode_planes (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from merfish3d_tpu.ops.filters import gaussian_lowpass
+    from merfish3d_tpu.ops.fused_decode import fused_lowpass_decode
+
+    rng = np.random.default_rng(0)
+    cb = _mhd4_codebook()
+    cbt = jnp.asarray(dec.normalize_codebook(cb).T)
+    vol = jnp.asarray((rng.random((16, 6, 32, 160)) * 100).astype(np.float32))
+    bg = jnp.asarray(rng.random(16).astype(np.float32))
+    nm = jnp.asarray(((rng.random(16) + 0.5) * 40).astype(np.float32))
+    kw = dict(magnitude_threshold=(0.9, 10.0), distance_threshold=0.5176)
+    lp = gaussian_lowpass(vol, sigma=(3.0, 1.0, 1.0))
+    d0, m0, di0, s0 = dec.decode_planes(lp, cbt, bg, nm, use_pallas=False, **kw)
+    with pltpu.force_tpu_interpret_mode():
+        d1, m1, di1, s1 = fused_lowpass_decode(
+            vol, cbt, bg, nm, sigma=(3.0, 1.0, 1.0), **kw
+        )
+    assert (np.asarray(d0) == np.asarray(d1)).mean() == 1.0
+    np.testing.assert_allclose(
+        np.asarray(m0, np.float32), np.asarray(m1, np.float32), atol=3e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(di0, np.float32), np.asarray(di1, np.float32), atol=3e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(s0, np.float32), np.asarray(s1, np.float32), atol=1e-3
+    )
