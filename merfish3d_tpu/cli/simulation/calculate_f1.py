@@ -38,9 +38,10 @@ def match_spots_f1(
         tree = cKDTree(g_pts)
         # all candidate pairs within radius, sorted by distance (greedy)
         pairs = []
-        dists, idxs = tree.query(d_pts, k=min(4, len(g_pts)))
-        dists = np.atleast_2d(dists)
-        idxs = np.atleast_2d(idxs)
+        k = min(4, len(g_pts))
+        dists, idxs = tree.query(d_pts, k=k)
+        dists = np.asarray(dists).reshape(len(d_pts), k)
+        idxs = np.asarray(idxs).reshape(len(d_pts), k)
         for di in range(len(d_pts)):
             for k in range(dists.shape[1]):
                 if np.isfinite(dists[di, k]) and dists[di, k] <= radius_um:

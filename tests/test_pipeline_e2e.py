@@ -67,3 +67,36 @@ def test_e2e_f1(experiment):
     result = match_spots_f1(df, gt, radius_um=1.0)
     # regression pin: the synthetic config must decode nearly perfectly
     assert result["f1"] >= 0.9, result
+
+
+def test_decode_2d_mode(experiment):
+    """2D mode: per-plane labeling + cross-plane dedup
+    (reference 2D decode path, `PixelDecoder.py:2515-2541,3755-3939`)."""
+    ds, gt = experiment
+    decoder = PixelDecoder(
+        ds,
+        is_3D=False,
+        minimum_pixels=3,
+        magnitude_threshold=(0.7, 10.0),
+        verbose=0,
+        decode_run_key="mode2d",
+    )
+    decoder._load_global_normalization_vectors(recalculate=True)
+    df = decoder.decode_all_tiles(filter_method="none")
+    assert not df.empty
+    result = match_spots_f1(df, gt, radius_um=1.0)
+    assert result["f1"] >= 0.7, result
+
+
+def test_optimize_filtering_refilters(experiment):
+    """optimize_filtering re-filters stored decodes without re-decoding
+    (reference `optimize_filtering:4506-4584`)."""
+    ds, gt = experiment
+    decoder = PixelDecoder(
+        ds, minimum_pixels=4, magnitude_threshold=(0.9, 10.0), verbose=0,
+    )
+    # per-tile decodes already persisted by earlier tests in this module
+    df = decoder.optimize_filtering(filter_method="blank_fraction")
+    assert df is not None
+    saved = ds.load_global_filtered_decoded_spots()
+    assert len(saved) == len(df)
