@@ -109,7 +109,7 @@ def _pad_const(x, size, axis, value):
     jax.jit,
     static_argnames=(
         "sigma", "magnitude_threshold", "distance_threshold",
-        "tile_z", "tile_y", "tile_x",
+        "tile_z", "tile_y", "tile_x", "stages",
     ),
 )
 def fused_lowpass_decode(
@@ -121,9 +121,10 @@ def fused_lowpass_decode(
     sigma=(3.0, 1.0, 1.0),
     magnitude_threshold=(1.5, 10.0),
     distance_threshold: float = 0.5176,
-    tile_z: int = 1,
+    tile_z: int = 4,
     tile_y: int = 8,
-    tile_x: int = 128,
+    tile_x: int = 256,
+    stages: int = 3,  # profiling: stop after pass N (1 or 2) returning it raw
 ):
     """Returns (decoded int16, magnitude f16, distance f16, scaled f16)."""
     bits, nz, ny, nx = volume.shape
@@ -169,6 +170,8 @@ def fused_lowpass_decode(
         ),
         out_shape=jax.ShapeDtypeStruct((bits_p, nz_t, yp, xp), jnp.float32),
     )(padded, kz[None, :])
+    if stages == 1:
+        return z_out
 
     # ---- pass 2: y conv via dual shifted blocks (y halo <= tile_y)
     y_out = pl.pallas_call(
@@ -188,6 +191,8 @@ def fused_lowpass_decode(
         ),
         out_shape=jax.ShapeDtypeStruct((bits_p, nz_t, ny_t, xp), jnp.float32),
     )(z_out, z_out, ky[None, :])
+    if stages == 2:
+        return y_out
 
     # ---- pass 3: x conv + decode, full padded X per block
     cb_p = _pad_const(_pad_const(codebook_t.T, bits_p, 1, 0.0), words_p, 0, -1.0)
@@ -235,3 +240,61 @@ def fused_lowpass_decode(
         dist[0, :nz, :ny, :nx].astype(jnp.float16),
         scaled[:bits, :nz, :ny, :nx].astype(jnp.float16),
     )
+
+
+def fused_decode_volume(
+    bit_volume: np.ndarray,  # (bits, Z, Y, X) host array
+    codebook_matrix: np.ndarray,  # (words, bits) raw 0/1
+    background: np.ndarray,
+    normalization: np.ndarray,
+    *,
+    sigma=(3.0, 1.0, 1.0),
+    magnitude_threshold=(1.5, 10.0),
+    distance_threshold: float,
+    y_slab: int = 512,
+    hbm_budget_bytes: int = 12 << 30,
+):
+    """Host wrapper: run the fused pipeline on the whole volume when it
+    fits the HBM budget, else stream y-slabs with symmetric-halo overlap
+    (the TPU analog of the reference per-z-plane loop, keeping full-z
+    context for the σ_z lowpass)."""
+    from .decode import normalize_codebook
+
+    vol = np.asarray(bit_volume, np.float32)
+    bits, nz, ny, nx = vol.shape
+    cb_t = jnp.asarray(normalize_codebook(codebook_matrix).T)
+    bg = jnp.asarray(background, jnp.float32)
+    norm = jnp.asarray(normalization, jnp.float32)
+    kw = dict(
+        sigma=tuple(sigma),
+        magnitude_threshold=tuple(magnitude_threshold),
+        distance_threshold=float(distance_threshold),
+    )
+    # working set ≈ input + 2 intermediates + outputs ≈ 4x volume
+    if 4 * vol.nbytes <= hbm_budget_bytes:
+        d, m, di, s = fused_lowpass_decode(jnp.asarray(vol), cb_t, bg, norm, **kw)
+        return (np.asarray(d), np.asarray(m), np.asarray(di), np.asarray(s))
+
+    ry = int(4.0 * sigma[1] + 0.5) if sigma[1] > 0 else 0
+    decoded = np.empty((nz, ny, nx), np.int16)
+    mag = np.empty((nz, ny, nx), np.float16)
+    dist = np.empty((nz, ny, nx), np.float16)
+    scaled = np.empty((bits, nz, ny, nx), np.float16)
+    for y0 in range(0, ny, y_slab):
+        y1 = min(y0 + y_slab, ny)
+        ys, ye = max(0, y0 - ry), min(ny, y1 + ry)
+        block = vol[:, :, ys:ye]
+        pad_y = (y_slab + 2 * ry) - block.shape[2]
+        if pad_y > 0:  # static shape across slabs → one compile; symmetric
+            # so the bottom-slab context matches the whole-volume reflection
+            block = np.pad(
+                block, ((0, 0), (0, 0), (0, pad_y), (0, 0)), mode="symmetric"
+            )
+        d, m, di, s = fused_lowpass_decode(jnp.asarray(block), cb_t, bg, norm, **kw)
+        lo = y0 - ys
+        hi = lo + (y1 - y0)
+        decoded[:, y0:y1] = np.asarray(d)[:, lo:hi]
+        mag[:, y0:y1] = np.asarray(m)[:, lo:hi]
+        dist[:, y0:y1] = np.asarray(di)[:, lo:hi]
+        scaled[:, :, y0:y1] = np.asarray(s)[:, :, lo:hi]
+    return decoded, mag, dist, scaled

@@ -239,6 +239,105 @@ def rlgc_batch(
     return np.asarray(out, dtype=np.float32)
 
 
+def rlgc_diagnostics(
+    image: np.ndarray,
+    psf: np.ndarray,
+    *,
+    seed: int = 42,
+    safe_mode: bool = True,
+    limit: float = 0.01,
+    max_delta: float = 0.001,
+    max_iters: int = 100,
+    logger=None,
+) -> np.ndarray:
+    """RLGC with per-iteration structured diagnostics (reference
+    `rlgc.py:616-760` logging channel: iteration, KLDs, update min/max,
+    updated fraction, stop reason). Runs the loop host-side with a jitted
+    per-iteration step; numerics match :func:`rlgc` up to the host/device
+    loop boundary."""
+    import logging
+
+    log = logger or logging.getLogger("merfish3d_tpu.rlgc")
+    image = np.asarray(image, dtype=np.float32)
+    psf = np.asarray(psf, dtype=np.float32)
+    if psf.ndim == 2:
+        psf = psf[None]
+    pad_width = linear_fft_pad_width(image.shape, psf.shape)
+    padded = pad_symmetric(jnp.asarray(image), pad_width)
+    shape = padded.shape
+    mask = jnp.asarray(observed_region_mask(shape, pad_width))
+    num_pixels = float(np.prod([s - b - a for s, (b, a) in zip(shape, pad_width)]))
+    padded_psf = pad_psf(jnp.asarray(psf), shape)
+    otf = jnp.fft.rfftn(padded_psf)
+    otf_t = jnp.conj(otf)
+    otf_otf_t = otf * otf_t
+    update_norm = jnp.maximum(fft_conv(mask, otf_t, shape), 1e-6)
+    observed_int = padded.astype(jnp.int32)
+
+    @jax.jit
+    def iteration(recon, key):
+        split1 = jax.random.binomial(key, observed_int, 0.5, dtype=jnp.float32)
+        split2 = padded - split1
+        Hu = fft_conv(recon, otf, shape)
+        kld1 = _kl_div(Hu, split1, mask)
+        kld2 = _kl_div(Hu, split2, mask)
+        denom = 0.5 * (Hu + 1e-12)
+        ht1 = fft_conv(mask * (split1 / denom), otf_t, shape) / update_norm
+        ht2 = fft_conv(mask * (split2 / denom), otf_t, shape) / update_norm
+        ht = ht1 + ht2
+        consensus = fft_conv((ht1 - 1.0) * (ht2 - 1.0), otf_otf_t, shape)
+        new_recon = jnp.where(consensus < 0, recon, recon * ht)
+        new_recon = enforce_symmetric_boundary(new_recon, pad_width)
+        updated_fraction = jnp.sum((consensus >= 0) * mask) / num_pixels
+        obs_new = new_recon * mask
+        obs_old = recon * mask
+        recon_max = jnp.maximum(jnp.max(obs_new), 1e-12)
+        max_rel = jnp.max(jnp.abs(obs_new - obs_old) / recon_max)
+        return new_recon, kld1, kld2, jnp.min(ht), jnp.max(ht), updated_fraction, max_rel
+
+    key = jax.random.PRNGKey(seed)
+    recon = jnp.full(shape, jnp.sum(padded * mask) / num_pixels, jnp.float32)
+    prev = recon
+    prev_kld1 = prev_kld2 = np.inf
+    for it in range(max_iters):
+        new_recon, kld1, kld2, ht_min, ht_max, frac, max_rel = iteration(
+            recon, jax.random.fold_in(key, it)
+        )
+        kld1, kld2 = float(kld1), float(kld2)
+        restore = (
+            (kld1 > prev_kld1) or (kld2 > prev_kld2)
+            if safe_mode
+            else (kld1 > prev_kld1) and (kld2 > prev_kld2)
+        )
+        if restore:
+            log.info(
+                "stop=restore_previous_recon best_iteration=%d kld_split1=%.6f "
+                "prev_kld_split1=%.6f kld_split2=%.6f prev_kld_split2=%.6f",
+                max(it - 1, 0), kld1, prev_kld1, kld2, prev_kld2,
+            )
+            recon = prev
+            break
+        prev, recon = recon, new_recon
+        prev_kld1, prev_kld2 = kld1, kld2
+        frac, max_rel = float(frac), float(max_rel)
+        log.info(
+            "iteration=%03d kld_split1=%.6f kld_split2=%.6f update_min=%.3f "
+            "update_max=%.3f updated_fraction=%.5f max_relative_delta=%.5f",
+            it + 1, kld1, kld2, float(ht_min), float(ht_max), frac, max_rel,
+        )
+        if frac < limit:
+            log.info("stop=limit iteration=%03d updated_fraction=%.5f", it + 1, frac)
+            break
+        if max_rel < max_delta:
+            log.info(
+                "stop=max_delta iteration=%03d max_relative_delta=%.5f",
+                it + 1, max_rel,
+            )
+            break
+    out = remove_padding_zyx(recon, pad_width)
+    return np.asarray(out, dtype=np.float32)
+
+
 def chunked_rlgc(
     image: np.ndarray,
     psf: np.ndarray,

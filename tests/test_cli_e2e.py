@@ -44,7 +44,11 @@ def test_raw_layout(workspace):
 
 
 def test_full_pipeline_f1(workspace):
+    import time
+
     root, raw, ds = workspace
+    records = {}
+    t0 = time.perf_counter()
     reg = DataRegistration(
         ds,
         decon_fiducial=False,  # rounds are identical copies in this sim
@@ -61,6 +65,9 @@ def test_full_pipeline_f1(workspace):
     spacing = np.asarray(ds.voxel_size_zyx_um)
     assert np.all(np.abs(xf[:3, 3] / spacing) < 1.0)
 
+    records["preprocess_seconds"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     df = decode_pixels(
         ds.datastore_path,
         minimum_pixels=4,
@@ -68,9 +75,25 @@ def test_full_pipeline_f1(workspace):
         num_tiles=1,
         num_iterations=2,
     )
+    records["decode_seconds"] = time.perf_counter() - t0
     gt = pd.read_csv(raw / "GT_spots.csv")
     result = match_spots_f1(df, gt, radius_um=1.0)
     assert result["f1"] >= 0.85, result
+
+    # performance records, the reference harness contract
+    # (`tests/test_simulation_example_pipeline.py:480-533,935-948`)
+    records["f1"] = result["f1"]
+    records["true_positives_per_second"] = (
+        result["true_positives"] / records["decode_seconds"]
+    )
+    records["decoded_spots_per_decode_second"] = (
+        result["n_decoded"] / records["decode_seconds"]
+    )
+    perf_dir = Path(__file__).parent / "data"
+    perf_dir.mkdir(exist_ok=True)
+    (perf_dir / "simulation_performance.json").write_text(
+        json.dumps(records, indent=2)
+    )
 
     # segmentation + assignment on the fused output
     from merfish3d_tpu.pipeline.segmentation import segment_fiducial

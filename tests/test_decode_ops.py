@@ -259,3 +259,34 @@ def test_fused_lowpass_decode_matches_reference_path():
     np.testing.assert_allclose(
         np.asarray(s0, np.float32), np.asarray(s1, np.float32), atol=1e-3
     )
+
+
+def test_fused_decode_volume_slab_streaming():
+    """y-slab streaming must agree with the whole-volume fused pipeline."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from merfish3d_tpu.ops.fused_decode import fused_decode_volume
+
+    rng = np.random.default_rng(1)
+    cb = _mhd4_codebook()
+    vol = (rng.random((16, 4, 48, 128)) * 100).astype(np.float32)
+    bg = rng.random(16).astype(np.float32)
+    nm = ((rng.random(16) + 0.5) * 40).astype(np.float32)
+    kw = dict(
+        magnitude_threshold=(0.9, 10.0), distance_threshold=0.5176,
+        sigma=(0.0, 1.0, 1.0),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        whole = fused_decode_volume(vol, cb, bg, nm, **kw)
+        slabbed = fused_decode_volume(
+            vol, cb, bg, nm, y_slab=16, hbm_budget_bytes=0, **kw
+        )
+    np.testing.assert_array_equal(whole[0], slabbed[0])
+    np.testing.assert_allclose(
+        np.asarray(whole[1], np.float32), np.asarray(slabbed[1], np.float32),
+        atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(whole[3], np.float32), np.asarray(slabbed[3], np.float32),
+        atol=2e-3,
+    )

@@ -111,3 +111,23 @@ def test_chunked_rlgc_covers_image():
     # interior agreement (away from tile seams the halo makes tiles ~exact)
     corr = np.corrcoef(whole.ravel(), tiled.ravel())[0, 1]
     assert corr > 0.95
+
+
+def test_rlgc_diagnostics_variant_matches(caplog):
+    """The diagnostics (host-loop) variant must match the jitted while_loop
+    solver and emit structured per-iteration records."""
+    import logging
+
+    from merfish3d_tpu.ops.rlgc import rlgc_diagnostics
+
+    truth = _blob_volume(shape=(8, 32, 32), n=4, seed=1)
+    psf = _gaussian_psf((5, 7, 7))
+    blurred = scipy.signal.fftconvolve(truth, psf, mode="same")
+    observed = np.random.default_rng(5).poisson(
+        np.clip(blurred, 0, None) + 2
+    ).astype(np.float32)
+    with caplog.at_level(logging.INFO, logger="merfish3d_tpu.rlgc"):
+        diag = rlgc_diagnostics(observed, psf, seed=9, max_iters=10)
+    ref = rlgc(observed, psf, seed=9, max_iters=10)
+    np.testing.assert_allclose(diag, ref, rtol=1e-4, atol=1e-3)
+    assert any("iteration=" in r.message for r in caplog.records)
