@@ -86,15 +86,29 @@ def main() -> None:
             )
 
     step_jit = jax.jit(step)
+
+    # block_until_ready can be a no-op through remote-device tunnels, so
+    # force completion with a scalar readback and chain iterations through
+    # a data dependency.
+    def sync(x):
+        return float(jnp.sum(x))
+
     out = step_jit(tile)
-    jax.block_until_ready(out)  # compile + warm-up
+    sync(out[1][0, 0, :8])  # compile + warm-up
+
+    t0 = time.perf_counter()
+    for _ in range(10):
+        sync(tile[0, 0, 0, :8])
+    readback_rtt = (time.perf_counter() - t0) / 10
 
     n_iters = 5
     t0 = time.perf_counter()
+    t = tile
     for _ in range(n_iters):
-        out = step_jit(tile)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
+        out = step_jit(t)
+        t = tile + out[1][None].astype(jnp.float32) * 0  # data dependency
+    sync(out[1][0, 0, :8])
+    elapsed = time.perf_counter() - t0 - readback_rtt
 
     voxels = nz * ny * nx * n_iters
     vps = voxels / elapsed

@@ -121,9 +121,9 @@ def fused_lowpass_decode(
     sigma=(3.0, 1.0, 1.0),
     magnitude_threshold=(1.5, 10.0),
     distance_threshold: float = 0.5176,
-    tile_z: int = 4,
+    tile_z: int = 1,
     tile_y: int = 8,
-    tile_x: int = 256,
+    tile_x: int = 128,
     stages: int = 3,  # profiling: stop after pass N (1 or 2) returning it raw
 ):
     """Returns (decoded int16, magnitude f16, distance f16, scaled f16)."""

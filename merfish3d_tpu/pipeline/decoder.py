@@ -326,23 +326,45 @@ class PixelDecoder:
         norm, bg = self._prepare_normalization_state()
         image_data = loaded["image_data"]
         sigma = self._effective_lowpass_sigma(lowpass_sigma)
-        if any(s > 0 for s in sigma):
-            image_lp = np.asarray(
-                gaussian_lowpass(jnp.asarray(image_data), sigma=sigma)
-            )
-        else:
-            image_lp = image_data
-        decoded, mag, dist, scaled = decode_ops.decode_volume(
-            image_lp,
-            self._codebook_matrix,
-            bg[: self._n_merfish_bits],
-            norm[: self._n_merfish_bits],
-            magnitude_threshold=self._magnitude_threshold,
-            distance_threshold=self._pixel_distance_threshold,
+
+        import jax
+
+        use_fused = (
+            not optimize_normalization_weights
+            and jax.devices()[0].platform == "tpu"
         )
-        # intensity source: raw lowpassed data during normalization
-        # optimization, scaled traces otherwise (`PixelDecoder.py:2503-2510`)
-        intensity = image_lp if optimize_normalization_weights else scaled
+        if use_fused:
+            # TPU hot path: 3-pass fused Pallas lowpass+decode
+            from ..ops.fused_decode import fused_decode_volume
+
+            decoded, mag, dist, scaled = fused_decode_volume(
+                image_data,
+                self._codebook_matrix,
+                bg[: self._n_merfish_bits],
+                norm[: self._n_merfish_bits],
+                sigma=sigma,
+                magnitude_threshold=self._magnitude_threshold,
+                distance_threshold=self._pixel_distance_threshold,
+            )
+            intensity = scaled
+        else:
+            if any(s > 0 for s in sigma):
+                image_lp = np.asarray(
+                    gaussian_lowpass(jnp.asarray(image_data), sigma=sigma)
+                )
+            else:
+                image_lp = image_data
+            decoded, mag, dist, scaled = decode_ops.decode_volume(
+                image_lp,
+                self._codebook_matrix,
+                bg[: self._n_merfish_bits],
+                norm[: self._n_merfish_bits],
+                magnitude_threshold=self._magnitude_threshold,
+                distance_threshold=self._pixel_distance_threshold,
+            )
+            # intensity source: raw lowpassed data during normalization
+            # optimization, scaled traces otherwise (`PixelDecoder.py:2503-2510`)
+            intensity = image_lp if optimize_normalization_weights else scaled
         df = self._extract_barcodes(
             decoded, mag, dist, intensity.astype(np.float32), tile_idx
         )
