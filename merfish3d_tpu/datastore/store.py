@@ -470,25 +470,37 @@ class qi2labDataStore:
 
     del _vector_property
 
-    # run-scoped decode normalization (`qi2labDataStore.py:1167-1270`)
+    # run-scoped decode normalization (`qi2labDataStore.py:1167-1270`):
+    # vectors are namespaced by the active decode_run_key AND the vector
+    # kind ("global" percentile seed vs "iterative" refinement)
+    def _norm_run_entry_key(self, kind: str, run_key: Optional[str]) -> str:
+        namespace = run_key if run_key is not None else (self._decode_run_key or "default")
+        return f"{namespace}/{kind}"
+
     def save_decode_normalization_vectors(
         self,
         normalization: ArrayLike,
         background: ArrayLike,
         run_key: Optional[str] = None,
+        kind: Optional[str] = None,
     ) -> None:
+        # back-compat: callers pass kind via run_key ("global"/"iterative")
+        if kind is None and run_key in ("global", "iterative"):
+            kind, run_key = run_key, None
         runs = self._get_calibration_attribute("decode_normalization_runs", {}) or {}
-        runs[run_key or "default"] = {
+        runs[self._norm_run_entry_key(kind or "global", run_key)] = {
             "normalization": [float(v) for v in np.asarray(normalization).ravel()],
             "background": [float(v) for v in np.asarray(background).ravel()],
         }
         self._set_calibration_attribute("decode_normalization_runs", runs)
 
     def load_decode_normalization_vectors(
-        self, run_key: Optional[str] = None
+        self, run_key: Optional[str] = None, kind: Optional[str] = None
     ) -> Optional[tuple[np.ndarray, np.ndarray]]:
+        if kind is None and run_key in ("global", "iterative"):
+            kind, run_key = run_key, None
         runs = self._get_calibration_attribute("decode_normalization_runs", {}) or {}
-        entry = runs.get(run_key or "default")
+        entry = runs.get(self._norm_run_entry_key(kind or "global", run_key))
         if entry is None:
             return None
         return (

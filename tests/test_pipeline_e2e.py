@@ -81,7 +81,7 @@ def test_decode_2d_mode(experiment):
         verbose=0,
         decode_run_key="mode2d",
     )
-    decoder._load_global_normalization_vectors(recalculate=True)
+    decoder.optimize_normalization_by_decoding(n_random_tiles=1, n_iterations=2)
     df = decoder.decode_all_tiles(filter_method="none")
     assert not df.empty
     result = match_spots_f1(df, gt, radius_um=1.0)
