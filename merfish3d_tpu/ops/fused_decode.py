@@ -43,15 +43,22 @@ def _kernel_or_identity(sigma: float) -> np.ndarray:
     return np.ones(1, np.float32)
 
 
-def _zconv_kernel(vol_ref, kern_ref, out_ref, *, taps: int, nz: int):
-    acc = kern_ref[0, 0] * vol_ref[:, 0:nz]
-    for k in range(1, taps):
-        acc += kern_ref[0, k] * vol_ref[:, k : k + nz]
-    out_ref[:] = acc
+def _zconv_kernel(vol_ref, wz_ref, out_ref):
+    """z conv as an MXU matmul: Wz (nz, zp) contracts the padded-z axis of
+    the (bits, zp, ty, tx) block → z-major (nz, bits, ty, tx) output.
+    25 unrolled VPU taps were the pipeline's hot spot; the banded matmul
+    moves them onto the systolic array."""
+    out_ref[:] = jax.lax.dot_general(
+        wz_ref[:],
+        vol_ref[:],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _yconv_kernel(v0_ref, v1_ref, kern_ref, out_ref, *, taps: int, tile_y: int):
-    vol = jnp.concatenate([v0_ref[:], v1_ref[:]], axis=2)  # (b, tz, 2*ty, tx)
+    # z-major blocks: (tz, bits, 2*ty, tx)
+    vol = jnp.concatenate([v0_ref[:], v1_ref[:]], axis=2)
     acc = kern_ref[0, 0] * vol[:, :, 0:tile_y]
     for k in range(1, taps):
         acc += kern_ref[0, k] * vol[:, :, k : k + tile_y]
@@ -63,11 +70,13 @@ def _xconv_decode_kernel(
     decoded_ref, dist_ref, mag_ref, scaled_ref,
     *, taps: int, nx: int,
 ):
+    # z-major block: (tz, bits, ty, xp)
     acc = kern_ref[0, 0] * vol_ref[:, :, :, 0:nx]
     for k in range(1, taps):
         acc += kern_ref[0, k] * vol_ref[:, :, :, k : k + nx]
-    bits_p, tz, ty, _ = acc.shape
-    traces = acc.reshape(bits_p, tz * ty * nx)
+    tz, bits_p, ty, _ = acc.shape
+    # leading-dim transpose (tile relabeling, no intra-tile shuffle)
+    traces = acc.transpose(1, 0, 2, 3).reshape(bits_p, tz * ty * nx)
     scaled = jnp.clip((traces - bg_ref[:]) / norm_ref[:], 0.0, 1.0)
     mag = jnp.sqrt(jnp.sum(scaled * scaled, axis=0, keepdims=True))
     unit = scaled / jnp.maximum(mag, 1e-12)
@@ -79,9 +88,10 @@ def _xconv_decode_kernel(
     hi = thr_ref[0, 1]
     dthr = thr_ref[0, 2]
     assigned = (dist <= dthr) & (mag[0] >= lo) & (mag[0] <= hi)
-    decoded_ref[:] = jnp.where(assigned, best, -1).reshape(1, tz, ty, nx)
-    dist_ref[:] = dist.reshape(1, tz, ty, nx)
-    mag_ref[:] = mag.reshape(1, tz, ty, nx)
+    decoded_ref[:] = jnp.where(assigned, best, -1).reshape(tz, ty, nx)
+    dist_ref[:] = dist.reshape(tz, ty, nx)
+    mag_ref[:] = mag.reshape(tz, ty, nx)
+    # scaled is already bits-major out of the normalize step
     scaled_ref[:] = scaled.reshape(bits_p, tz, ty, nx)
 
 
@@ -128,7 +138,8 @@ def fused_lowpass_decode(
 ):
     """Returns (decoded int16, magnitude f16, distance f16, scaled f16)."""
     bits, nz, ny, nx = volume.shape
-    kz = jnp.asarray(_kernel_or_identity(sigma[0]))
+    kz_np = _kernel_or_identity(sigma[0])
+    kz = jnp.asarray(kz_np)
     ky = jnp.asarray(_kernel_or_identity(sigma[1]))
     kx = jnp.asarray(_kernel_or_identity(sigma[2]))
     rz, ry, rx = (int(k.shape[0] - 1) // 2 for k in (kz, ky, kx))
@@ -154,22 +165,29 @@ def fused_lowpass_decode(
     padded = _pad_axis_to(padded, yp, 2)
     padded = _pad_axis_to(padded, xp, 3)
 
-    # ---- pass 1: z conv; y/x pass through (still padded)
+    # banded z weight matrix: Wz[o, p] = kz[p - o], p - o in [0, 2rz]
+    taps_z = int(kz_np.shape[0])
+    wz_np = np.zeros((nz_t, zp), np.float32)
+    for o in range(nz_t):
+        wz_np[o, o : o + taps_z] = kz_np
+    wz = jnp.asarray(wz_np)
+
+    # ---- pass 1: z conv as MXU matmul → z-major (nz, bits, y, x)
     z_out = pl.pallas_call(
-        partial(_zconv_kernel, taps=int(kz.shape[0]), nz=nz_t),
+        _zconv_kernel,
         grid=(yp // tile_y, xp // tile_x),
         in_specs=[
             pl.BlockSpec((bits_p, zp, tile_y, tile_x), lambda j, i: (0, 0, j, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, int(kz.shape[0])), lambda j, i: (0, 0),
+            pl.BlockSpec((nz_t, zp), lambda j, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (bits_p, nz_t, tile_y, tile_x), lambda j, i: (0, 0, j, i),
+            (nz_t, bits_p, tile_y, tile_x), lambda j, i: (0, 0, j, i),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((bits_p, nz_t, yp, xp), jnp.float32),
-    )(padded, kz[None, :])
+        out_shape=jax.ShapeDtypeStruct((nz_t, bits_p, yp, xp), jnp.float32),
+    )(padded, wz)
     if stages == 1:
         return z_out
 
@@ -178,18 +196,18 @@ def fused_lowpass_decode(
         partial(_yconv_kernel, taps=int(ky.shape[0]), tile_y=tile_y),
         grid=(nz_t // tile_z, ny_t // tile_y, xp // tile_x),
         in_specs=[
-            pl.BlockSpec((bits_p, tile_z, tile_y, tile_x),
-                         lambda z, j, i: (0, z, j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bits_p, tile_z, tile_y, tile_x),
-                         lambda z, j, i: (0, z, j + 1, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_z, bits_p, tile_y, tile_x),
+                         lambda z, j, i: (z, 0, j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_z, bits_p, tile_y, tile_x),
+                         lambda z, j, i: (z, 0, j + 1, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, int(ky.shape[0])), lambda z, j, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (bits_p, tile_z, tile_y, tile_x), lambda z, j, i: (0, z, j, i),
+            (tile_z, bits_p, tile_y, tile_x), lambda z, j, i: (z, 0, j, i),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((bits_p, nz_t, ny_t, xp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nz_t, bits_p, ny_t, xp), jnp.float32),
     )(z_out, z_out, ky[None, :])
     if stages == 2:
         return y_out
@@ -206,8 +224,8 @@ def fused_lowpass_decode(
         partial(_xconv_decode_kernel, taps=int(kx.shape[0]), nx=nx_t),
         grid=(nz_t // tile_z, ny_t // tile_y),
         in_specs=[
-            pl.BlockSpec((bits_p, tile_z, tile_y, xp),
-                         lambda z, j: (0, z, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_z, bits_p, tile_y, xp),
+                         lambda z, j: (z, 0, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, int(kx.shape[0])), lambda z, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((words_p, bits_p), lambda z, j: (0, 0),
@@ -217,27 +235,27 @@ def fused_lowpass_decode(
             pl.BlockSpec((1, 4), lambda z, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, tile_z, tile_y, nx_t), lambda z, j: (0, z, j, 0),
+            pl.BlockSpec((tile_z, tile_y, nx_t), lambda z, j: (z, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_z, tile_y, nx_t), lambda z, j: (0, z, j, 0),
+            pl.BlockSpec((tile_z, tile_y, nx_t), lambda z, j: (z, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_z, tile_y, nx_t), lambda z, j: (0, z, j, 0),
+            pl.BlockSpec((tile_z, tile_y, nx_t), lambda z, j: (z, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bits_p, tile_z, tile_y, nx_t), lambda z, j: (0, z, j, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((1, nz_t, ny_t, nx_t), jnp.int32),
-            jax.ShapeDtypeStruct((1, nz_t, ny_t, nx_t), jnp.float32),
-            jax.ShapeDtypeStruct((1, nz_t, ny_t, nx_t), jnp.float32),
+            jax.ShapeDtypeStruct((nz_t, ny_t, nx_t), jnp.int32),
+            jax.ShapeDtypeStruct((nz_t, ny_t, nx_t), jnp.float32),
+            jax.ShapeDtypeStruct((nz_t, ny_t, nx_t), jnp.float32),
             jax.ShapeDtypeStruct((bits_p, nz_t, ny_t, nx_t), jnp.float32),
         ),
     )(y_out, kx[None, :], cb_p, bg_p, norm_p, thr)
 
     return (
-        decoded[0, :nz, :ny, :nx].astype(jnp.int16),
-        mag[0, :nz, :ny, :nx].astype(jnp.float16),
-        dist[0, :nz, :ny, :nx].astype(jnp.float16),
+        decoded[:nz, :ny, :nx].astype(jnp.int16),
+        mag[:nz, :ny, :nx].astype(jnp.float16),
+        dist[:nz, :ny, :nx].astype(jnp.float16),
         scaled[:bits, :nz, :ny, :nx].astype(jnp.float16),
     )
 
