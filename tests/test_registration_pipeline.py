@@ -160,3 +160,43 @@ def test_global_register_two_tiles(tmp_path):
     img, (affine, origin, sp) = fused
     assert img.shape[2] >= 96 + true_x_px - 2
     assert ds.datastore_state["Fused"] is True
+
+
+def test_deformable_registration_pipeline(tmp_path):
+    """With deformable_registration=True the pipeline estimates and stores
+    a SOFIMA flow field for each moving round, and the decode-time warp
+    consumes it."""
+    ds, shift_px = _make_shifted_experiment(tmp_path, shift_px=(0.0, 2.0, -3.0))
+    reg = DataRegistration(
+        ds,
+        decon_fiducial=False,
+        decon_readout=False,
+        deformable_registration=True,
+        global_registration=False,
+        verbose=0,
+    )
+    from merfish3d_tpu.ops.flow import SofimaRegistrationConfig
+
+    reg._sofima_config = SofimaRegistrationConfig(
+        patch_size_zyx=(8, 24, 24), stride_zyx=(4, 12, 12),
+        num_residual_iterations=1,
+    )
+    reg.register_one_tile(0)
+    flow = ds.load_local_sofima_flow_field(0, 1)
+    assert flow is not None
+    field, attrs = flow
+    assert field.shape[0] == 3
+    assert attrs["sofima_status"] == "ok"
+    # residual flow after a correct affine should be small
+    assert np.abs(field).max() < 2.5
+
+    # decode-time warp path picks up affine + flow without error
+    from merfish3d_tpu.pipeline.decode_warping import warp_bit_image_to_reference
+
+    img = np.asarray(ds.load_local_corrected_image(tile=0, bit=2), np.float32)
+    warped = warp_bit_image_to_reference(
+        img, datastore=ds, tile=0, bit_id="bit003",
+        emission_wavelength_um=0.590,
+    )
+    assert warped.shape == img.shape
+    assert np.all(np.isfinite(warped))
