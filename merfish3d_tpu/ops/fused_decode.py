@@ -89,10 +89,12 @@ def _xconv_decode_kernel(
     dthr = thr_ref[0, 2]
     assigned = (dist <= dthr) & (mag[0] >= lo) & (mag[0] <= hi)
     decoded_ref[:] = jnp.where(assigned, best, -1).reshape(tz, ty, nx)
-    dist_ref[:] = dist.reshape(tz, ty, nx)
-    mag_ref[:] = mag.reshape(tz, ty, nx)
+    # f16 stores straight from VMEM (halves output traffic; the reference
+    # stores magnitude/distance/scaled as float16, `PixelDecoder.py:2167-75`)
+    dist_ref[:] = dist.reshape(tz, ty, nx).astype(dist_ref.dtype)
+    mag_ref[:] = mag.reshape(tz, ty, nx).astype(mag_ref.dtype)
     # scaled is already bits-major out of the normalize step
-    scaled_ref[:] = scaled.reshape(bits_p, tz, ty, nx)
+    scaled_ref[:] = scaled.reshape(bits_p, tz, ty, nx).astype(scaled_ref.dtype)
 
 
 def _pad_axis_to(x, size, axis, mode="edge"):
@@ -157,13 +159,22 @@ def fused_lowpass_decode(
     yp = ny_t + tile_y  # one extra block row covers the 2*ry halo
     xp = _round_up(nx_t + 2 * rx, tile_x)
 
+    # ONE pad pass: symmetric reflection covers the conv halos; the extra
+    # tile-alignment rows/cols also get symmetric values, but they are only
+    # ever context for outputs that get cropped, so any finite values work.
+    # (Sequential per-axis pads each materialize a full HBM copy.)
     padded = jnp.pad(
-        volume, ((0, 0), (rz, rz), (ry, ry), (rx, rx)), mode="symmetric"
+        volume,
+        (
+            (0, 0),
+            (rz, zp - nz - rz),
+            (ry, yp - ny - ry),
+            (rx, xp - nx - rx),
+        ),
+        mode="symmetric",
     )
-    padded = _pad_const(padded, bits_p, 0, 0.0)
-    padded = _pad_axis_to(padded, zp, 1)
-    padded = _pad_axis_to(padded, yp, 2)
-    padded = _pad_axis_to(padded, xp, 3)
+    if bits_p > bits:
+        padded = _pad_const(padded, bits_p, 0, 0.0)
 
     # banded z weight matrix: Wz[o, p] = kz[p - o], p - o in [0, 2rz]
     taps_z = int(kz_np.shape[0])
@@ -246,17 +257,17 @@ def fused_lowpass_decode(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nz_t, ny_t, nx_t), jnp.int32),
-            jax.ShapeDtypeStruct((nz_t, ny_t, nx_t), jnp.float32),
-            jax.ShapeDtypeStruct((nz_t, ny_t, nx_t), jnp.float32),
-            jax.ShapeDtypeStruct((bits_p, nz_t, ny_t, nx_t), jnp.float32),
+            jax.ShapeDtypeStruct((nz_t, ny_t, nx_t), jnp.float16),
+            jax.ShapeDtypeStruct((nz_t, ny_t, nx_t), jnp.float16),
+            jax.ShapeDtypeStruct((bits_p, nz_t, ny_t, nx_t), jnp.float16),
         ),
     )(y_out, kx[None, :], cb_p, bg_p, norm_p, thr)
 
     return (
         decoded[:nz, :ny, :nx].astype(jnp.int16),
-        mag[:nz, :ny, :nx].astype(jnp.float16),
-        dist[:nz, :ny, :nx].astype(jnp.float16),
-        scaled[:bits, :nz, :ny, :nx].astype(jnp.float16),
+        mag[:nz, :ny, :nx],
+        dist[:nz, :ny, :nx],
+        scaled[:bits, :nz, :ny, :nx],
     )
 
 
