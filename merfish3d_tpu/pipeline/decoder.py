@@ -394,6 +394,14 @@ class PixelDecoder:
             capacity=self._component_capacity,
         )
         valid = np.asarray(stats["valid"])
+        if valid.sum() >= self._component_capacity:
+            import warnings
+
+            warnings.warn(
+                f"component capacity {self._component_capacity} saturated; "
+                "increase component_capacity to avoid dropping transcripts",
+                stacklevel=2,
+            )
         area = np.asarray(stats["area"])[valid]
         if valid.sum() == 0:
             return self._empty_barcode_frame()
