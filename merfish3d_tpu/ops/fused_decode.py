@@ -89,12 +89,10 @@ def _xconv_decode_kernel(
     dthr = thr_ref[0, 2]
     assigned = (dist <= dthr) & (mag[0] >= lo) & (mag[0] <= hi)
     decoded_ref[:] = jnp.where(assigned, best, -1).reshape(tz, ty, nx)
-    # f16 stores straight from VMEM (halves output traffic; the reference
-    # stores magnitude/distance/scaled as float16, `PixelDecoder.py:2167-75`)
-    dist_ref[:] = dist.reshape(tz, ty, nx).astype(dist_ref.dtype)
-    mag_ref[:] = mag.reshape(tz, ty, nx).astype(mag_ref.dtype)
+    dist_ref[:] = dist.reshape(tz, ty, nx)
+    mag_ref[:] = mag.reshape(tz, ty, nx)
     # scaled is already bits-major out of the normalize step
-    scaled_ref[:] = scaled.reshape(bits_p, tz, ty, nx).astype(scaled_ref.dtype)
+    scaled_ref[:] = scaled.reshape(bits_p, tz, ty, nx)
 
 
 def _pad_axis_to(x, size, axis, mode="edge"):
@@ -133,7 +131,7 @@ def fused_lowpass_decode(
     sigma=(3.0, 1.0, 1.0),
     magnitude_threshold=(1.5, 10.0),
     distance_threshold: float = 0.5176,
-    tile_z: int = 1,
+    tile_z: int = 2,
     tile_y: int = 8,
     tile_x: int = 128,
     stages: int = 3,  # profiling: stop after pass N (1 or 2) returning it raw
@@ -257,17 +255,17 @@ def fused_lowpass_decode(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nz_t, ny_t, nx_t), jnp.int32),
-            jax.ShapeDtypeStruct((nz_t, ny_t, nx_t), jnp.float16),
-            jax.ShapeDtypeStruct((nz_t, ny_t, nx_t), jnp.float16),
-            jax.ShapeDtypeStruct((bits_p, nz_t, ny_t, nx_t), jnp.float16),
+            jax.ShapeDtypeStruct((nz_t, ny_t, nx_t), jnp.float32),
+            jax.ShapeDtypeStruct((nz_t, ny_t, nx_t), jnp.float32),
+            jax.ShapeDtypeStruct((bits_p, nz_t, ny_t, nx_t), jnp.float32),
         ),
     )(y_out, kx[None, :], cb_p, bg_p, norm_p, thr)
 
     return (
         decoded[:nz, :ny, :nx].astype(jnp.int16),
-        mag[:nz, :ny, :nx],
-        dist[:nz, :ny, :nx],
-        scaled[:bits, :nz, :ny, :nx],
+        mag[:nz, :ny, :nx].astype(jnp.float16),
+        dist[:nz, :ny, :nx].astype(jnp.float16),
+        scaled[:bits, :nz, :ny, :nx].astype(jnp.float16),
     )
 
 
