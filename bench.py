@@ -101,12 +101,14 @@ def main() -> None:
         sync(tile[0, 0, 0, :8])
     readback_rtt = (time.perf_counter() - t0) / 10
 
+    # single-device execution is in-order: the readback of the final output
+    # cannot complete before all prior dispatched steps have executed
     n_iters = 5
     t0 = time.perf_counter()
-    t = tile
+    out = None
     for _ in range(n_iters):
-        out = step_jit(t)
-        t = tile + out[1][None].astype(jnp.float32) * 0  # data dependency
+        del out
+        out = step_jit(tile)
     sync(out[1][0, 0, :8])
     elapsed = time.perf_counter() - t0 - readback_rtt
 

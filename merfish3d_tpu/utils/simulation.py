@@ -116,46 +116,69 @@ def generate_synthetic_experiment(
 
     gt_rows = []
     spacing = np.asarray(voxel_size_zyx_um)
+    offsets_px = [
+        np.asarray(tile_offset_px) * tile_idx for tile_idx in range(n_tiles)
+    ]
+    # one GLOBAL field of spots and fiducial beads; each tile images the
+    # portion inside its bounds, so tile overlaps share real content (the
+    # registration/dedup contract)
+    extent_px = np.asarray(shape, np.float64) + (
+        offsets_px[-1] if n_tiles > 1 else 0.0
+    )
+    margin = 8
+    total_spots = n_spots * n_tiles
+    global_spots = np.column_stack(
+        [
+            rng.uniform(2, extent_px[0] - 2, total_spots),
+            rng.uniform(margin, extent_px[1] - margin, total_spots),
+            rng.uniform(margin, extent_px[2] - margin, total_spots),
+        ]
+    )
+    global_genes = rng.integers(0, n_genes, total_spots)  # never blanks
+    global_amps = rng.uniform(*spot_amplitude, total_spots)
+    n_beads = 60 * n_tiles
+    global_beads = np.column_stack(
+        [
+            rng.uniform(1, extent_px[0] - 1, n_beads),
+            rng.uniform(4, extent_px[1] - 4, n_beads),
+            rng.uniform(4, extent_px[2] - 4, n_beads),
+        ]
+    )
+    bead_amps = rng.uniform(500, 1500, n_beads)
+
+    for s_idx in range(total_spots):
+        z, y, x = global_spots[s_idx]
+        gt_rows.append(
+            {
+                "gene_id": codebook["gene_id"].iloc[global_genes[s_idx]],
+                "tile_idx": -1,
+                "z": z,
+                "y": y,
+                "x": x,
+                "global_z": z * spacing[0],
+                "global_y": y * spacing[1],
+                "global_x": x * spacing[2],
+            }
+        )
+
     for tile_idx in range(n_tiles):
         ds.initialize_tile(tile_idx)
-        origin = np.asarray(tile_offset_px) * tile_idx * spacing
-        margin = 8
-        spots = np.column_stack(
-            [
-                rng.uniform(2, shape[0] - 2, n_spots),
-                rng.uniform(margin, shape[1] - margin, n_spots),
-                rng.uniform(margin, shape[2] - margin, n_spots),
-            ]
+        offset_px = offsets_px[tile_idx]
+        origin = offset_px * spacing
+        local_spots = global_spots - offset_px
+        in_tile = np.all(
+            (local_spots > -5) & (local_spots < np.asarray(shape) + 5), axis=1
         )
-        genes = rng.integers(0, n_genes, n_spots)  # never blanks
-        amps = rng.uniform(*spot_amplitude, n_spots)
-        for s_idx in range(n_spots):
-            z, y, x = spots[s_idx]
-            gt_rows.append(
-                {
-                    "gene_id": codebook["gene_id"].iloc[genes[s_idx]],
-                    "tile_idx": tile_idx,
-                    "z": z,
-                    "y": y,
-                    "x": x,
-                    "global_z": z * spacing[0] + origin[0],
-                    "global_y": y * spacing[1] + origin[1],
-                    "global_x": x * spacing[2] + origin[2],
-                }
-            )
+        spots = local_spots[in_tile]
+        genes = global_genes[in_tile]
+        amps = global_amps[in_tile]
 
-        # fiducial rounds: bead-like reference image, identity registration
-        fid = _render_bit_volume(
-            shape,
-            np.column_stack(
-                [
-                    rng.uniform(1, shape[0] - 1, 60),
-                    rng.uniform(4, shape[1] - 4, 60),
-                    rng.uniform(4, shape[2] - 4, 60),
-                ]
-            ),
-            rng.uniform(500, 1500, 60),
+        local_beads = global_beads - offset_px
+        bead_in = np.all(
+            (local_beads > -5) & (local_beads < np.asarray(shape) + 5), axis=1
         )
+        # fiducial rounds: shared bead field, identity registration
+        fid = _render_bit_volume(shape, local_beads[bead_in], bead_amps[bead_in])
         for r in range(n_rounds):
             noisy = rng.poisson(fid + background).astype(np.uint16)
             ds.save_local_corrected_image(noisy, tile=tile_idx, round=r, psf_idx=0)

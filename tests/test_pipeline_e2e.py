@@ -100,3 +100,30 @@ def test_optimize_filtering_refilters(experiment):
     assert df is not None
     saved = ds.load_global_filtered_decoded_spots()
     assert len(saved) == len(df)
+
+
+def test_multi_tile_decode_with_overlap_dedup(tmp_path_factory):
+    """Two tiles sharing ground truth in the overlap: the pipeline must
+    stitch, decode both, and de-duplicate transcripts in the overlap."""
+    path = tmp_path_factory.mktemp("sim2") / "qi2labdatastore"
+    ds, gt = generate_synthetic_experiment(
+        path,
+        shape=(8, 64, 96),
+        n_spots=50,
+        seed=21,
+        n_tiles=2,
+        tile_offset_px=(0.0, 0.0, 64.0),  # 32 px x-overlap
+    )
+    from merfish3d_tpu.pipeline.stitching import global_register
+
+    # rounds already have identity transforms; register tiles globally
+    global_register(ds, verbose=0)
+    decoder = PixelDecoder(
+        ds, minimum_pixels=4, magnitude_threshold=(0.9, 10.0), verbose=0,
+    )
+    decoder.optimize_normalization_by_decoding(n_random_tiles=2, n_iterations=1)
+    df = decoder.decode_all_tiles(filter_method="blank_fraction")
+    assert not df.empty
+    assert set(df["tile_idx"].unique()) == {0, 1}
+    result = match_spots_f1(df, gt, radius_um=1.0)
+    assert result["f1"] >= 0.8, result
