@@ -24,6 +24,8 @@ def match_spots_f1(
     coords=("global_z", "global_y", "global_x"),
 ) -> dict:
     """Greedy one-to-one same-gene matching; returns precision/recall/F1."""
+    from ...native import greedy_match
+
     tp = 0
     n_decoded = len(decoded)
     n_gt = len(ground_truth)
@@ -36,25 +38,18 @@ def match_spots_f1(
         d_pts = d[list(coords)].to_numpy(dtype=float)
         g_pts = g[list(coords)].to_numpy(dtype=float)
         tree = cKDTree(g_pts)
-        # all candidate pairs within radius, sorted by distance (greedy)
-        pairs = []
         k = min(4, len(g_pts))
         dists, idxs = tree.query(d_pts, k=k)
         dists = np.asarray(dists).reshape(len(d_pts), k)
         idxs = np.asarray(idxs).reshape(len(d_pts), k)
-        for di in range(len(d_pts)):
-            for k in range(dists.shape[1]):
-                if np.isfinite(dists[di, k]) and dists[di, k] <= radius_um:
-                    pairs.append((dists[di, k], di, int(idxs[di, k])))
-        pairs.sort()
-        used_d: set[int] = set()
-        used_g: set[int] = set()
-        for dist, di, gi in pairs:
-            if di in used_d or gi in used_g:
-                continue
-            used_d.add(di)
-            used_g.add(gi)
-            tp += 1
+        src = np.repeat(np.arange(len(d_pts)), k)
+        dst = idxs.reshape(-1)
+        dd = dists.reshape(-1)
+        ok = np.isfinite(dd) & (dd <= radius_um)
+        accepted = greedy_match(
+            src[ok], dst[ok], dd[ok], len(d_pts), len(g_pts)
+        )
+        tp += len(accepted)
     fp = n_decoded - tp
     fn = n_gt - tp
     precision = tp / n_decoded if n_decoded else 0.0

@@ -294,35 +294,34 @@ def remove_duplicates_within_tile(
     genes = df["gene_id"].to_numpy()
     dist = df["distance_min"].to_numpy(dtype=float)
 
-    parent = np.arange(len(df))
-
-    def find(i):
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]
-            i = parent[i]
-        return i
-
-    def union(i, j):
-        ri, rj = find(i), find(j)
-        if ri != rj:
-            parent[max(ri, rj)] = min(ri, rj)
-
     tree = cKDTree(coords_xy)
-    for i, j in tree.query_pairs(radius_xy):
-        if (
-            tiles[i] == tiles[j]
-            and genes[i] == genes[j]
-            and z[i] != z[j]
-            and abs(z[i] - z[j]) <= radius_z
-        ):
-            union(i, j)
+    raw_pairs = tree.query_pairs(radius_xy, output_type="ndarray")
+    if len(raw_pairs):
+        i = raw_pairs[:, 0]
+        j = raw_pairs[:, 1]
+        ok = (
+            (tiles[i] == tiles[j])
+            & (genes[i] == genes[j])
+            & (z[i] != z[j])
+            & (np.abs(z[i] - z[j]) <= radius_z)
+        )
+        pairs = raw_pairs[ok]
+    else:
+        pairs = np.empty((0, 2), np.int64)
 
-    roots = np.array([find(i) for i in range(len(df))])
+    from ..native import union_find
+
+    roots = union_find(pairs, len(df))
+    # per-cluster winner: lowest (distance_min, index)
+    order = np.lexsort((np.arange(len(df)), dist))
+    seen = set()
     keep_rows = []
-    for root in np.unique(roots):
-        members = np.where(roots == root)[0]
-        best = members[np.lexsort((members, dist[members]))[0]]
-        keep_rows.append(best)
+    for i in order:
+        r = roots[i]
+        if r in seen:
+            continue
+        seen.add(r)
+        keep_rows.append(i)
     return df.iloc[sorted(keep_rows)].reset_index(drop=True)
 
 
@@ -351,9 +350,9 @@ def remove_duplicates_in_tile_overlap(
 
 def assign_cells(df: pd.DataFrame, outlines: dict) -> pd.DataFrame:
     """Assign transcripts to cells by point-in-polygon on (global_y,
-    global_x) (reference `_assign_cells:3650-3710`, shapely/rtree →
-    matplotlib.path with bounding-box prefilter)."""
-    from matplotlib.path import Path as MplPath
+    global_x) (reference `_assign_cells:3650-3710`; shapely/rtree →
+    native ray-casting with a bounding-box prefilter)."""
+    from ..native import points_in_polygon
 
     df = df.copy()
     df["cell_id"] = -1
@@ -375,6 +374,6 @@ def assign_cells(df: pd.DataFrame, outlines: dict) -> pd.DataFrame:
         )[0]
         if cand.size == 0:
             continue
-        inside = MplPath(poly).contains_points(pts[cand])
+        inside = points_in_polygon(pts[cand], poly)
         df.loc[df.index[cand[inside]], "cell_id"] = int(cell["cell_id"])
     return df
