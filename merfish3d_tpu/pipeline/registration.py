@@ -222,11 +222,20 @@ class DataRegistration:
                 )
 
     # ----------------------------------------------------------- readout bits
-    def _apply_registration_to_bits(self, tile_idx: int) -> None:
+    def _apply_registration_to_bits(
+        self, tile_idx: int, bit_batch_size: int = 8
+    ) -> None:
         """Per-bit decon + spot-probability prediction + spot table
         (reference `_apply_bits_on_gpu:790-1007`). Bits stay UNWARPED on
-        disk; decode applies the composed transforms lazily."""
+        disk; decode applies the composed transforms lazily.
+
+        TPU-first: bits sharing a PSF are deconvolved as one vmapped batch
+        (`rlgc_batch`) instead of the reference's per-bit GPU loop, bounded
+        by ``bit_batch_size`` volumes in HBM at once."""
+        from ..ops.rlgc import rlgc_batch
+
         ds = self._datastore
+        pending = []
         for bit_idx, bit_id in enumerate(ds.bit_ids):
             if not self._overwrite and (
                 ds.load_local_registered_image(
@@ -239,25 +248,64 @@ class DataRegistration:
                 is not None
             ):
                 continue
-            raw = np.asarray(
-                ds.load_local_corrected_image(tile=tile_idx, bit=bit_idx), np.float32
-            )
-            psf = (
-                self._psf_for_channel(self._psf_idx_for_bit(tile_idx, bit_id))
-                if self._decon_readout
-                else None
-            )
-            decon = self._deconvolve(raw, psf, seed=7 + tile_idx * 100 + bit_idx)
-            prob = self._predictor.predict(decon)
-            ds.save_local_registered_image(
-                np.clip(decon, 0, 65535).astype(np.uint16),
-                tile=tile_idx,
-                bit=bit_idx,
-                deconvolution=self._decon_readout,
-            )
-            ds.save_local_feature_predictor_image(prob, tile=tile_idx, bit=bit_idx)
-            spots = _spot_table_from_probability(decon, prob)
-            ds.save_local_feature_predictor_spots(spots, tile=tile_idx, bit=bit_idx)
+            pending.append((bit_idx, bit_id))
+        if not pending:
+            return
+
+        # group bits by PSF index so each group vmaps over one shared PSF
+        groups: dict[int, list[tuple[int, str]]] = {}
+        for bit_idx, bit_id in pending:
+            psf_idx = self._psf_idx_for_bit(tile_idx, bit_id) if self._decon_readout else -1
+            groups.setdefault(psf_idx, []).append((bit_idx, bit_id))
+
+        for psf_idx, members in groups.items():
+            psf = self._psf_for_channel(psf_idx) if psf_idx >= 0 else None
+            for start in range(0, len(members), bit_batch_size):
+                chunk = members[start : start + bit_batch_size]
+                raws = np.stack(
+                    [
+                        np.asarray(
+                            ds.load_local_corrected_image(tile=tile_idx, bit=b),
+                            np.float32,
+                        )
+                        for b, _ in chunk
+                    ]
+                )
+                if psf is None:
+                    decons = raws
+                elif len(chunk) > 1 and raws[0].shape[1] <= self._crop_yx_decon:
+                    decons = rlgc_batch(
+                        raws, psf, seed=7 + tile_idx * 100 + chunk[0][0],
+                        max_iters=self._decon_max_iters,
+                    )
+                else:
+                    decons = np.stack(
+                        [
+                            self._deconvolve(
+                                raws[i], psf, seed=7 + tile_idx * 100 + chunk[i][0]
+                            )
+                            for i in range(len(chunk))
+                        ]
+                    )
+                probs = (
+                    self._predictor.predict_batch(decons)
+                    if hasattr(self._predictor, "predict_batch")
+                    else np.stack([self._predictor.predict(d) for d in decons])
+                )
+                for i, (bit_idx, _bit_id) in enumerate(chunk):
+                    ds.save_local_registered_image(
+                        np.clip(decons[i], 0, 65535).astype(np.uint16),
+                        tile=tile_idx,
+                        bit=bit_idx,
+                        deconvolution=self._decon_readout,
+                    )
+                    ds.save_local_feature_predictor_image(
+                        probs[i], tile=tile_idx, bit=bit_idx
+                    )
+                    spots = _spot_table_from_probability(decons[i], probs[i])
+                    ds.save_local_feature_predictor_spots(
+                        spots, tile=tile_idx, bit=bit_idx
+                    )
 
     # ------------------------------------------------------------- global
     def global_register(self) -> None:
