@@ -773,6 +773,45 @@ class qi2labDataStore:
         v = attrs.get("local_round_transform_zyx_um")
         return None if v is None else np.asarray(v, dtype=np.float32)
 
+    # ------------------------------------------- legacy warpfield optical flow
+    def save_coord_of_xform_px(
+        self,
+        flow_field: ArrayLike,
+        tile,
+        round,
+        *,
+        block_size: ArrayLike,
+        block_stride: ArrayLike,
+    ) -> None:
+        """Legacy warpfield dense optical-flow field
+        (`qi2labDataStore.py:4136-4224`): stored only as the OME-Zarr array
+        with identity OME transforms plus block_size/block_stride attrs."""
+        d = self._fiducial_dir(tile, round)
+        arr = np.asarray(flow_field, dtype=np.float32)
+        zarrio.write_ome_image(
+            d / "opticalflow_xform_px",
+            arr,
+            extra_attributes={
+                "block_size": [float(v) for v in np.asarray(block_size).ravel()],
+                "block_stride": [float(v) for v in np.asarray(block_stride).ravel()],
+            },
+        )
+
+    def load_coord_of_xform_px(
+        self, tile, round
+    ) -> Optional[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        d = self._fiducial_dir(tile, round)
+        p = d / "opticalflow_xform_px.ome.zarr"
+        if not (p / "zarr.json").exists():
+            return None
+        arr = zarrio.read_ome_image(p).astype(np.float32)
+        attrs = zarrio.read_image_attrs(p)
+        return (
+            arr,
+            np.asarray(attrs["block_size"], dtype=np.float32),
+            np.asarray(attrs["block_stride"], dtype=np.float32),
+        )
+
     # ------------------------------------------------------ sofima flow field
     def save_local_sofima_flow_field(
         self,

@@ -175,14 +175,40 @@ class DataRegistration:
         )
         ds.save_local_round_transform_zyx_um(np.eye(4), tile=tile_idx, round=0)
 
+        # batch-deconvolve all moving rounds in one vmapped program
+        # (rounds are independent given the round-1 reference)
+        moving_raws = None
+        n_moving = ds.num_rounds - 1
+        if n_moving > 0:
+            moving_raws = np.stack(
+                [
+                    np.asarray(
+                        ds.load_local_corrected_image(tile=tile_idx, round=r),
+                        np.float32,
+                    )
+                    for r in range(1, ds.num_rounds)
+                ]
+            )
+            if fid_psf is not None and moving_raws.shape[2] <= self._crop_yx_decon:
+                from ..ops.rlgc import rlgc_batch
+
+                moving_decons = rlgc_batch(
+                    moving_raws, fid_psf, seed=42 + tile_idx + 1000,
+                    max_iters=self._decon_max_iters,
+                )
+            else:
+                moving_decons = np.stack(
+                    [
+                        self._deconvolve(
+                            moving_raws[i], fid_psf,
+                            seed=42 + tile_idx + (i + 1) * 1000,
+                        )
+                        for i in range(n_moving)
+                    ]
+                )
+
         for round_idx in range(1, ds.num_rounds):
-            moving_raw = np.asarray(
-                ds.load_local_corrected_image(tile=tile_idx, round=round_idx),
-                np.float32,
-            )
-            moving = self._deconvolve(
-                moving_raw, fid_psf, seed=42 + tile_idx + round_idx * 1000
-            )
+            moving = moving_decons[round_idx - 1]
             transform = register_pair_to_fixed(
                 reference, moving, spacing_zyx_um=self._spacing
             )

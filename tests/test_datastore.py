@@ -242,3 +242,15 @@ def test_ome_metadata_written(store):
     np.testing.assert_allclose(scale, [0.31, 0.098, 0.098])
     # extra attrs flat beside ome
     assert meta["attributes"]["psf_idx"] == 0
+
+
+def test_legacy_warpfield_roundtrip(store):
+    store.initialize_tile(0)
+    flow = np.random.default_rng(9).normal(size=(3, 4, 8, 8)).astype(np.float32)
+    store.save_coord_of_xform_px(
+        flow, tile=0, round=1, block_size=[8, 16, 16], block_stride=[4, 8, 8]
+    )
+    arr, bs, bst = store.load_coord_of_xform_px(tile=0, round=1)
+    np.testing.assert_array_equal(arr, flow)
+    np.testing.assert_allclose(bs, [8, 16, 16])
+    np.testing.assert_allclose(bst, [4, 8, 8])
