@@ -119,7 +119,7 @@ def _pad_const(x, size, axis, value):
     jax.jit,
     static_argnames=(
         "sigma", "magnitude_threshold", "distance_threshold",
-        "tile_z", "tile_y", "tile_x", "stages",
+        "tile_z", "tile_y", "tile_b", "stages",
     ),
 )
 def fused_lowpass_decode(
@@ -133,7 +133,7 @@ def fused_lowpass_decode(
     distance_threshold: float = 0.5176,
     tile_z: int = 2,
     tile_y: int = 8,
-    tile_x: int = 128,
+    tile_b: int = 1,
     stages: int = 3,  # profiling: stop after pass N (1 or 2) returning it raw
 ):
     """Returns (decoded int16, magnitude f16, distance f16, scaled f16)."""
@@ -152,10 +152,12 @@ def fused_lowpass_decode(
 
     nz_t = _round_up(nz, tile_z)
     ny_t = _round_up(ny, tile_y)
-    nx_t = _round_up(nx, tile_x)
+    nx_t = _round_up(nx, 128)  # lane alignment
     zp = nz_t + 2 * rz
     yp = ny_t + tile_y  # one extra block row covers the 2*ry halo
-    xp = _round_up(nx_t + 2 * rx, tile_x)
+    # every block spans the full padded X: contiguous DMA runs of xp*4 B
+    # (x-tiled blocks gave 512 B strided runs — DMA-bound)
+    xp = _round_up(nx_t + 2 * rx, 128)
 
     # ONE pad pass: symmetric reflection covers the conv halos; the extra
     # tile-alignment rows/cols also get symmetric values, but they are only
@@ -184,15 +186,15 @@ def fused_lowpass_decode(
     # ---- pass 1: z conv as MXU matmul → z-major (nz, bits, y, x)
     z_out = pl.pallas_call(
         _zconv_kernel,
-        grid=(yp // tile_y, xp // tile_x),
+        grid=(bits_p // tile_b, yp // tile_y),
         in_specs=[
-            pl.BlockSpec((bits_p, zp, tile_y, tile_x), lambda j, i: (0, 0, j, i),
+            pl.BlockSpec((tile_b, zp, tile_y, xp), lambda b, j: (b, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nz_t, zp), lambda j, i: (0, 0),
+            pl.BlockSpec((nz_t, zp), lambda b, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (nz_t, bits_p, tile_y, tile_x), lambda j, i: (0, 0, j, i),
+            (nz_t, tile_b, tile_y, xp), lambda b, j: (0, b, j, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nz_t, bits_p, yp, xp), jnp.float32),
@@ -203,17 +205,17 @@ def fused_lowpass_decode(
     # ---- pass 2: y conv via dual shifted blocks (y halo <= tile_y)
     y_out = pl.pallas_call(
         partial(_yconv_kernel, taps=int(ky.shape[0]), tile_y=tile_y),
-        grid=(nz_t // tile_z, ny_t // tile_y, xp // tile_x),
+        grid=(nz_t // tile_z, ny_t // tile_y),
         in_specs=[
-            pl.BlockSpec((tile_z, bits_p, tile_y, tile_x),
-                         lambda z, j, i: (z, 0, j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_z, bits_p, tile_y, tile_x),
-                         lambda z, j, i: (z, 0, j + 1, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, int(ky.shape[0])), lambda z, j, i: (0, 0),
+            pl.BlockSpec((tile_z, bits_p, tile_y, xp),
+                         lambda z, j: (z, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_z, bits_p, tile_y, xp),
+                         lambda z, j: (z, 0, j + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, int(ky.shape[0])), lambda z, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (tile_z, bits_p, tile_y, tile_x), lambda z, j, i: (z, 0, j, i),
+            (tile_z, bits_p, tile_y, xp), lambda z, j: (z, 0, j, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nz_t, bits_p, ny_t, xp), jnp.float32),
