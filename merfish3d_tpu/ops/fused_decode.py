@@ -119,7 +119,7 @@ def _pad_const(x, size, axis, value):
     jax.jit,
     static_argnames=(
         "sigma", "magnitude_threshold", "distance_threshold",
-        "tile_z", "tile_y", "tile_b", "stages",
+        "tile_z", "tile_y", "tile_b", "tile_y1", "stages",
     ),
 )
 def fused_lowpass_decode(
@@ -134,6 +134,7 @@ def fused_lowpass_decode(
     tile_z: int = 2,
     tile_y: int = 8,
     tile_b: int = 1,
+    tile_y1: int = 32,  # pass-1 y block (pass 1 has no y halo; bigger = fewer blocks)
     stages: int = 3,  # profiling: stop after pass N (1 or 2) returning it raw
 ):
     """Returns (decoded int16, magnitude f16, distance f16, scaled f16)."""
@@ -154,7 +155,9 @@ def fused_lowpass_decode(
     ny_t = _round_up(ny, tile_y)
     nx_t = _round_up(nx, 128)  # lane alignment
     zp = nz_t + 2 * rz
-    yp = ny_t + tile_y  # one extra block row covers the 2*ry halo
+    # one extra tile_y block row covers the 2*ry halo for pass 2's dual
+    # blocks; rounded up so pass 1's (larger) y blocks also tile it
+    yp = _round_up(ny_t + tile_y, tile_y1)
     # every block spans the full padded X: contiguous DMA runs of xp*4 B
     # (x-tiled blocks gave 512 B strided runs — DMA-bound)
     xp = _round_up(nx_t + 2 * rx, 128)
@@ -186,15 +189,15 @@ def fused_lowpass_decode(
     # ---- pass 1: z conv as MXU matmul → z-major (nz, bits, y, x)
     z_out = pl.pallas_call(
         _zconv_kernel,
-        grid=(bits_p // tile_b, yp // tile_y),
+        grid=(bits_p // tile_b, yp // tile_y1),
         in_specs=[
-            pl.BlockSpec((tile_b, zp, tile_y, xp), lambda b, j: (b, 0, j, 0),
+            pl.BlockSpec((tile_b, zp, tile_y1, xp), lambda b, j: (b, 0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nz_t, zp), lambda b, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (nz_t, tile_b, tile_y, xp), lambda b, j: (0, b, j, 0),
+            (nz_t, tile_b, tile_y1, xp), lambda b, j: (0, b, j, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nz_t, bits_p, yp, xp), jnp.float32),
