@@ -45,15 +45,23 @@ def _kernel_or_identity(sigma: float) -> np.ndarray:
 
 def _zconv_kernel(vol_ref, wz_ref, out_ref):
     """z conv as an MXU matmul: Wz (nz, zp) contracts the padded-z axis of
-    the (bits, zp, ty, tx) block → z-major (nz, bits, ty, tx) output.
-    25 unrolled VPU taps were the pipeline's hot spot; the banded matmul
-    moves them onto the systolic array."""
+    the (bits, zp, ty, tx) block → z-major (nz, bits, ty, tx) output."""
     out_ref[:] = jax.lax.dot_general(
         wz_ref[:],
         vol_ref[:],
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+
+def _zconv_taps_kernel(vol_ref, kern_ref, out_ref, *, taps: int, nz: int):
+    """z conv as unrolled VPU taps (alternative to the MXU banded matmul),
+    writing the same z-major output layout."""
+    # vol (tile_b, zp, ty, xp) → out (nz, tile_b, ty, xp)
+    acc = kern_ref[0, 0] * vol_ref[:, 0:nz]
+    for k in range(1, taps):
+        acc += kern_ref[0, k] * vol_ref[:, k : k + nz]
+    out_ref[:] = acc.transpose(1, 0, 2, 3)
 
 
 def _yconv_kernel(v0_ref, v1_ref, kern_ref, out_ref, *, taps: int, tile_y: int):
@@ -119,7 +127,7 @@ def _pad_const(x, size, axis, value):
     jax.jit,
     static_argnames=(
         "sigma", "magnitude_threshold", "distance_threshold",
-        "tile_z", "tile_y", "tile_b", "tile_y1", "stages",
+        "tile_z", "tile_y", "tile_b", "tile_y1", "stages", "z_mode",
     ),
 )
 def fused_lowpass_decode(
@@ -134,8 +142,9 @@ def fused_lowpass_decode(
     tile_z: int = 2,
     tile_y: int = 8,
     tile_b: int = 1,
-    tile_y1: int = 32,  # pass-1 y block (pass 1 has no y halo; bigger = fewer blocks)
-    stages: int = 3,  # profiling: stop after pass N (1 or 2) returning it raw
+    tile_y1: int = 8,  # pass-1 y block (pass 1 has no y halo)
+    stages: int = 3,  # profiling: stop after pass N (0=pad, 1, 2) returning it raw
+    z_mode: str = "dot",  # "dot" (MXU banded matmul) or "taps" (VPU)
 ):
     """Returns (decoded int16, magnitude f16, distance f16, scaled f16)."""
     bits, nz, ny, nx = volume.shape
@@ -178,6 +187,8 @@ def fused_lowpass_decode(
     )
     if bits_p > bits:
         padded = _pad_const(padded, bits_p, 0, 0.0)
+    if stages == 0:
+        return padded
 
     # banded z weight matrix: Wz[o, p] = kz[p - o], p - o in [0, 2rz]
     taps_z = int(kz_np.shape[0])
@@ -186,22 +197,31 @@ def fused_lowpass_decode(
         wz_np[o, o : o + taps_z] = kz_np
     wz = jnp.asarray(wz_np)
 
-    # ---- pass 1: z conv as MXU matmul → z-major (nz, bits, y, x)
+    # ---- pass 1: z conv → z-major (nz, bits, y, x)
+    if z_mode == "dot":
+        kernel1 = _zconv_kernel
+        weight1 = wz
+        w_spec = pl.BlockSpec((nz_t, zp), lambda b, j: (0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        kernel1 = partial(_zconv_taps_kernel, taps=taps_z, nz=nz_t)
+        weight1 = kz[None, :]
+        w_spec = pl.BlockSpec((1, taps_z), lambda b, j: (0, 0),
+                              memory_space=pltpu.VMEM)
     z_out = pl.pallas_call(
-        _zconv_kernel,
+        kernel1,
         grid=(bits_p // tile_b, yp // tile_y1),
         in_specs=[
             pl.BlockSpec((tile_b, zp, tile_y1, xp), lambda b, j: (b, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nz_t, zp), lambda b, j: (0, 0),
-                         memory_space=pltpu.VMEM),
+            w_spec,
         ],
         out_specs=pl.BlockSpec(
             (nz_t, tile_b, tile_y1, xp), lambda b, j: (0, b, j, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nz_t, bits_p, yp, xp), jnp.float32),
-    )(padded, wz)
+    )(padded, weight1)
     if stages == 1:
         return z_out
 
