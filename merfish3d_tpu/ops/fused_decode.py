@@ -103,6 +103,44 @@ def _xconv_decode_kernel(
     scaled_ref[:] = scaled.reshape(bits_p, tz, ty, nx)
 
 
+def _fast_symmetric_pad(volume: jnp.ndarray, widths) -> jnp.ndarray:
+    """Symmetric pad = one cheap constant `lax.pad` + reflected slice
+    updates for the halo shells.
+
+    XLA lowers mode="symmetric" to per-axis concatenates (measured ~58 ms
+    for a 2 GB volume on v5e) while a constant pad is a single fused op
+    (~10 ms); the halo shells are thin, so filling them with
+    `dynamic_update_slice`-style `.at[].set` reflections costs only their
+    own bytes. Falls back to `jnp.pad` when a pad width exceeds its axis
+    (multi-bounce reflection).
+    """
+    for (before, after), size in zip(widths, volume.shape):
+        if before > size or after > size:
+            return jnp.pad(volume, widths, mode="symmetric")
+    p = jnp.pad(volume, widths, constant_values=0.0)
+    # fill axes in order so corners compose reflections like np.pad
+    for axis, (before, after) in enumerate(widths):
+        idx_lo = [slice(None)] * p.ndim
+        idx_src_lo = [slice(None)] * p.ndim
+        if before > 0:
+            idx_lo[axis] = slice(0, before)
+            idx_src_lo[axis] = slice(before, 2 * before)
+            p = p.at[tuple(idx_lo)].set(
+                jnp.flip(p[tuple(idx_src_lo)], axis=axis)
+            )
+        if after > 0:
+            n = volume.shape[axis]
+            start = before + n
+            idx_hi = [slice(None)] * p.ndim
+            idx_src_hi = [slice(None)] * p.ndim
+            idx_hi[axis] = slice(start, start + after)
+            idx_src_hi[axis] = slice(start - after, start)
+            p = p.at[tuple(idx_hi)].set(
+                jnp.flip(p[tuple(idx_src_hi)], axis=axis)
+            )
+    return p
+
+
 def _pad_axis_to(x, size, axis, mode="edge"):
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -175,7 +213,7 @@ def fused_lowpass_decode(
     # tile-alignment rows/cols also get symmetric values, but they are only
     # ever context for outputs that get cropped, so any finite values work.
     # (Sequential per-axis pads each materialize a full HBM copy.)
-    padded = jnp.pad(
+    padded = _fast_symmetric_pad(
         volume,
         (
             (0, 0),
@@ -183,7 +221,6 @@ def fused_lowpass_decode(
             (ry, yp - ny - ry),
             (rx, xp - nx - rx),
         ),
-        mode="symmetric",
     )
     if bits_p > bits:
         padded = _pad_const(padded, bits_p, 0, 0.0)
