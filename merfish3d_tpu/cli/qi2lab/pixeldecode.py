@@ -86,6 +86,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--z-range", type=int, nargs=2, default=None)
     p.add_argument("--decode-run-key", type=str, default=None)
     p.add_argument("--num-gpus", type=int, default=1, help="compat flag")
+    p.add_argument(
+        "--optimize-filtering-only",
+        action=argparse.BooleanOptionalAction,
+        default=False,
+        help="re-filter existing per-tile decodes without re-decoding "
+        "(reference optimize_filtering re-entry)",
+    )
     return p
 
 
@@ -117,6 +124,12 @@ def decode_pixels(args) -> None:
         decode_run_key=args.decode_run_key,
         estimate_chromatic_affines=args.estimate_chromatic_affines,
     )
+    if args.optimize_filtering_only:
+        decoder.optimize_filtering(
+            filter_method=args.filter_method,
+            target_misid_rate=args.target_misid_rate,
+        )
+        return
     decoder.optimize_normalization_by_decoding(
         n_random_tiles=args.num_tiles,
         n_iterations=args.num_iterations,

@@ -54,15 +54,6 @@ def _zconv_kernel(vol_ref, wz_ref, out_ref):
     )
 
 
-def _zconv_taps_kernel(vol_ref, kern_ref, out_ref, *, taps: int, nz: int):
-    """z conv as unrolled VPU taps (alternative to the MXU banded matmul),
-    writing the same z-major output layout."""
-    # vol (tile_b, zp, ty, xp) → out (nz, tile_b, ty, xp)
-    acc = kern_ref[0, 0] * vol_ref[:, 0:nz]
-    for k in range(1, taps):
-        acc += kern_ref[0, k] * vol_ref[:, k : k + nz]
-    out_ref[:] = acc.transpose(1, 0, 2, 3)
-
 
 def _yconv_kernel(v0_ref, v1_ref, kern_ref, out_ref, *, taps: int, tile_y: int):
     # z-major blocks: (tz, bits, 2*ty, tx)
@@ -103,55 +94,6 @@ def _xconv_decode_kernel(
     scaled_ref[:] = scaled.reshape(bits_p, tz, ty, nx)
 
 
-def _fast_symmetric_pad(volume: jnp.ndarray, widths) -> jnp.ndarray:
-    """Symmetric pad = one cheap constant `lax.pad` + reflected slice
-    updates for the halo shells.
-
-    XLA lowers mode="symmetric" to per-axis concatenates (measured ~58 ms
-    for a 2 GB volume on v5e) while a constant pad is a single fused op
-    (~10 ms); the halo shells are thin, so filling them with
-    `dynamic_update_slice`-style `.at[].set` reflections costs only their
-    own bytes. Falls back to `jnp.pad` when a pad width exceeds its axis
-    (multi-bounce reflection).
-    """
-    for (before, after), size in zip(widths, volume.shape):
-        if before > size or after > size:
-            return jnp.pad(volume, widths, mode="symmetric")
-    p = jnp.pad(volume, widths, constant_values=0.0)
-    # fill axes in order so corners compose reflections like np.pad
-    for axis, (before, after) in enumerate(widths):
-        idx_lo = [slice(None)] * p.ndim
-        idx_src_lo = [slice(None)] * p.ndim
-        if before > 0:
-            idx_lo[axis] = slice(0, before)
-            idx_src_lo[axis] = slice(before, 2 * before)
-            p = p.at[tuple(idx_lo)].set(
-                jnp.flip(p[tuple(idx_src_lo)], axis=axis)
-            )
-        if after > 0:
-            n = volume.shape[axis]
-            start = before + n
-            idx_hi = [slice(None)] * p.ndim
-            idx_src_hi = [slice(None)] * p.ndim
-            idx_hi[axis] = slice(start, start + after)
-            idx_src_hi[axis] = slice(start - after, start)
-            p = p.at[tuple(idx_hi)].set(
-                jnp.flip(p[tuple(idx_src_hi)], axis=axis)
-            )
-    return p
-
-
-def _pad_axis_to(x, size, axis, mode="edge"):
-    pad = size - x.shape[axis]
-    if pad <= 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    if mode == "constant":
-        return jnp.pad(x, widths, constant_values=0.0)
-    return jnp.pad(x, widths, mode=mode)
-
-
 def _pad_const(x, size, axis, value):
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -165,7 +107,7 @@ def _pad_const(x, size, axis, value):
     jax.jit,
     static_argnames=(
         "sigma", "magnitude_threshold", "distance_threshold",
-        "tile_z", "tile_y", "tile_b", "tile_y1", "stages", "z_mode",
+        "tile_z", "tile_y", "tile_b", "tile_y1", "stages",
     ),
 )
 def fused_lowpass_decode(
@@ -182,7 +124,6 @@ def fused_lowpass_decode(
     tile_b: int = 1,
     tile_y1: int = 8,  # pass-1 y block (pass 1 has no y halo)
     stages: int = 3,  # profiling: stop after pass N (0=pad, 1, 2) returning it raw
-    z_mode: str = "dot",  # "dot" (MXU banded matmul) or "taps" (VPU)
 ):
     """Returns (decoded int16, magnitude f16, distance f16, scaled f16)."""
     bits, nz, ny, nx = volume.shape
@@ -209,56 +150,46 @@ def fused_lowpass_decode(
     # (x-tiled blocks gave 512 B strided runs — DMA-bound)
     xp = _round_up(nx_t + 2 * rx, 128)
 
-    # ONE pad pass: symmetric reflection covers the conv halos; the extra
-    # tile-alignment rows/cols also get symmetric values, but they are only
-    # ever context for outputs that get cropped, so any finite values work.
-    # (Sequential per-axis pads each materialize a full HBM copy.)
-    padded = _fast_symmetric_pad(
+    # Host pad covers only Y and X: the Z symmetric pad is a LINEAR map on
+    # the z axis, so it folds into the banded conv matrix below (no z-pad
+    # copy, no zp/nz read amplification in pass 1).
+    padded = jnp.pad(
         volume,
-        (
-            (0, 0),
-            (rz, zp - nz - rz),
-            (ry, yp - ny - ry),
-            (rx, xp - nx - rx),
-        ),
+        ((0, 0), (0, 0), (ry, yp - ny - ry), (rx, xp - nx - rx)),
+        mode="symmetric",
     )
     if bits_p > bits:
         padded = _pad_const(padded, bits_p, 0, 0.0)
     if stages == 0:
         return padded
 
-    # banded z weight matrix: Wz[o, p] = kz[p - o], p - o in [0, 2rz]
+    # banded z weights with the symmetric pad folded in:
+    # padded_z = S @ vol_z with S[p, i] = [idx[p] == i] where idx is the
+    # np.pad symmetric index map; Wz' = Wz_banded @ S has shape (nz_t, nz)
     taps_z = int(kz_np.shape[0])
-    wz_np = np.zeros((nz_t, zp), np.float32)
+    pad_idx = np.pad(np.arange(nz), (rz, zp - nz - rz), mode="symmetric")
+    wz_np = np.zeros((nz_t, nz), np.float32)
     for o in range(nz_t):
-        wz_np[o, o : o + taps_z] = kz_np
+        for k in range(taps_z):
+            wz_np[o, pad_idx[o + k]] += kz_np[k]
     wz = jnp.asarray(wz_np)
 
     # ---- pass 1: z conv → z-major (nz, bits, y, x)
-    if z_mode == "dot":
-        kernel1 = _zconv_kernel
-        weight1 = wz
-        w_spec = pl.BlockSpec((nz_t, zp), lambda b, j: (0, 0),
-                              memory_space=pltpu.VMEM)
-    else:
-        kernel1 = partial(_zconv_taps_kernel, taps=taps_z, nz=nz_t)
-        weight1 = kz[None, :]
-        w_spec = pl.BlockSpec((1, taps_z), lambda b, j: (0, 0),
-                              memory_space=pltpu.VMEM)
     z_out = pl.pallas_call(
-        kernel1,
+        _zconv_kernel,
         grid=(bits_p // tile_b, yp // tile_y1),
         in_specs=[
-            pl.BlockSpec((tile_b, zp, tile_y1, xp), lambda b, j: (b, 0, j, 0),
+            pl.BlockSpec((tile_b, nz, tile_y1, xp), lambda b, j: (b, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            w_spec,
+            pl.BlockSpec((nz_t, nz), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (nz_t, tile_b, tile_y1, xp), lambda b, j: (0, b, j, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nz_t, bits_p, yp, xp), jnp.float32),
-    )(padded, weight1)
+    )(padded, wz)
     if stages == 1:
         return z_out
 
