@@ -5,18 +5,24 @@ XLA's conv lowering keeps materializing bits-minor relayout copies (8x
 HBM padding) for the (bits, Z, Y, X) lowpass, so the hot path owns its
 layout explicitly with bits in sublanes and X in lanes throughout:
 
-1. one XLA symmetric pad (z, y, x), edge-extended to tile multiples,
-2. ``_zconv_kernel``  — grid (Y, X) tiles, full padded Z per block,
-3. ``_yconv_kernel``  — grid (Z, Y, X) tiles; the y halo is covered by
-   passing the input twice with block index maps ``j`` and ``j+1``
-   (requires ``tile_y >= 2*ry``), so all BlockSpecs stay non-overlapping,
-4. ``_xconv_decode_kernel`` — grid (Z, Y) tiles, full padded X per block,
-   fusing the x-conv with scale → clip → L2-normalize → MXU matmul →
-   argmax + threshold assignment; similarities never leave VMEM.
+1. one XLA symmetric pad for Y and X only — the Z symmetric pad is a
+   linear map on z and is FOLDED into the banded conv matrix (measured:
+   XLA's symmetric pad costs ~20 ms/axis on a 2 GB volume vs ~10 ms for
+   a single constant pad),
+2. ``_zconv_kernel``  — z conv as an MXU banded matmul ``Wz' (nz_t, nz)``
+   (boundary reflection included in the weights) producing the z-major
+   intermediate layout; grid over (bits, Y blocks),
+3. ``_yconv_kernel``  — the y halo is covered by passing the input twice
+   with block index maps ``j`` and ``j+1`` (requires ``tile_y >= 2*ry``),
+   so all BlockSpecs stay non-overlapping,
+4. ``_xconv_decode_kernel`` — grid (Z, Y) tiles, fusing the x-conv with
+   scale → clip → L2-normalize → MXU codebook matmul → argmax + threshold
+   assignment; similarities never leave VMEM.
 
-Each pass reads and writes the volume once (HBM-bandwidth bound).
-Numerics match ``gaussian_lowpass`` + ``decode_planes`` (tested in
-interpret mode on CPU and used by ``bench.py`` on TPU).
+Every block spans the full padded X (x-tiled blocks measured DMA-bound at
+512 B strided runs). Numerics match ``gaussian_lowpass`` +
+``decode_planes`` (tested in interpret mode on CPU; ``bench.py`` runs this
+on TPU).
 """
 
 from __future__ import annotations
@@ -65,14 +71,29 @@ def _yconv_kernel(v0_ref, v1_ref, kern_ref, out_ref, *, taps: int, tile_y: int):
 
 
 def _xconv_decode_kernel(
-    vol_ref, kern_ref, cb_ref, bg_ref, norm_ref, thr_ref,
+    vol_ref, kern_ref, exch_ref, cb_ref, bg_ref, norm_ref, thr_ref,
     decoded_ref, dist_ref, mag_ref, scaled_ref,
-    *, taps: int, nx: int,
+    *, taps: int, nx: int, rx: int,
 ):
-    # z-major block: (tz, bits, ty, xp)
-    acc = kern_ref[0, 0] * vol_ref[:, :, :, 0:nx]
+    # z-major block: (tz, bits, ty, nx_t); actual data in lanes [0, nx).
+    # The symmetric x halo is built in VMEM: flip == matmul with the
+    # (rx, rx) exchange matrix (lane-axis flips lower poorly on TPU).
+    vol = vol_ref[:, :, :, 0:nx]
+    if rx > 0:
+        left = jax.lax.dot_general(
+            vol_ref[:, :, :, 0:rx], exch_ref[:],
+            (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        right = jax.lax.dot_general(
+            vol_ref[:, :, :, nx - rx : nx], exch_ref[:],
+            (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        xped = jnp.concatenate([left, vol, right], axis=-1)
+    else:
+        xped = vol
+    acc = kern_ref[0, 0] * xped[:, :, :, 0:nx]
     for k in range(1, taps):
-        acc += kern_ref[0, k] * vol_ref[:, :, :, k : k + nx]
+        acc += kern_ref[0, k] * xped[:, :, :, k : k + nx]
     tz, bits_p, ty, _ = acc.shape
     # leading-dim transpose (tile relabeling, no intra-tile shuffle)
     traces = acc.transpose(1, 0, 2, 3).reshape(bits_p, tz * ty * nx)
@@ -87,11 +108,13 @@ def _xconv_decode_kernel(
     hi = thr_ref[0, 1]
     dthr = thr_ref[0, 2]
     assigned = (dist <= dthr) & (mag[0] >= lo) & (mag[0] <= hi)
-    decoded_ref[:] = jnp.where(assigned, best, -1).reshape(tz, ty, nx)
-    dist_ref[:] = dist.reshape(tz, ty, nx)
-    mag_ref[:] = mag.reshape(tz, ty, nx)
+    # partial-lane stores: block lanes beyond nx are alignment junk, cropped
+    # by the caller
+    decoded_ref[:, :, 0:nx] = jnp.where(assigned, best, -1).reshape(tz, ty, nx)
+    dist_ref[:, :, 0:nx] = dist.reshape(tz, ty, nx)
+    mag_ref[:, :, 0:nx] = mag.reshape(tz, ty, nx)
     # scaled is already bits-major out of the normalize step
-    scaled_ref[:] = scaled.reshape(bits_p, tz, ty, nx)
+    scaled_ref[:, :, :, 0:nx] = scaled.reshape(bits_p, tz, ty, nx)
 
 
 def _pad_const(x, size, axis, value):
@@ -146,16 +169,18 @@ def fused_lowpass_decode(
     # one extra tile_y block row covers the 2*ry halo for pass 2's dual
     # blocks; rounded up so pass 1's (larger) y blocks also tile it
     yp = _round_up(ny_t + tile_y, tile_y1)
-    # every block spans the full padded X: contiguous DMA runs of xp*4 B
-    # (x-tiled blocks gave 512 B strided runs — DMA-bound)
-    xp = _round_up(nx_t + 2 * rx, 128)
+    # every block spans the full (alignment-padded) X: contiguous DMA runs
+    # (x-tiled blocks gave 512 B strided runs — DMA-bound). The symmetric x
+    # HALO is built inside pass 3 (exchange-matrix flip), so X needs only
+    # lane alignment here.
+    xp = nx_t
 
-    # Host pad covers only Y and X: the Z symmetric pad is a LINEAR map on
-    # the z axis, so it folds into the banded conv matrix below (no z-pad
-    # copy, no zp/nz read amplification in pass 1).
+    # Host pad covers only Y (+ X lane alignment): the Z symmetric pad is a
+    # LINEAR map on z folded into the banded conv matrix below; the X halo
+    # is built in-kernel in pass 3.
     padded = jnp.pad(
         volume,
-        ((0, 0), (0, 0), (ry, yp - ny - ry), (rx, xp - nx - rx)),
+        ((0, 0), (0, 0), (ry, yp - ny - ry), (0, xp - nx)),
         mode="symmetric",
     )
     if bits_p > bits:
@@ -222,13 +247,16 @@ def fused_lowpass_decode(
         [[magnitude_threshold[0], magnitude_threshold[1], distance_threshold, 0.0]],
         jnp.float32,
     )
+    exch = jnp.asarray(np.eye(max(rx, 1), dtype=np.float32)[::-1].copy())
     decoded, dist, mag, scaled = pl.pallas_call(
-        partial(_xconv_decode_kernel, taps=int(kx.shape[0]), nx=nx_t),
+        partial(_xconv_decode_kernel, taps=int(kx.shape[0]), nx=nx, rx=rx),
         grid=(nz_t // tile_z, ny_t // tile_y),
         in_specs=[
             pl.BlockSpec((tile_z, bits_p, tile_y, xp),
                          lambda z, j: (z, 0, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, int(kx.shape[0])), lambda z, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(rx, 1), max(rx, 1)), lambda z, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((words_p, bits_p), lambda z, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -252,7 +280,7 @@ def fused_lowpass_decode(
             jax.ShapeDtypeStruct((nz_t, ny_t, nx_t), jnp.float32),
             jax.ShapeDtypeStruct((bits_p, nz_t, ny_t, nx_t), jnp.float32),
         ),
-    )(y_out, kx[None, :], cb_p, bg_p, norm_p, thr)
+    )(y_out, kx[None, :], exch, cb_p, bg_p, norm_p, thr)
 
     return (
         decoded[:nz, :ny, :nx].astype(jnp.int16),
