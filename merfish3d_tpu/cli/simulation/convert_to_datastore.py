@@ -92,12 +92,12 @@ def convert_data(
             img = np.load(tdir / f"bit{b + 1:03d}.npy").astype(np.float32)
             wl = tuple(meta["bit_wavelengths_um"][b])
             if inject_chromatic_aberration and not np.isclose(wl[1], reference_wl):
-                # sample the stored (aberrated) image so that applying the
-                # injected affine at decode time restores the true image:
-                # store image(p) = true(inv(A) p) → warp by inv(A)
+                # store stored(p) = true(A·p): decode applies inv(chromatic)
+                # (`decode_warping.compose_decode_warp_transform_zyx_um`), so
+                # the calibration that undoes this injection equals A itself
                 img = warp_affine(
                     img,
-                    transform_zyx_um=np.linalg.inv(injection_affine),
+                    transform_zyx_um=injection_affine,
                     spacing_zyx_um=spacing,
                     reference_shape=img.shape,
                 )

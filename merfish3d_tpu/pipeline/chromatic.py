@@ -320,6 +320,20 @@ def estimate_chromatic_affines_from_barcodes(
     reference_wl = unique_wl[0]
     spacing = np.asarray(datastore.voxel_size_zyx_um, dtype=np.float64)
 
+    # decode already applied the previous calibration, so the fit below
+    # measures the RESIDUAL aberration; the saved affine composes the
+    # residual with the previous one (reference `previous_chromatic_affines`
+    # handling, `PixelDecoder.py:1160-1180`)
+    previous_affines: dict[float, np.ndarray] = {}
+    prev_cal = datastore.load_chromatic_affine_transforms_zyx_um() or {}
+    for ch in prev_cal.get("channels", {}).values():
+        if isinstance(ch, dict) and ch.get("wavelength_um") is not None and ch.get(
+            "affine_zyx_um"
+        ) is not None:
+            previous_affines[float(ch["wavelength_um"])] = np.asarray(
+                ch["affine_zyx_um"], dtype=np.float64
+            )
+
     n = len(table)
     on_bit_cols = [c for c in ("on_bit_1", "on_bit_2", "on_bit_3", "on_bit_4") if c in table]
     centers_by_wl, weights_by_wl, valid_by_wl = {}, {}, {}
@@ -421,10 +435,14 @@ def estimate_chromatic_affines_from_barcodes(
         while queue and not found:
             current, path, composed = queue.pop(0)
             if np.isclose(current, reference_wl):
-                if not _plausible(composed, spacing, config):
+                prev = previous_affines.get(wl, np.eye(4))
+                cumulative = (composed.astype(np.float64) @ prev).astype(
+                    np.float32
+                )
+                if not _plausible(cumulative, spacing, config):
                     status[wl] = "implausible_affine_rejected"
                     break
-                affines[wl] = composed
+                affines[wl] = cumulative
                 status[wl] = "affine_estimated"
                 pair_count = 0
                 path_fits = []
@@ -453,7 +471,8 @@ def estimate_chromatic_affines_from_barcodes(
                     (nxt, path + [nxt], edge_affines[(current, nxt)] @ composed)
                 )
         if wl not in affines:
-            affines[wl] = np.eye(4, dtype=np.float32)
+            # keep the previous calibration when no new fit is available
+            affines[wl] = previous_affines.get(wl, np.eye(4)).astype(np.float32)
             status.setdefault(wl, "no_path_to_reference")
 
     channels = {}

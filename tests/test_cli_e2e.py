@@ -156,3 +156,54 @@ def test_nyquist_defaults(workspace):
     _, _, ds = workspace
     assert default_minimum_pixels(ds) == 16  # 3D
     assert default_magnitude_threshold(ds) == (1.5, 10.0)
+
+
+def test_chromatic_injection_recovery(tmp_path_factory):
+    """Synthetic chromatic aberration injected at datastore conversion
+    (reference `convert_to_datastore.py:42-183`) must be recovered by the
+    decode-time RNA-derived chromatic estimator."""
+    root = tmp_path_factory.mktemp("chromatic")
+    raw = root / "raw"
+    sim_convert.write_raw_experiment(
+        raw, shape=(10, 128, 128), n_spots=120, n_genes=20, n_blanks=4, seed=3
+    )
+    injection = sim_datastore.make_injection_affine(
+        z_shift_um=0.15, yx_scale=1.0, y_shift_um=0.3, x_shift_um=-0.25
+    )
+    ds = sim_datastore.convert_data(
+        raw, root, inject_chromatic_aberration=True,
+        injection_affine=injection,
+    )
+    # identity registration: copy corrected → decon, unit probability
+    for b in range(ds.num_bits):
+        img = ds.load_local_corrected_image(tile=0, bit=b)
+        ds.save_local_registered_image(img, tile=0, bit=b)
+        ds.save_local_feature_predictor_image(
+            np.ones(np.asarray(img).shape, np.float32), tile=0, bit=b
+        )
+    for r in range(ds.num_rounds):
+        img = ds.load_local_corrected_image(tile=0, round=r)
+        ds.save_local_registered_image(img, tile=0, round=r)
+        ds.save_local_round_transform_zyx_um(np.eye(4), tile=0, round=r)
+
+    from merfish3d_tpu.pipeline.decoder import PixelDecoder
+
+    decoder = PixelDecoder(
+        ds, minimum_pixels=4, magnitude_threshold=(0.9, 10.0), verbose=0,
+        estimate_chromatic_affines=True,
+    )
+    decoder.optimize_normalization_by_decoding(n_random_tiles=1, n_iterations=3)
+    calibration = ds.load_chromatic_affine_transforms_zyx_um()
+    channels = calibration.get("channels", {})
+    non_ref = [c for c in channels.values() if not c.get("reference_channel")]
+    assert non_ref, channels
+    est = np.asarray(non_ref[0]["affine_zyx_um"])
+    assert non_ref[0]["status"] in ("affine_estimated", "identity_initialization")
+    if non_ref[0]["status"] == "affine_estimated":
+        np.testing.assert_allclose(est[:3, 3], injection[:3, 3], atol=0.12)
+
+    # decode with the estimated correction: F1 should be high
+    df = decoder.decode_all_tiles(filter_method="blank_fraction")
+    gt = pd.read_csv(raw / "GT_spots.csv")
+    result = match_spots_f1(df, gt, radius_um=1.0)
+    assert result["f1"] >= 0.8, result
