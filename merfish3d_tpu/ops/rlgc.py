@@ -41,6 +41,33 @@ from .fftutils import (
 _EPS_KLD = 1e-4
 
 
+def _binomial_half(key: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:
+    """Fast Binomial(n, 1/2) sampler for photon-count splitting.
+
+    ``jax.random.binomial`` lowers to per-element rejection sampling that is
+    catastrophically slow on TPU (measured ~15 s per RLGC iteration). This
+    sampler is exact for n <= 32 — popcount of n masked uniform random bits
+    IS a Binomial(n, 1/2) draw — and uses the rounded normal approximation
+    (mean n/2, var n/4) beyond, where it is statistically indistinguishable
+    for the split-KLD stopping rule (SURVEY.md §7: validate stopping
+    statistically, not bitwise).
+    """
+    k_bits, k_norm = jax.random.split(key)
+    n = counts.astype(jnp.int32)
+    bits = jax.random.bits(k_bits, n.shape, jnp.uint32)
+    n_small = jnp.clip(n, 0, 32).astype(jnp.uint32)
+    mask = jnp.where(
+        n_small >= 32,
+        jnp.uint32(0xFFFFFFFF),
+        (jnp.uint32(1) << n_small) - jnp.uint32(1),
+    )
+    exact = jax.lax.population_count(bits & mask).astype(jnp.float32)
+    nf = n.astype(jnp.float32)
+    z = jax.random.normal(k_norm, n.shape, jnp.float32)
+    approx = jnp.clip(jnp.round(0.5 * nf + jnp.sqrt(0.25 * nf) * z), 0.0, nf)
+    return jnp.where(n <= 32, exact, approx)
+
+
 def _kl_div(p: jnp.ndarray, q: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Masked KLD with eps smoothing (reference `rlgc.py:389-419`)."""
     p = (p + _EPS_KLD) * mask
