@@ -119,9 +119,7 @@ def _rlgc_core(
     def body(carry):
         recon, prev_recon, prev_kld1, prev_kld2, it, _ = carry
         iter_key = jax.random.fold_in(key, it)
-        split1 = jax.random.binomial(
-            iter_key, observed_int, 0.5, dtype=jnp.float32
-        )
+        split1 = _binomial_half(iter_key, observed_int)
         split2 = observed - split1
 
         Hu = fft_conv(recon, otf, shape)
@@ -132,29 +130,38 @@ def _rlgc_core(
         else:
             should_restore = (kld1 > prev_kld1) & (kld2 > prev_kld2)
 
-        def do_restore(_):
-            return prev_recon, prev_recon, prev_kld1, prev_kld2, it, jnp.bool_(True)
+        # Branchless restore: `lax.cond` with FFT-heavy branches inside a
+        # TPU while_loop measured an ~86x slowdown (7.3 s vs 85 ms per
+        # iteration), so the update is always computed and the restore is
+        # an elementwise select — the same cost profile as the reference,
+        # which also evaluates the KLDs before deciding (`rlgc.py:627-660`).
+        denom = 0.5 * (Hu + 1e-12)
+        ht1 = fft_conv(mask * (split1 / denom), otf_t, shape) / update_norm
+        ht2 = fft_conv(mask * (split2 / denom), otf_t, shape) / update_norm
+        ht = ht1 + ht2
+        consensus = fft_conv((ht1 - 1.0) * (ht2 - 1.0), otf_otf_t, shape)
+        # consensus-gated multiplicative update (`rlgc.py:23-31,693`)
+        updated = jnp.where(consensus < 0, recon, recon * ht)
+        updated = enforce_symmetric_boundary(updated, pad_width)
 
-        def do_update(_):
-            denom = 0.5 * (Hu + 1e-12)
-            ht1 = fft_conv(mask * (split1 / denom), otf_t, shape) / update_norm
-            ht2 = fft_conv(mask * (split2 / denom), otf_t, shape) / update_norm
-            ht = ht1 + ht2
-            consensus = fft_conv((ht1 - 1.0) * (ht2 - 1.0), otf_otf_t, shape)
-            # consensus-gated multiplicative update (`rlgc.py:23-31,693`)
-            new_recon = jnp.where(consensus < 0, recon, recon * ht)
-            new_recon = enforce_symmetric_boundary(new_recon, pad_width)
+        num_updated = jnp.sum((consensus >= 0) * mask)
+        updated_fraction = num_updated / num_pixels
+        obs_new = updated * mask
+        obs_old = recon * mask
+        recon_max = jnp.maximum(jnp.max(obs_new), 1e-12)
+        max_rel_delta = jnp.max(jnp.abs(obs_new - obs_old) / recon_max)
+        converged = (updated_fraction < limit) | (max_rel_delta < max_delta)
 
-            num_updated = jnp.sum((consensus >= 0) * mask)
-            updated_fraction = num_updated / num_pixels
-            obs_new = new_recon * mask
-            obs_old = recon * mask
-            recon_max = jnp.maximum(jnp.max(obs_new), 1e-12)
-            max_rel_delta = jnp.max(jnp.abs(obs_new - obs_old) / recon_max)
-            done = (updated_fraction < limit) | (max_rel_delta < max_delta)
-            return new_recon, recon, kld1, kld2, it + 1, done
-
-        return jax.lax.cond(should_restore, do_restore, do_update, None)
+        new_recon = jnp.where(should_restore, prev_recon, updated)
+        new_prev = jnp.where(should_restore, prev_recon, recon)
+        return (
+            new_recon,
+            new_prev,
+            jnp.where(should_restore, prev_kld1, kld1),
+            jnp.where(should_restore, prev_kld2, kld2),
+            it + jnp.where(should_restore, 0, 1),
+            should_restore | converged,
+        )
 
     carry = (
         init_recon,
@@ -303,7 +310,7 @@ def rlgc_diagnostics(
 
     @jax.jit
     def iteration(recon, key):
-        split1 = jax.random.binomial(key, observed_int, 0.5, dtype=jnp.float32)
+        split1 = _binomial_half(key, observed_int)
         split2 = padded - split1
         Hu = fft_conv(recon, otf, shape)
         kld1 = _kl_div(Hu, split1, mask)
