@@ -23,7 +23,6 @@ replacement for the reference's per-bit, per-plane ONNX sessions.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 import flax.linen as nn

@@ -12,7 +12,7 @@ matplotlib.path point-in-polygon instead of shapely/rtree).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import pandas as pd

@@ -11,7 +11,7 @@ psfmodels).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 from scipy.spatial import cKDTree

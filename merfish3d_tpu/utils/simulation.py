@@ -12,8 +12,6 @@ Used by the E2E regression/benchmark harness (SURVEY.md §4.4) since the
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 
