@@ -207,3 +207,41 @@ def test_chromatic_injection_recovery(tmp_path_factory):
     gt = pd.read_csv(raw / "GT_spots.csv")
     result = match_spots_f1(df, gt, radius_um=1.0)
     assert result["f1"] >= 0.8, result
+
+
+def test_cli_subprocess_entry_points(tmp_path):
+    """The CLI modules run as scripts (python -m ...) end to end on a tiny
+    dataset: convert → datastore → f1score."""
+    import subprocess
+    import sys
+
+    env = dict(__import__("os").environ)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    def run(args):
+        proc = subprocess.run(
+            [sys.executable, "-m"] + args, capture_output=True, text=True,
+            env=env, cwd=str(Path(__file__).parent.parent), timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return proc
+
+    raw = tmp_path / "raw"
+    run([
+        "merfish3d_tpu.cli.simulation.convert_simulation_to_experiment",
+        "--generate", "--output-dir", str(raw),
+        "--shape-zyx", "6", "48", "48", "--n-spots", "20",
+    ])
+    assert (raw / "GT_spots.csv").exists()
+    run([
+        "merfish3d_tpu.cli.simulation.convert_to_datastore",
+        "--input-dir", str(raw), "--output-dir", str(tmp_path),
+    ])
+    assert (tmp_path / "qi2labdatastore" / "datastore_state.json").exists()
+    proc = run([
+        "merfish3d_tpu.cli.simulation.calculate_f1",
+        "--decoded", str(raw / "GT_spots.csv"),
+        "--ground-truth", str(raw / "GT_spots.csv"),
+    ])
+    result = json.loads(proc.stdout[proc.stdout.index("{"):])
+    assert result["f1"] == 1.0  # GT vs itself
