@@ -54,6 +54,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, i64p,
         ]
         lib.greedy_match.restype = ctypes.c_int64
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.label_components_3d.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, i64p,
+        ]
+        lib.label_components_3d.restype = None
         _lib = lib
     except Exception:
         _load_failed = True
@@ -112,6 +118,30 @@ def points_in_polygon(points_yx: np.ndarray, polygon_yx: np.ndarray) -> np.ndarr
     from matplotlib.path import Path as MplPath
 
     return MplPath(poly).contains_points(pts)
+
+
+def label_components(decoded: np.ndarray, use_2d: bool = False) -> np.ndarray:
+    """Connected components of equal decoded values (26-conn 3D or 8-conn
+    per plane). Returns int64 root linear indices (-1 background) — same
+    contract as ``ops.cc.label_connected``. Native single-pass union-find;
+    falls back to the device kernel when no compiler is available."""
+    dec = np.ascontiguousarray(np.asarray(decoded, np.int32))
+    lib = _load()
+    if lib is not None:
+        labels = np.empty(dec.size, np.int64)
+        nz, ny, nx = dec.shape
+        lib.label_components_3d(
+            _ptr(dec, ctypes.c_int32), nz, ny, nx, int(use_2d),
+            _ptr(labels, ctypes.c_int64),
+        )
+        return labels.reshape(dec.shape)
+    import jax.numpy as jnp
+
+    from ..ops.cc import label_connected
+
+    return np.asarray(
+        label_connected(jnp.asarray(dec), use_2d=use_2d), np.int64
+    )
 
 
 def greedy_match(

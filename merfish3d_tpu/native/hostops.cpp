@@ -94,4 +94,61 @@ int64_t greedy_match(const int64_t* pair_src, const int64_t* pair_dst,
     return count;
 }
 
+// Connected components of equal-value voxels in a 3D volume.
+// decoded: int32 (nz*ny*nx), background = -1. connectivity: 26 (3D) or
+// 8 per z-plane when use_2d != 0 (the reference 2D mode,
+// `PixelDecoder.py:2515-2541`). Writes root linear indices into labels
+// (int64, -1 for background) — the same contract as the Pallas
+// label_connected kernel. Single pass with union-find (path halving).
+void label_components_3d(const int32_t* decoded, int64_t nz, int64_t ny,
+                         int64_t nx, int32_t use_2d, int64_t* labels) {
+    const int64_t n = nz * ny * nx;
+    std::vector<int64_t> parent(n);
+    for (int64_t i = 0; i < n; ++i) parent[i] = i;
+    auto find = [&](int64_t x) {
+        while (parent[x] != x) {
+            parent[x] = parent[parent[x]];
+            x = parent[x];
+        }
+        return x;
+    };
+    auto unite = [&](int64_t a, int64_t b) {
+        a = find(a);
+        b = find(b);
+        if (a != b) parent[std::max(a, b)] = std::min(a, b);
+    };
+    const int64_t sy = nx, sz = ny * nx;
+    // half-neighborhood offsets (each edge visited once)
+    for (int64_t z = 0; z < nz; ++z) {
+        for (int64_t y = 0; y < ny; ++y) {
+            const int64_t row = z * sz + y * sy;
+            for (int64_t x = 0; x < nx; ++x) {
+                const int64_t i = row + x;
+                const int32_t v = decoded[i];
+                if (v < 0) continue;
+                // in-plane: left, up-left, up, up-right
+                if (x > 0 && decoded[i - 1] == v) unite(i, i - 1);
+                if (y > 0) {
+                    if (decoded[i - sy] == v) unite(i, i - sy);
+                    if (x > 0 && decoded[i - sy - 1] == v) unite(i, i - sy - 1);
+                    if (x + 1 < nx && decoded[i - sy + 1] == v)
+                        unite(i, i - sy + 1);
+                }
+                if (!use_2d && z > 0) {
+                    for (int64_t dy = -1; dy <= 1; ++dy) {
+                        if (y + dy < 0 || y + dy >= ny) continue;
+                        for (int64_t dx = -1; dx <= 1; ++dx) {
+                            if (x + dx < 0 || x + dx >= nx) continue;
+                            const int64_t j = i - sz + dy * sy + dx;
+                            if (decoded[j] == v) unite(i, j);
+                        }
+                    }
+                }
+            }
+        }
+    }
+    for (int64_t i = 0; i < n; ++i)
+        labels[i] = decoded[i] < 0 ? -1 : find(i);
+}
+
 }  // extern "C"

@@ -381,27 +381,25 @@ class PixelDecoder:
         tile_idx: int,
     ) -> pd.DataFrame:
         """Connected components + region features → decoded-features rows
-        (reference `_extract_barcodes:2476-2770`)."""
-        labels = cc_ops.label_connected(
-            jnp.asarray(decoded.astype(np.int32)), use_2d=not self._is_3D
+        (reference `_extract_barcodes:2476-2770`).
+
+        Hybrid host path: native C++ union-find labeling + numpy bincount
+        regionprops over the assigned voxels (device label propagation
+        measured gather-bound on TPU; `ops.cc` keeps the device kernels)."""
+        from ..native import label_components
+
+        labels = label_components(
+            decoded.astype(np.int32), use_2d=not self._is_3D
         )
-        stats = cc_ops.component_stats(
-            jnp.asarray(decoded.astype(np.int32)),
+        stats = cc_ops.component_stats_host(
+            decoded.astype(np.int32),
             labels,
-            jnp.asarray(distance.astype(np.float32)),
-            jnp.asarray(magnitude.astype(np.float32)),
-            jnp.asarray(intensity),
-            capacity=self._component_capacity,
+            distance.astype(np.float32),
+            magnitude.astype(np.float32),
+            np.asarray(intensity, np.float32),
+            collect_weighted_centroids=self._collect_chromatic_centroids,
         )
         valid = np.asarray(stats["valid"])
-        if valid.sum() >= self._component_capacity:
-            import warnings
-
-            warnings.warn(
-                f"component capacity {self._component_capacity} saturated; "
-                "increase component_capacity to avoid dropping transcripts",
-                stacklevel=2,
-            )
         area = np.asarray(stats["area"])[valid]
         if valid.sum() == 0:
             return self._empty_barcode_frame()

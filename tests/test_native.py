@@ -49,3 +49,70 @@ def test_greedy_match():
     assert (1, 0) in chosen  # closest pair first
     assert (0, 1) in chosen  # remaining source takes remaining target
     assert len(accepted) == 2
+
+
+def test_label_components_matches_device_kernel():
+    """Native union-find labeling must agree with the Pallas/jnp device
+    kernel (same root-linear-index contract)."""
+    import jax.numpy as jnp
+
+    from merfish3d_tpu.ops.cc import label_connected
+
+    rng = np.random.default_rng(0)
+    decoded = np.full((6, 20, 20), -1, np.int16)
+    for g in range(4):
+        m = rng.random(decoded.shape) > 0.85
+        decoded[m] = g
+    host = native.label_components(decoded)
+    device = np.asarray(label_connected(jnp.asarray(decoded)))
+    np.testing.assert_array_equal(host, device.astype(np.int64))
+    # 2D mode
+    host2 = native.label_components(decoded, use_2d=True)
+    device2 = np.asarray(label_connected(jnp.asarray(decoded), use_2d=True))
+    np.testing.assert_array_equal(host2, device2.astype(np.int64))
+
+
+def test_component_stats_host_matches_device():
+    import jax.numpy as jnp
+
+    from merfish3d_tpu.ops.cc import component_stats, component_stats_host
+
+    rng = np.random.default_rng(1)
+    decoded = np.full((4, 16, 16), -1, np.int16)
+    decoded[1, 2:5, 2:5] = 3
+    decoded[2, 10:12, 10:13] = 7
+    labels = native.label_components(decoded)
+    distance = rng.random(decoded.shape).astype(np.float32)
+    magnitude = rng.random(decoded.shape).astype(np.float32) * 3
+    scaled = rng.random((4, *decoded.shape)).astype(np.float32)
+    host = component_stats_host(
+        decoded, labels, distance, magnitude, scaled,
+        collect_weighted_centroids=True,
+    )
+    dev = component_stats(
+        jnp.asarray(decoded.astype(np.int32)), jnp.asarray(labels.astype(np.int32)),
+        jnp.asarray(distance), jnp.asarray(magnitude), jnp.asarray(scaled),
+        capacity=16,
+    )
+    dvalid = np.asarray(dev["valid"])
+    assert host["valid"].sum() == dvalid.sum() == 2
+    for key in ("area", "distance_min", "magnitude_mean", "codeword"):
+        np.testing.assert_allclose(
+            host[key], np.asarray(dev[key])[dvalid], rtol=1e-5, atol=1e-5
+        )
+    np.testing.assert_allclose(
+        host["centroid_zyx"], np.asarray(dev["centroid_zyx"])[dvalid],
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        host["bit_means"], np.asarray(dev["bit_means"])[:, dvalid],
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        host["moments"], np.asarray(dev["moments"])[dvalid], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        host["bit_w_coord_sums"],
+        np.asarray(dev["bit_w_coord_sums"])[:, dvalid],
+        rtol=1e-4, atol=1e-4,
+    )
