@@ -229,17 +229,20 @@ def component_stats_host(
     area = wsum(np.ones_like(z))
     safe = np.maximum(area, 1.0)
     cz, cy, cx = wsum(z) / safe, wsum(y) / safe, wsum(x) / safe
-    dist_fg = np.asarray(distance, np.float64).ravel()[lin]
+    dist_fg = np.asarray(distance).ravel()[lin].astype(np.float64)
     order = np.lexsort((dist_fg, idx))
     first_of = np.searchsorted(idx[order], np.arange(n))
     dist_min = dist_fg[order][first_of]
-    mag_mean = wsum(np.asarray(magnitude, np.float64).ravel()[lin]) / safe
+    mag_mean = wsum(np.asarray(magnitude).ravel()[lin].astype(np.float64)) / safe
     codeword = np.asarray(decoded).ravel()[lin[first_idx]].astype(np.int32)
 
     bits = scaled.shape[0]
-    bit_sums = np.stack(
-        [wsum(np.asarray(scaled[b], np.float64).ravel()[lin]) for b in range(bits)]
+    # gather the foreground voxels FIRST, cast second (a full-volume
+    # float64 cast costs ~1 GB/bit; the foreground is <<1% of the volume)
+    bit_fg = np.stack(
+        [np.asarray(scaled[b]).ravel()[lin].astype(np.float64) for b in range(bits)]
     )
+    bit_sums = np.stack([wsum(bit_fg[b]) for b in range(bits)])
     bit_means = bit_sums / safe[None, :]
 
     m_zz = wsum(z * z) / safe - cz * cz
@@ -266,11 +269,7 @@ def component_stats_host(
         w_sums = np.stack(
             [
                 np.stack(
-                    [
-                        wsum(np.asarray(scaled[b], np.float64).ravel()[lin] * c)
-                        for c in (z, y, x)
-                    ],
-                    axis=-1,
+                    [wsum(bit_fg[b] * c) for c in (z, y, x)], axis=-1
                 )
                 for b in range(bits)
             ]
