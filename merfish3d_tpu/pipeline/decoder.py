@@ -313,16 +313,15 @@ class PixelDecoder:
             save=save,
         )
 
-    def _decode_loaded_tile(
+    def _device_decode(
         self,
-        tile_idx: int,
         loaded: dict,
         *,
         lowpass_sigma=DEFAULT_DECODE_LOWPASS_SIGMA,
         optimize_normalization_weights: bool = False,
-        save: bool = True,
-    ) -> pd.DataFrame:
-        self._apply_tile_state(loaded)
+    ):
+        """Device portion of a tile decode: lowpass + nearest-codeword.
+        Returns (decoded, mag, dist, intensity) host arrays."""
         norm, bg = self._prepare_normalization_state()
         image_data = loaded["image_data"]
         sigma = self._effective_lowpass_sigma(lowpass_sigma)
@@ -365,12 +364,36 @@ class PixelDecoder:
             # intensity source: raw lowpassed data during normalization
             # optimization, scaled traces otherwise (`PixelDecoder.py:2503-2510`)
             intensity = image_lp if optimize_normalization_weights else scaled
-        df = self._extract_barcodes(
-            decoded, mag, dist, intensity.astype(np.float32), tile_idx
+        return decoded, mag, dist, np.asarray(intensity, np.float32)
+
+    def _decode_loaded_tile(
+        self,
+        tile_idx: int,
+        loaded: dict,
+        *,
+        lowpass_sigma=DEFAULT_DECODE_LOWPASS_SIGMA,
+        optimize_normalization_weights: bool = False,
+        save: bool = True,
+    ) -> pd.DataFrame:
+        self._apply_tile_state(loaded)
+        decoded, mag, dist, intensity = self._device_decode(
+            loaded,
+            lowpass_sigma=lowpass_sigma,
+            optimize_normalization_weights=optimize_normalization_weights,
         )
+        df = self._extract_barcodes(decoded, mag, dist, intensity, tile_idx)
         if save:
             self._datastore.save_local_decoded_spots(df, tile_idx)
         return df
+
+    def _tile_state_snapshot(self) -> dict:
+        return {
+            "z_crop_offset": getattr(self, "_z_crop_offset", 0),
+            "spacing": self._spacing,
+            "origin": self._origin,
+            "affine": self._affine,
+            "camera_to_stage_affine": self._camera_to_stage_affine,
+        }
 
     def _extract_barcodes(
         self,
@@ -379,6 +402,7 @@ class PixelDecoder:
         distance: np.ndarray,
         intensity: np.ndarray,  # (bits, Z, Y, X)
         tile_idx: int,
+        tile_state: Optional[dict] = None,
     ) -> pd.DataFrame:
         """Connected components + region features → decoded-features rows
         (reference `_extract_barcodes:2476-2770`).
@@ -388,6 +412,7 @@ class PixelDecoder:
         measured gather-bound on TPU; `ops.cc` keeps the device kernels)."""
         from ..native import label_components
 
+        state = tile_state or self._tile_state_snapshot()
         labels = label_components(
             decoded.astype(np.int32), use_2d=not self._is_3D
         )
@@ -471,14 +496,14 @@ class PixelDecoder:
                     df.loc[row, f"bit{b + 1:02d}_intensity_sum"] = wsum
 
         # z-crop re-offset (`_decoded_z_to_source_z`)
-        if getattr(self, "_z_crop_offset", 0):
-            df["z"] = df["z"] + float(self._z_crop_offset)
+        if state["z_crop_offset"]:
+            df["z"] = df["z"] + float(state["z_crop_offset"])
         df["tile_z"] = np.round(df["z"], 0).astype(int)
         df["tile_y"] = np.round(df["y"], 0).astype(int)
         df["tile_x"] = np.round(df["x"], 0).astype(int)
 
         pts = df[["z", "y", "x"]].to_numpy(dtype=np.float64)
-        pts = self._warp_pixels(pts)
+        pts = self._warp_pixels(pts, state)
         df["global_z"] = np.round(pts[:, 0], 2)
         df["global_y"] = np.round(pts[:, 1], 2)
         df["global_x"] = np.round(pts[:, 2], 2)
@@ -503,14 +528,15 @@ class PixelDecoder:
             )
         return df
 
-    def _warp_pixels(self, pts: np.ndarray) -> np.ndarray:
+    def _warp_pixels(self, pts: np.ndarray, state: Optional[dict] = None) -> np.ndarray:
         """pixel → µm → camera-to-stage → global affine
         (reference `_warp_pixel:2266-2305`)."""
-        out = pts * self._spacing[None, :] + self._origin[None, :]
+        state = state or self._tile_state_snapshot()
+        out = pts * state["spacing"][None, :] + state["origin"][None, :]
         homo = np.concatenate([out, np.ones((len(out), 1))], axis=1)
-        out = (self._camera_to_stage_affine @ homo.T).T[:, :3]
+        out = (state["camera_to_stage_affine"] @ homo.T).T[:, :3]
         homo = np.concatenate([out, np.ones((len(out), 1))], axis=1)
-        return (self._affine @ homo.T).T[:, :3]
+        return (state["affine"] @ homo.T).T[:, :3]
 
     def _empty_barcode_frame(self) -> pd.DataFrame:
         cols = (
@@ -641,18 +667,39 @@ class PixelDecoder:
     ) -> pd.DataFrame:
         """Decode every tile, then filter/dedup/assign and save the global
         filtered table (reference `decode_all_tiles:4310-4422`)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..datastore.prefetch import TilePrefetcher
 
         ds = self._datastore
         n_tiles = len(ds.tile_ids)
-        # double-buffered tile streaming: the next tile's zarr reads +
-        # decode-warp run on host threads while the TPU decodes the
-        # current tile (replaces the reference's per-GPU worker processes)
+        # three-stage host/device pipeline (the reference's per-GPU worker
+        # processes → threads + device queue): tile t+1's zarr reads run
+        # ahead (prefetcher), the TPU decodes tile t, and tile t-1's
+        # connected components / region stats / parquet save run on an
+        # extraction thread with an explicit tile-state snapshot
         prefetcher = TilePrefetcher(self._load_bit_data_for, range(n_tiles), depth=1)
-        for tile_idx, image_data in prefetcher:
-            self._decode_loaded_tile(
-                tile_idx, image_data, lowpass_sigma=lowpass_sigma, save=True
+
+        def extract_and_save(tile_idx, arrays, state):
+            decoded, mag, dist, intensity = arrays
+            df = self._extract_barcodes(
+                decoded, mag, dist, intensity, tile_idx, tile_state=state
             )
+            ds.save_local_decoded_spots(df, tile_idx)
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = []
+            for tile_idx, loaded in prefetcher:
+                self._apply_tile_state(loaded)
+                arrays = self._device_decode(loaded, lowpass_sigma=lowpass_sigma)
+                pending.append(
+                    pool.submit(
+                        extract_and_save, tile_idx, arrays,
+                        self._tile_state_snapshot(),
+                    )
+                )
+            for fut in pending:
+                fut.result()
         frames = [
             ds.load_local_decoded_spots(t)
             for t in range(len(ds.tile_ids))
