@@ -159,7 +159,7 @@ def _rlgc_core(
             new_prev,
             jnp.where(should_restore, prev_kld1, kld1),
             jnp.where(should_restore, prev_kld2, kld2),
-            it + jnp.where(should_restore, 0, 1),
+            it + jnp.where(should_restore, jnp.int32(0), jnp.int32(1)),
             should_restore | converged,
         )
 
