@@ -245,3 +245,20 @@ def test_cli_subprocess_entry_points(tmp_path):
     ])
     result = json.loads(proc.stdout[proc.stdout.index("{"):])
     assert result["f1"] == 1.0  # GT vs itself
+
+
+def test_sweep_f1_single_point(workspace):
+    """sim-sweep runs a decode-parameter grid point and scores it."""
+    from merfish3d_tpu.cli.simulation.sweep_f1 import sweep
+
+    root, raw, ds = workspace
+    result = sweep(
+        ds.datastore_path,
+        raw / "GT_spots.csv",
+        magnitude_lows=(0.9,),
+        minimum_pixels_grid=(4,),
+        output_csv=root / "sweep.csv",
+    )
+    assert len(result) == 1
+    assert 0.0 <= result["f1"].iloc[0] <= 1.0
+    assert (root / "sweep.csv").exists()
