@@ -155,7 +155,7 @@ def fused_lowpass_decode(
     sigma=(3.0, 1.0, 1.0),
     magnitude_threshold=(1.5, 10.0),
     distance_threshold: float = 0.5176,
-    tile_z: int = 2,
+    tile_z: int = 1,
     tile_y: int = 8,
     tile_b: int = 1,
     tile_y1: int = 8,  # pass-1 y block (pass 1 has no y halo)
