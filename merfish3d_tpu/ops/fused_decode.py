@@ -100,20 +100,11 @@ def _xconv_decode_kernel(
     scaled = jnp.clip((traces - bg_ref[:]) / norm_ref[:], 0.0, 1.0)
     mag = jnp.sqrt(jnp.sum(scaled * scaled, axis=0, keepdims=True))
     unit = scaled / jnp.maximum(mag, 1e-12)
-    # split-bf16 matmul: both operands are split into bf16 high + residual
-    # parts and the lo·lo term (~2^-17 relative) is dropped — ~1e-5
-    # absolute similarity accuracy at bf16 MXU rate. (The straight f32
-    # K=16 contraction runs the MXU at ~11% utilization.)
-    cb = cb_ref[:]
-    cb_hi = cb.astype(jnp.bfloat16)
-    cb_lo = (cb - cb_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    u_hi = unit.astype(jnp.bfloat16)
-    u_lo = (unit - u_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    sims = (
-        jnp.dot(cb_hi, u_hi, preferred_element_type=jnp.float32)
-        + jnp.dot(cb_hi, u_lo, preferred_element_type=jnp.float32)
-        + jnp.dot(cb_lo, u_hi, preferred_element_type=jnp.float32)
-    )
+    # f32 codebook matmul: a split-bf16 formulation (3 bf16 passes) was
+    # measured SLOWER end-to-end (703 vs 932 Mvox/s) — the K=16 f32
+    # contraction overlaps with the pass's memory traffic, and the split
+    # temporaries forced a smaller tile_z
+    sims = jnp.dot(cb_ref[:], unit, preferred_element_type=jnp.float32)
     best = jnp.argmax(sims, axis=0).astype(jnp.int32)
     max_sim = jnp.max(sims, axis=0)
     dist = jnp.sqrt(jnp.maximum(2.0 - 2.0 * max_sim, 0.0))
@@ -155,7 +146,7 @@ def fused_lowpass_decode(
     sigma=(3.0, 1.0, 1.0),
     magnitude_threshold=(1.5, 10.0),
     distance_threshold: float = 0.5176,
-    tile_z: int = 1,
+    tile_z: int = 2,
     tile_y: int = 8,
     tile_b: int = 1,
     tile_y1: int = 8,  # pass-1 y block (pass 1 has no y halo)

@@ -249,8 +249,7 @@ def test_fused_lowpass_decode_matches_reference_path():
         d1, m1, di1, s1 = fused_lowpass_decode(
             vol, cbt, bg, nm, sigma=(3.0, 1.0, 1.0), **kw
         )
-    # split-bf16 similarities (~1e-5) may flip exact near-ties only
-    assert (np.asarray(d0) == np.asarray(d1)).mean() >= 0.9995
+    assert (np.asarray(d0) == np.asarray(d1)).mean() == 1.0
     np.testing.assert_allclose(
         np.asarray(m0, np.float32), np.asarray(m1, np.float32), atol=3e-3
     )
