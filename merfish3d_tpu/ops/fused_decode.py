@@ -50,8 +50,9 @@ def _kernel_or_identity(sigma: float) -> np.ndarray:
 
 
 def _zconv_kernel(vol_ref, wz_ref, out_ref):
-    """z conv as an MXU matmul: Wz (nz, zp) contracts the padded-z axis of
-    the (bits, zp, ty, tx) block → z-major (nz, bits, ty, tx) output."""
+    """z conv as an MXU banded matmul: Wz' (nz_t, nz) — symmetric boundary
+    folded into the weights — contracts the UNPADDED z axis of the
+    (bits, nz, ty, xp) block → z-major (nz_t, bits, ty, xp) output."""
     out_ref[:] = jax.lax.dot_general(
         wz_ref[:],
         vol_ref[:],
