@@ -39,6 +39,46 @@ def load_stack(path: Union[str, Path]) -> np.ndarray:
     return np.stack(frames)
 
 
+def write_metadata(data_dict: dict, save_path: Union[str, Path]) -> None:
+    """Write a metadata dictionary as a one-row CSV (reference
+    `utils/dataio.py:97-108`)."""
+    pd.DataFrame([data_dict]).to_csv(save_path)
+
+
+def write_tsv(filename: Union[str, Path], data) -> None:
+    """Write rows (strings or sequences of strings) as TSV (reference
+    `utils/dataio.py:193-207`)."""
+    import csv
+
+    with open(filename, "w", newline="") as fh:
+        writer = csv.writer(fh, delimiter="\t", lineterminator="\n")
+        for item in data:
+            writer.writerow([item] if isinstance(item, str) else item)
+
+
+def time_stamp() -> str:
+    """Human-readable timestamp for progress logging (reference
+    `utils/dataio.py:144-153`)."""
+    from datetime import datetime
+
+    return datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+
+
+def return_data_zarr(
+    dataset_path: Union[str, Path], ch_idx: int, ch_idx_offset: int = 0
+) -> np.ndarray:
+    """Return one channel of an NDTiff acquisition as (z, y, x) uint16
+    (reference `utils/dataio.py:111-141`, which goes through
+    ``tifffile.imread(aszarr=True)``; here the NDTiff index fast path)."""
+    from .ndtiff import NDTiffDataset
+
+    dataset_path = Path(dataset_path)
+    if dataset_path.is_file():  # *_NDTiffStack.tif → containing dataset dir
+        dataset_path = dataset_path.parent
+    stack = NDTiffDataset(dataset_path).as_array()
+    return np.squeeze(stack[ch_idx + ch_idx_offset]).astype(np.uint16)
+
+
 def write_sparse_mtx(
     counts: pd.DataFrame, output_dir: Union[str, Path]
 ) -> Path:

@@ -21,10 +21,27 @@ from ..ops.filters import (  # re-exported for API parity
 
 __all__ = [
     "replace_hot_pixels",
+    "downsample_axis",
     "downsample_image_anisotropic",
     "estimate_shading",
     "apply_shading_correction",
 ]
+
+
+def downsample_axis(image: np.ndarray, level: int = 2, axis: int = 0) -> np.ndarray:
+    """Mean-downsample one axis by an integer factor, averaging the partial
+    tail block over its actual length (reference
+    `utils/imageprocessing.py:148-237`, numba prange → vectorized
+    ``np.add.reduceat``). Output dtype matches the input (int dtypes
+    truncate, as in the reference)."""
+    image = np.asarray(image)
+    n = image.shape[axis]
+    starts = np.arange(0, n, level)
+    sums = np.add.reduceat(image.astype(np.float64), starts, axis=axis)
+    counts = np.minimum(starts + level, n) - starts
+    shape = [1] * image.ndim
+    shape[axis] = len(starts)
+    return (sums / counts.reshape(shape)).astype(image.dtype)
 
 
 def estimate_shading(

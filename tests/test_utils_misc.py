@@ -162,3 +162,50 @@ def test_cell_by_gene_and_mtx(tmp_path):
     assert (out / "matrix.mtx").exists()
     assert (out / "barcodes.tsv.gz").exists()
     assert (out / "features.tsv.gz").exists()
+
+
+def test_downsample_axis_matches_reference_semantics():
+    from merfish3d_tpu.utils.imageprocessing import downsample_axis
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 1000, (5, 7, 6), dtype=np.uint16)
+    for axis, level in [(0, 2), (1, 3), (2, 4)]:
+        out = downsample_axis(img, level=level, axis=axis)
+        n = img.shape[axis]
+        expected_len = n // level + (1 if n % level else 0)
+        assert out.shape[axis] == expected_len
+        assert out.dtype == img.dtype
+        # naive reference loop on one fibre
+        fibre = np.moveaxis(img, axis, 0)[:, 0, 0].astype(np.float64)
+        naive = np.array(
+            [fibre[i * level : i * level + level].mean() for i in range(expected_len)]
+        ).astype(img.dtype)
+        np.testing.assert_array_equal(np.moveaxis(out, axis, 0)[:, 0, 0], naive)
+
+
+def test_small_dataio_utilities(tmp_path):
+    from merfish3d_tpu.utils.dataio import (
+        read_metadatafile,
+        return_data_zarr,
+        time_stamp,
+        write_metadata,
+        write_tsv,
+    )
+    from merfish3d_tpu.utils.ndtiff import write_ndtiff
+
+    write_metadata({"root_name": "exp", "num_r": 3, "na": 1.35},
+                   tmp_path / "scan_metadata.csv")
+    meta = read_metadatafile(tmp_path / "scan_metadata.csv")
+    assert meta["root_name"] == "exp" and meta["num_r"] == 3
+
+    write_tsv(tmp_path / "out.tsv", ["a", ["b", "c"]])
+    assert (tmp_path / "out.tsv").read_text() == "a\nb\tc\n"
+
+    assert len(time_stamp()) == 19
+
+    stack = np.arange(2 * 3 * 4 * 5, dtype=np.uint16).reshape(2, 3, 4, 5)
+    write_ndtiff(tmp_path / "acq_1", stack)
+    np.testing.assert_array_equal(return_data_zarr(tmp_path / "acq_1", 1), stack[1])
+    np.testing.assert_array_equal(
+        return_data_zarr(tmp_path / "acq_1" / "acq_1_NDTiffStack.tif", 0), stack[0]
+    )
