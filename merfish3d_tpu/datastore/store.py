@@ -380,6 +380,16 @@ class qi2labDataStore:
             df[c] = df[c].astype("int64")
         return df
 
+    def load_codebook_parsed(self):
+        """Codebook split into (gene_ids, bool on-bit matrix) — the viewer's
+        gene→bit mapping input (reference `qi2labDataStore.py:2847-2875`)."""
+        df = self.codebook
+        if df is None:
+            return None
+        gene_ids = [str(g) for g in df["gene_id"]]
+        matrix = df.iloc[:, 1:].to_numpy(dtype=np.int64)
+        return gene_ids, matrix
+
     @codebook.setter
     def codebook(self, value: Union[pd.DataFrame, str, Path]) -> None:
         if isinstance(value, (str, Path)):

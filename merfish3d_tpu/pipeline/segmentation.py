@@ -124,6 +124,20 @@ def segment_fiducial(
         spacing_yx_um=(spacing[1], spacing[2]),
     )
     datastore.save_global_cellpose_outlines(outlines)
+    # ImageJ RoiSet export of the global-micron outlines, as the reference
+    # writes for downstream tools and the viewer
+    # (`segmentation/cellpose/imagej_rois/global_coords_rois.zip`).
+    from ..utils.imagej_rois import write_imagej_rois_zip
+
+    write_imagej_rois_zip(
+        Path(datastore._datastore_path)
+        / "segmentation" / "cellpose" / "imagej_rois" / "global_coords_rois.zip",
+        {
+            cell["cell_id"]: np.asarray(cell["polygon_global_yx"], float)[:, ::-1]
+            for cell in outlines["cells"]
+            if len(cell["polygon_global_yx"]) >= 2
+        },
+    )
     state = datastore.datastore_state
     state.update({"SegmentedCells": True})
     datastore.datastore_state = state

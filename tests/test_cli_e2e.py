@@ -102,11 +102,17 @@ def test_full_pipeline_f1(workspace):
     assert ds.datastore_state["SegmentedCells"] is True
 
     # static viewer export works
-    from merfish3d_tpu.viz.viewer import component_summary, export_overview
+    from merfish3d_tpu.viz.viewer import (
+        component_summary,
+        decoded_available,
+        export_overview,
+        global_fused_available,
+    )
 
     summary = component_summary(ds)
-    assert summary["decoded_available"] is True
-    assert summary["global_fused_available"] is True
+    assert summary["SegmentedCells"] is True
+    assert decoded_available(ds) is True
+    assert global_fused_available(ds) is True
     png = root / "overview.png"
     export_overview(ds, png)
     assert png.exists() and png.stat().st_size > 1000
