@@ -150,12 +150,19 @@ class DoGSpotPredictor:
 
 
 def get_predictor(model_name: str = "simfish", checkpoint_path=None):
-    """Resolve a spot predictor by name. Uses converted U-FISH weights when
-    ``checkpoint_path`` is given; otherwise the deterministic DoG fallback."""
+    """Resolve a spot predictor by name. ``checkpoint_path`` may be a
+    published U-FISH ``.onnx`` checkpoint (converted structurally, see
+    `models/ufish_onnx.py`) or a pickled Flax variables dict; without a
+    checkpoint the deterministic DoG fallback is used."""
     if checkpoint_path is not None:
-        import pickle
+        if str(checkpoint_path).endswith(".onnx"):
+            from .ufish_onnx import load_ufish_onnx_params
 
-        with open(checkpoint_path, "rb") as fh:
-            params = pickle.load(fh)
+            params = load_ufish_onnx_params(checkpoint_path)
+        else:
+            import pickle
+
+            with open(checkpoint_path, "rb") as fh:
+                params = pickle.load(fh)
         return UFishPredictor(params=params)
     return DoGSpotPredictor()
