@@ -18,6 +18,8 @@ Own implementation replacing multiview-stitcher + dask + cupy fusion
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -201,6 +203,17 @@ def fuse_global_registered(datastore, *, config=None, verbose=1):
         origin_zyx_um=lo,
         spacing_zyx_um=spacing,
     )
+    if getattr(config, "create_max_proj_tiff", True) if config else True:
+        # Cellpose input artifact, as the reference writes after fusion
+        # (`DataRegistration.py:1786-1825`).
+        from ..utils.ometiff import write_ome_tiff_2d
+
+        write_ome_tiff_2d(
+            Path(ds._datastore_path)
+            / "segmentation" / "cellpose" / "fiducial_max_projection.ome.tiff",
+            np.max(fused_u16, axis=0),
+            spacing_yx_um=(spacing[1], spacing[2]),
+        )
     state = ds.datastore_state
     state.update({"GlobalRegistered": True, "Fused": True})
     ds.datastore_state = state

@@ -209,3 +209,22 @@ def test_small_dataio_utilities(tmp_path):
     np.testing.assert_array_equal(
         return_data_zarr(tmp_path / "acq_1" / "acq_1_NDTiffStack.tif", 0), stack[0]
     )
+
+
+def test_write_ome_tiff_2d(tmp_path):
+    from PIL import Image
+
+    from merfish3d_tpu.utils.ometiff import write_ome_tiff_2d
+
+    rng = np.random.default_rng(5)
+    plane = rng.integers(0, 2**16, (33, 47), dtype=np.uint16)
+    path = write_ome_tiff_2d(tmp_path / "proj.ome.tiff", plane, (0.098, 0.098))
+
+    with Image.open(path) as img:
+        arr = np.asarray(img)
+        tags = dict(img.tag_v2)
+    np.testing.assert_array_equal(arr, plane)
+    desc = tags[270]
+    assert "OME" in desc and 'SizeX="47"' in desc and 'PhysicalSizeX="0.098"' in desc
+    assert tags[296] == 3  # resolution unit: centimeter
+    assert abs(float(tags[282]) - 1e4 / 0.098) < 1.0  # pixels per cm
