@@ -185,3 +185,56 @@ def test_fit_affine_rejects_degenerate_inputs():
     src = np.column_stack([np.zeros(30), np.arange(30.0), np.arange(30.0)])
     affine, diag = fit_affine_zyx_um(src, src, min_pairs=5, config=cfg)
     assert affine is None and diag["status"] == "insufficient_lateral_spatial_rank"
+
+
+def test_chromatic_estimator_ignores_invalid_rows():
+    """Mirrors reference `test_chromatic_estimator_counts_only_valid_
+    nonblank_cross_wavelength_rows`: empty/missing gene ids, out-of-range
+    on-bit indices, and NaN centers must not contribute pairs or shift the
+    recovered affine."""
+    spacing = np.array([0.32, 0.098, 0.098], dtype=np.float32)
+    true_affine = _true_affine()
+    ds = _FakeDataStore(
+        voxel_size_zyx_um=spacing,
+        bit_ids=["bit001", "bit002", "bit003", "bit004"],
+        tile_ids=["tile0000"],
+    )
+    table = _make_table(spacing, true_affine, n_good=200, n_outliers=0,
+                        n_same_wl=0, n_blank=0)
+
+    invalid = []
+    row = _empty_row()
+    row["gene_id"] = ""
+    _add_center(row, 1, [5, 50, 50], 1000.0)
+    _add_center(row, 3, [5, 90, 90], 1000.0)
+    invalid.append(row)
+    row = _empty_row()
+    row["gene_id"] = None
+    _add_center(row, 1, [5, 50, 50], 1000.0)
+    _add_center(row, 3, [5, 90, 90], 1000.0)
+    invalid.append(row)
+    row = _empty_row()  # on-bit indices outside the bit table
+    row.update({"on_bit_1": 99, "on_bit_2": 98, "on_bit_3": 97, "on_bit_4": 96})
+    for b in range(1, 5):
+        _add_center(row, b, [5, 40, 40], 1000.0)
+    invalid.append(row)
+    row = _empty_row()  # NaN centers on the red channel
+    for b in range(1, 5):
+        _add_center(row, b, [5, 60, 60], 1000.0)
+    row["bit03_center_y"] = np.nan
+    row["bit04_center_y"] = np.nan
+    invalid.append(row)
+
+    full = pd.concat([table, pd.DataFrame(invalid)], ignore_index=True)
+    estimate_chromatic_affines_from_barcodes(
+        ds, full, n_merfish_bits=4,
+        config=ChromaticAffineEstimationConfig(min_pairs=20),
+    )
+    channel = ds.calibration["channels"]["wavelength_0.670000"]
+    assert channel["status"] == "affine_estimated"
+    # exactly the 200 good rows pair across wavelengths; the NaN-center row
+    # still has a valid yellow centroid but no red partner
+    assert channel["diagnostics"]["paired_transcripts"] == 200
+    np.testing.assert_allclose(
+        np.asarray(channel["affine_zyx_um"]), true_affine, atol=0.006
+    )
