@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .phase_corr import overlap_slices_after_translation, phase_cross_correlation
-from .warp import warp_affine
+from .warp import _affine_warp_core, transform_to_pixel
 
 
 def _bucket_slices(slices, shapes, multiple: int = 8):
@@ -62,11 +62,14 @@ def register_pair_to_fixed(
     xy_transform = np.eye(4, dtype=np.float32)
     xy_transform[1, 3] = float(xy_pull[0]) * float(spacing[1])
     xy_transform[2, 3] = float(xy_pull[1]) * float(spacing[2])
-    moving_xy = warp_affine(
-        moving,
-        transform_zyx_um=xy_transform,
-        spacing_zyx_um=spacing,
-        reference_shape=fixed.shape,
+    # device-resident intermediate: only the 3-component shifts ever cross
+    # to the host (the full-volume warp + overlap slices stay in HBM)
+    matrix_px, offset_px = transform_to_pixel(xy_transform, spacing)
+    moving_xy = _affine_warp_core(
+        moving_j,
+        jnp.asarray(matrix_px),
+        jnp.asarray(offset_px),
+        reference_shape=tuple(int(v) for v in fixed.shape),
     )
 
     overlap = overlap_slices_after_translation(
@@ -78,8 +81,8 @@ def register_pair_to_fixed(
         overlap = _bucket_slices(overlap, fixed.shape)
         residual_push = np.asarray(
             phase_cross_correlation(
-                jnp.asarray(fixed[overlap], jnp.float32),
-                jnp.asarray(moving_xy[overlap], jnp.float32),
+                fixed_j[overlap],
+                moving_xy[overlap],
                 upsample_factor=upsample_factor,
             )
         )

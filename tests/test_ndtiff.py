@@ -94,8 +94,11 @@ def _make_qi2lab_raw(root, n_rounds=2, n_tiles=2, n_z=3, yx=24):
     ).to_csv(root / "scan_metadata.csv", index=False)
 
     n_bits = 2 * n_rounds
+    words = np.zeros((3, n_bits), int)
+    for g in range(3):
+        words[g, [g % n_bits, (g + 1) % n_bits]] = 1
     codebook = pd.DataFrame(
-        [["gene_a", 1, 1, 0, 0], ["gene_b", 0, 0, 1, 1], ["gene_c", 1, 0, 0, 1]],
+        [[f"gene_{chr(97 + g)}", *words[g]] for g in range(3)],
         columns=["gene_id"] + [f"bit{i:02d}" for i in range(1, n_bits + 1)],
     )
     codebook.to_csv(root / "codebook.csv", index=False)
@@ -160,3 +163,15 @@ def test_qi2lab_ndtiff_conversion(tmp_path):
     # codebook round-trips through the datastore
     cb = ds.codebook
     assert list(cb["gene_id"]) == ["gene_a", "gene_b", "gene_c"]
+
+
+def test_qi2lab_layout_autodetect_via_cli(tmp_path):
+    from merfish3d_tpu.cli.qi2lab.create_datastore import main
+    from merfish3d_tpu.datastore import qi2labDataStore
+
+    root = tmp_path / "raw"
+    _make_qi2lab_raw(root, n_rounds=1, n_tiles=1)
+    out = tmp_path / "store"
+    main(["--raw-dir", str(root), "--output-dir", str(out)])
+    ds = qi2labDataStore(out / "qi2labdatastore")
+    assert ds.num_tiles == 1 and ds.camera_model == "orcav3"
