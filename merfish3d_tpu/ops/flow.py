@@ -247,7 +247,7 @@ def estimate_sofima_flow_field_xyz_px(
 
     Returns (flow_field (3, fz, fy, fx) float32 with channels X, Y, Z, and a
     metadata dict with the datastore attribute contract)."""
-    from ..ops.warp import warp_affine_plus_flow
+    from ..ops.warp import _affine_flow_warp_core
 
     cfg = config
     patch = tuple(min(p, s) for p, s in zip(cfg.patch_size_zyx, reference.shape))
@@ -263,8 +263,10 @@ def estimate_sofima_flow_field_xyz_px(
 
     total_xyz = np.zeros((3, *lattice_shape), np.float32)
     valid_count = 0
-    current = np.asarray(moving, np.float32)
-    identity = np.eye(4, dtype=np.float32)
+    # moving and the re-warped intermediate stay device-resident across the
+    # residual passes; only the lattice-sized flow vectors cross to host
+    moving_j = jnp.asarray(moving, jnp.float32)
+    current = moving_j
 
     meta_common = dict(
         map_stride_zyx_px=[float(s) for s in stride],
@@ -281,7 +283,7 @@ def estimate_sofima_flow_field_xyz_px(
     for iteration in range(max(1, cfg.num_residual_iterations)):
         flow_zyx, ratios = _patch_xcorr_flow(
             ref_j,
-            jnp.asarray(current, jnp.float32),
+            current,
             patch_size=patch,
             strides=stride,
         )
@@ -318,14 +320,14 @@ def estimate_sofima_flow_field_xyz_px(
                 total_xyz, residual_xyz, np.asarray(stride, np.float64)
             )
         if iteration + 1 < cfg.num_residual_iterations:
-            current = warp_affine_plus_flow(
-                np.asarray(moving, np.float32),
-                total_xyz,
-                transform_zyx_um=identity,
-                spacing_zyx_um=(1.0, 1.0, 1.0),
-                reference_shape=reference.shape,
-                map_stride_zyx_px=meta_common["map_stride_zyx_px"],
-                map_box_start_xyz_px=meta_common["map_box_start_xyz_px"],
+            current = _affine_flow_warp_core(
+                moving_j,
+                jnp.asarray(total_xyz),
+                jnp.eye(3, dtype=jnp.float32),
+                jnp.zeros(3, jnp.float32),
+                jnp.asarray(stride, jnp.float32),
+                jnp.asarray(box_start_zyx, jnp.float32),
+                reference_shape=tuple(int(v) for v in reference.shape),
             )
 
     meta = dict(meta_common)
