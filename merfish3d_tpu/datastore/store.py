@@ -655,6 +655,12 @@ class qi2labDataStore:
                 .tolist(),
             },
         )
+        # reference also refreshes the OME translation transform on the
+        # already-written corrected image (`qi2labDataStore.py:3358-3360`)
+        zarrio.update_ome_translation(
+            d / "corrected_data",
+            [float(v) for v in np.asarray(stage_zyx_um).ravel()],
+        )
 
     def load_local_stage_position_zyx_um(
         self, tile, round=None, bit=None
@@ -703,6 +709,12 @@ class qi2labDataStore:
         scale = None
         if self.voxel_size_zyx_um is not None and array.ndim >= 3:
             scale = list(self.voxel_size_zyx_um)
+        if translation is None and name == "corrected_data":
+            # keep the OME translation in sync with the stored stage origin
+            # (reference `qi2labDataStore.py:3358-3360`)
+            stage = self._load_attrs(entity_dir).get("stage_zyx_um")
+            if stage is not None:
+                translation = [float(v) for v in stage]
         zarrio.write_ome_image(
             entity_dir / name,
             array,

@@ -252,6 +252,37 @@ def write_image_attrs(
         json.dump(meta, fh, indent=2)
 
 
+def update_ome_translation(path: Path | str, translation: Sequence[float]) -> bool:
+    """Rewrite the OME multiscales translation transform in place (used to
+    keep the stored stage origin and the OME metadata in sync, reference
+    `qi2labDataStore.py:3358-3360`). Returns False when no image exists."""
+    root = image_store_path(path)
+    meta_path = root / "zarr.json"
+    if not meta_path.exists():
+        return False
+    with meta_path.open("r", encoding="utf-8") as fh:
+        meta = json.load(fh)
+    multiscales = meta.get("attributes", {}).get("ome", {}).get("multiscales")
+    if not multiscales:
+        return False
+    for ms in multiscales:
+        ndim = len(ms.get("axes", [])) or len(list(translation))
+        t = [0.0] * (ndim - len(list(translation))) + [
+            float(v) for v in translation
+        ]
+        for dataset in ms.get("datasets", []):
+            transforms = dataset.setdefault("coordinateTransformations", [])
+            for tr in transforms:
+                if tr.get("type") == "translation":
+                    tr["translation"] = t
+                    break
+            else:
+                transforms.append({"type": "translation", "translation": t})
+    with meta_path.open("w", encoding="utf-8") as fh:
+        json.dump(meta, fh, indent=2)
+    return True
+
+
 def read_ome_transforms(path: Path | str) -> tuple[list[float], list[float]]:
     """Return (scale, translation) from the OME multiscales block."""
     root = image_store_path(path)

@@ -254,3 +254,34 @@ def test_legacy_warpfield_roundtrip(store):
     np.testing.assert_array_equal(arr, flow)
     np.testing.assert_allclose(bs, [8, 16, 16])
     np.testing.assert_allclose(bst, [4, 8, 8])
+
+
+def test_stage_position_updates_ome_translation(tmp_path):
+    """The OME multiscales translation tracks the stored stage origin in
+    both save orders (reference `qi2labDataStore.py:3358-3360`)."""
+    from merfish3d_tpu.datastore import qi2labDataStore, zarrio
+
+    ds = qi2labDataStore(tmp_path / "qi2labdatastore")
+    ds.num_tiles = 1
+    ds.voxel_size_zyx_um = [0.31, 0.098, 0.098]
+    ds.experiment_order = np.array([[1, 1, 2]])
+    ds.initialize_tile(0)
+    img = np.zeros((2, 4, 4), np.uint16)
+
+    # image first, then stage → update-in-place path
+    ds.save_local_corrected_image(img, tile=0, round=0)
+    ds.save_local_stage_position_zyx_um([1.0, 20.0, 30.0], tile=0, round=0)
+    _, translation = zarrio.read_ome_transforms(
+        tmp_path / "qi2labdatastore" / "fiducial" / "tile0000" / "round001"
+        / "corrected_data.ome.zarr"
+    )
+    assert translation == [1.0, 20.0, 30.0]
+
+    # stage first, then image → translation picked up at write time
+    ds.save_local_stage_position_zyx_um([2.0, 5.0, -7.0], tile=0, bit=0)
+    ds.save_local_corrected_image(img, tile=0, bit=0)
+    _, translation = zarrio.read_ome_transforms(
+        tmp_path / "qi2labdatastore" / "readouts" / "tile0000" / "bit001"
+        / "corrected_data.ome.zarr"
+    )
+    assert translation == [2.0, 5.0, -7.0]
