@@ -455,69 +455,72 @@ class PixelDecoder:
             ]  # (bits, n, 3)
             bit_sums_arr = np.asarray(stats["bit_sums"])[:, valid][:, keep]
 
-        df = pd.DataFrame(
-            {
-                "area": area.astype(np.float64),
-                "z": centroid[:, 0].astype(np.float64),
-                "y": centroid[:, 1].astype(np.float64),
-                "x": centroid[:, 2].astype(np.float64),
-            }
-        )
+        # Build every column up front and construct the frame once
+        # (avoids pandas fragmented-DataFrame inserts).
+        z = centroid[:, 0].astype(np.float64)
+        if state["z_crop_offset"]:  # z-crop re-offset (`_decoded_z_to_source_z`)
+            z = z + float(state["z_crop_offset"])
+        y = centroid[:, 1].astype(np.float64)
+        x = centroid[:, 2].astype(np.float64)
+        cols: dict[str, np.ndarray | list | int] = {
+            "area": area.astype(np.float64),
+            "z": z,
+            "y": y,
+            "x": x,
+        }
         for i in range(3):
-            df[f"inertia_tensor_eigvals-{i}"] = eig[:, i].astype(np.float64)
-        df["distance_min"] = dist_min.astype(np.float64)
-        df["magnitude_mean"] = mag_mean.astype(np.float64)
-        df["barcode_id"] = codeword.astype(np.int32) + 1
-        df["gene_id"] = [self._gene_ids[c] for c in codeword]
-        df["tile_idx"] = int(tile_idx)
+            cols[f"inertia_tensor_eigvals-{i}"] = eig[:, i].astype(np.float64)
+        cols["distance_min"] = dist_min.astype(np.float64)
+        cols["magnitude_mean"] = mag_mean.astype(np.float64)
+        cols["barcode_id"] = codeword.astype(np.int32) + 1
+        cols["gene_id"] = [self._gene_ids[c] for c in codeword]
+        cols["tile_idx"] = int(tile_idx)
         for i in range(n_on):
-            df[f"on_bit_{i + 1}"] = on_sel[:, i]
+            cols[f"on_bit_{i + 1}"] = on_sel[:, i]
+        bm = bit_means.astype(np.float64)  # (n, bits)
         for b in range(self._n_merfish_bits):
-            df[f"bit{b + 1:02d}_mean_intensity"] = bit_means[:, b].astype(np.float64)
+            cols[f"bit{b + 1:02d}_mean_intensity"] = bm[:, b]
 
         if bit_w_coord_sums is not None:
             # sparse per-on-bit intensity-weighted centroid columns
             # (reference `_add_on_bit_weighted_centroids:2324-2474`)
-            n_rows = len(df)
-            for b in range(self._n_merfish_bits):
-                for sfx in ("center_z", "center_y", "center_x", "intensity_sum"):
-                    df[f"bit{b + 1:02d}_{sfx}"] = np.nan
+            n_rows = len(area)
+            eps = self._chromatic_affine_config.centroid_weight_epsilon
+            centers = np.full((self._n_merfish_bits, n_rows, 3), np.nan)
+            wsums = np.full((self._n_merfish_bits, n_rows), np.nan)
+            rows = np.arange(n_rows)
             for col in range(n_on):
-                bits0 = on_sel[:, col] - 1
-                for row in range(n_rows):
-                    b = int(bits0[row])
-                    wsum = bit_sums_arr[b, row]
-                    if wsum <= self._chromatic_affine_config.centroid_weight_epsilon:
-                        continue
-                    center = bit_w_coord_sums[b, row] / wsum
-                    df.loc[row, f"bit{b + 1:02d}_center_z"] = center[0]
-                    df.loc[row, f"bit{b + 1:02d}_center_y"] = center[1]
-                    df.loc[row, f"bit{b + 1:02d}_center_x"] = center[2]
-                    df.loc[row, f"bit{b + 1:02d}_intensity_sum"] = wsum
+                bits0 = on_sel[:, col].astype(np.intp) - 1
+                w = bit_sums_arr[bits0, rows]
+                ok = w > eps
+                centers[bits0[ok], rows[ok]] = (
+                    bit_w_coord_sums[bits0[ok], rows[ok]] / w[ok, None]
+                )
+                wsums[bits0[ok], rows[ok]] = w[ok]
+            for b in range(self._n_merfish_bits):
+                cols[f"bit{b + 1:02d}_center_z"] = centers[b, :, 0]
+                cols[f"bit{b + 1:02d}_center_y"] = centers[b, :, 1]
+                cols[f"bit{b + 1:02d}_center_x"] = centers[b, :, 2]
+                cols[f"bit{b + 1:02d}_intensity_sum"] = wsums[b]
 
-        # z-crop re-offset (`_decoded_z_to_source_z`)
-        if state["z_crop_offset"]:
-            df["z"] = df["z"] + float(state["z_crop_offset"])
-        df["tile_z"] = np.round(df["z"], 0).astype(int)
-        df["tile_y"] = np.round(df["y"], 0).astype(int)
-        df["tile_x"] = np.round(df["x"], 0).astype(int)
+        cols["tile_z"] = np.round(z, 0).astype(int)
+        cols["tile_y"] = np.round(y, 0).astype(int)
+        cols["tile_x"] = np.round(x, 0).astype(int)
 
-        pts = df[["z", "y", "x"]].to_numpy(dtype=np.float64)
-        pts = self._warp_pixels(pts, state)
-        df["global_z"] = np.round(pts[:, 0], 2)
-        df["global_y"] = np.round(pts[:, 1], 2)
-        df["global_x"] = np.round(pts[:, 2], 2)
+        pts = self._warp_pixels(np.stack([z, y, x], axis=1), state)
+        cols["global_z"] = np.round(pts[:, 0], 2)
+        cols["global_y"] = np.round(pts[:, 1], 2)
+        cols["global_x"] = np.round(pts[:, 2], 2)
 
-        bit_cols = [
-            f"bit{i:02d}_mean_intensity" for i in range(1, self._n_merfish_bits + 1)
-        ]
-        bm = df[bit_cols].to_numpy(dtype=np.float64)
         total = bm.sum(axis=1)
         on0 = on_sel - 1
         signal = np.take_along_axis(bm, on0, axis=1).sum(axis=1)
-        df["signal_mean"] = signal / float(n_on)
-        df["bkd_mean"] = (total - signal) / float(self._n_merfish_bits - n_on)
-        df["s-b_mean"] = df["signal_mean"] - df["bkd_mean"]
+        signal_mean = signal / float(n_on)
+        bkd_mean = (total - signal) / float(self._n_merfish_bits - n_on)
+        cols["signal_mean"] = signal_mean
+        cols["bkd_mean"] = bkd_mean
+        cols["s-b_mean"] = signal_mean - bkd_mean
+        df = pd.DataFrame(cols)
 
         df = df[
             df["distance_min"] <= self._transcript_distance_threshold
