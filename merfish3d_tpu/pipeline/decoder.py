@@ -630,16 +630,35 @@ class PixelDecoder:
             tile_indices=sample_idx[:5],
             lowpass_sigma=lowpass_sigma,
         )
+        mesh = self._mesh_for_tiles(len(sample_idx))
         for _it in range(n_iterations):
             frames = []
-            for tile_idx in sample_idx:
-                df = self.decode_one_tile(
-                    tile_idx,
+            if mesh is not None:
+                # sample tiles fan out one-per-chip; extraction + medians
+                # stay host-side (median semantics preserved exactly —
+                # gathered decoded tables are tiny vs the voxel data)
+                for tile_idx, arrays, state in self._decode_tiles_mesh(
+                    sample_idx,
+                    mesh,
                     lowpass_sigma=lowpass_sigma,
                     optimize_normalization_weights=True,
-                    save=False,
-                )
-                frames.append(df)
+                ):
+                    decoded, mag, dist, intensity = arrays
+                    frames.append(
+                        self._extract_barcodes(
+                            decoded, mag, dist, intensity, tile_idx,
+                            tile_state=state,
+                        )
+                    )
+            else:
+                for tile_idx in sample_idx:
+                    df = self.decode_one_tile(
+                        tile_idx,
+                        lowpass_sigma=lowpass_sigma,
+                        optimize_normalization_weights=True,
+                        save=False,
+                    )
+                    frames.append(df)
             self._df_barcodes_loaded = (
                 pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
             )
@@ -656,6 +675,101 @@ class PixelDecoder:
                 )
             self._iterative_normalization_vectors()
         self._collect_chromatic_centroids = False
+
+    # --------------------------------------------------- multi-chip fan-out
+    def _mesh_for_tiles(self, n_tiles: int):
+        """A 1-D tile mesh when >1 device is visible, else None (single
+        device uses the in-process pipeline directly)."""
+        import jax
+
+        devices = jax.devices()
+        if len(devices) < 2 or n_tiles < 2:
+            return None
+        from ..parallel.mesh import make_tile_mesh
+
+        return make_tile_mesh(devices=devices)
+
+    def _decode_tiles_mesh(
+        self,
+        tile_indices: Sequence[int],
+        mesh,
+        *,
+        lowpass_sigma=DEFAULT_DECODE_LOWPASS_SIGMA,
+        optimize_normalization_weights: bool = False,
+    ):
+        """Yield ``(tile_idx, (decoded, mag, dist, intensity), state)`` with
+        tiles decoded in device-count-sized groups, sharded one-tile-per-chip
+        over the mesh (production replacement for the reference's per-GPU
+        worker processes, `decode_tiles_worker:208-310`). Host zarr reads for
+        the next group run ahead on prefetch threads; per-tile numerics are
+        identical to the single-device path (shard_map hands each device
+        whole tiles)."""
+        from ..datastore.prefetch import TilePrefetcher
+        from ..parallel.mesh import make_sharded_tile_decoder, put_tiles_sharded
+
+        n_dev = mesh.devices.size
+        norm, bg = self._prepare_normalization_state()
+        sigma = self._effective_lowpass_sigma(lowpass_sigma)
+        step = make_sharded_tile_decoder(
+            mesh,
+            sigma=sigma,
+            magnitude_threshold=self._magnitude_threshold,
+            distance_threshold=self._pixel_distance_threshold,
+            return_lowpassed=optimize_normalization_weights,
+        )
+        cb_t = jnp.asarray(
+            decode_ops.normalize_codebook(self._codebook_matrix).T
+        )
+        bg_j = jnp.asarray(bg[: self._n_merfish_bits], jnp.float32)
+        norm_j = jnp.asarray(norm[: self._n_merfish_bits], jnp.float32)
+
+        indices = list(tile_indices)
+        prefetcher = TilePrefetcher(
+            self._load_bit_data_for, indices, depth=n_dev, max_workers=n_dev
+        )
+        group: list[tuple[int, dict]] = []
+
+        def run_group(group):
+            shapes = {g[1]["image_data"].shape for g in group}
+            if len(shapes) > 1:
+                # ragged tile shapes: decode sequentially (rare; the mesh
+                # path assumes one uniform acquisition geometry)
+                for tile_idx, loaded in group:
+                    self._apply_tile_state(loaded)
+                    arrays = self._device_decode(
+                        loaded,
+                        lowpass_sigma=lowpass_sigma,
+                        optimize_normalization_weights=optimize_normalization_weights,
+                    )
+                    yield tile_idx, arrays, self._tile_state_snapshot()
+                return
+            n_real = len(group)
+            stack = np.stack([g[1]["image_data"] for g in group])
+            if n_real < n_dev:  # pad the last group by repetition
+                reps = np.repeat(stack[-1:], n_dev - n_real, axis=0)
+                stack = np.concatenate([stack, reps])
+            tiles = put_tiles_sharded(mesh, stack.astype(np.float32))
+            decoded, mag, dist, intensity = step(tiles, cb_t, bg_j, norm_j)
+            decoded = np.asarray(decoded)
+            mag = np.asarray(mag)
+            dist = np.asarray(dist)
+            intensity = np.asarray(intensity, np.float32)
+            for k in range(n_real):
+                tile_idx, loaded = group[k]
+                self._apply_tile_state(loaded)
+                yield (
+                    tile_idx,
+                    (decoded[k], mag[k], dist[k], intensity[k]),
+                    self._tile_state_snapshot(),
+                )
+
+        for tile_idx, loaded in prefetcher:
+            group.append((tile_idx, loaded))
+            if len(group) == n_dev:
+                yield from run_group(group)
+                group = []
+        if group:
+            yield from run_group(group)
 
     # -------------------------------------------------------- full pipeline
     def decode_all_tiles(
@@ -680,8 +794,28 @@ class PixelDecoder:
         # processes → threads + device queue): tile t+1's zarr reads run
         # ahead (prefetcher), the TPU decodes tile t, and tile t-1's
         # connected components / region stats / parquet save run on an
-        # extraction thread with an explicit tile-state snapshot
-        prefetcher = TilePrefetcher(self._load_bit_data_for, range(n_tiles), depth=1)
+        # extraction thread with an explicit tile-state snapshot.
+        # With >1 chip, tiles are decoded one-per-chip over a 1-D mesh
+        # (`_decode_tiles_mesh`).
+        mesh = self._mesh_for_tiles(n_tiles)
+        if mesh is not None:
+            tile_stream = self._decode_tiles_mesh(
+                range(n_tiles), mesh, lowpass_sigma=lowpass_sigma
+            )
+        else:
+            prefetcher = TilePrefetcher(
+                self._load_bit_data_for, range(n_tiles), depth=1
+            )
+
+            def single_device_stream():
+                for tile_idx, loaded in prefetcher:
+                    self._apply_tile_state(loaded)
+                    arrays = self._device_decode(
+                        loaded, lowpass_sigma=lowpass_sigma
+                    )
+                    yield tile_idx, arrays, self._tile_state_snapshot()
+
+            tile_stream = single_device_stream()
 
         def extract_and_save(tile_idx, arrays, state):
             decoded, mag, dist, intensity = arrays
@@ -692,14 +826,9 @@ class PixelDecoder:
 
         with ThreadPoolExecutor(max_workers=1) as pool:
             pending = []
-            for tile_idx, loaded in prefetcher:
-                self._apply_tile_state(loaded)
-                arrays = self._device_decode(loaded, lowpass_sigma=lowpass_sigma)
+            for tile_idx, arrays, state in tile_stream:
                 pending.append(
-                    pool.submit(
-                        extract_and_save, tile_idx, arrays,
-                        self._tile_state_snapshot(),
-                    )
+                    pool.submit(extract_and_save, tile_idx, arrays, state)
                 )
             for fut in pending:
                 fut.result()

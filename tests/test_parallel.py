@@ -2,6 +2,7 @@
 decode step must compile, execute, and agree with the single-device path."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 import jax
@@ -59,3 +60,75 @@ def test_sharded_decode_tile_only_mesh():
     assert decoded.shape == (8, 8, 32, 32)
     assert stats.shape == (16,)
     assert np.all(np.isfinite(np.asarray(stats)))
+
+
+def test_production_decode_all_tiles_mesh_matches_sequential(tmp_path_factory):
+    """The production `decode_all_tiles` path over an 8-device mesh must
+    produce per-tile decoded tables identical to a forced single-device run
+    (VERDICT r1 item 1: the dryrun/mesh must exercise production code)."""
+    from merfish3d_tpu.pipeline import PixelDecoder
+    from merfish3d_tpu.utils.simulation import generate_synthetic_experiment
+
+    path = tmp_path_factory.mktemp("meshprod") / "qi2labdatastore"
+    ds, _gt = generate_synthetic_experiment(
+        path, shape=(8, 64, 64), n_spots=40, seed=3,
+        n_tiles=4, tile_offset_px=(0.0, 0.0, 48.0),
+    )
+
+    def make(run_key):
+        d = PixelDecoder(
+            ds, minimum_pixels=4, magnitude_threshold=(0.9, 10.0),
+            verbose=0, decode_run_key=run_key,
+        )
+        d._global_normalization_vector = np.full(16, 400.0, np.float32)
+        d._global_background_vector = np.full(16, 40.0, np.float32)
+        return d
+
+    seq = make("seq")
+    seq._mesh_for_tiles = lambda n: None  # force the sequential path
+    df_seq = seq.decode_all_tiles(filter_method="none")
+    tables_seq = [ds.load_local_decoded_spots(t) for t in range(4)]
+
+    mesh_dec = make("mesh")
+    assert mesh_dec._mesh_for_tiles(4) is not None
+    df_mesh = mesh_dec.decode_all_tiles(filter_method="none")
+    tables_mesh = [ds.load_local_decoded_spots(t) for t in range(4)]
+
+    assert len(df_seq) > 0
+    for a, b in zip(tables_seq, tables_mesh):
+        pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(
+        df_seq.reset_index(drop=True), df_mesh.reset_index(drop=True)
+    )
+
+
+def test_optimize_normalization_mesh_matches_sequential(tmp_path_factory):
+    """Normalization-optimization medians must be identical whether sample
+    tiles are decoded one-per-chip over the mesh or sequentially."""
+    from merfish3d_tpu.pipeline import PixelDecoder
+    from merfish3d_tpu.utils.simulation import generate_synthetic_experiment
+
+    def run(run_key, force_seq):
+        # fully isolated store per run (the iterative vectors are stored
+        # per-datastore; sharing one store would let run 2 see run 1's)
+        path = tmp_path_factory.mktemp("meshnorm_" + run_key) / "qi2labdatastore"
+        ds, _gt = generate_synthetic_experiment(
+            path, shape=(8, 64, 64), n_spots=40, seed=5,
+            n_tiles=3, tile_offset_px=(0.0, 0.0, 48.0),
+        )
+        d = PixelDecoder(
+            ds, minimum_pixels=4, magnitude_threshold=(0.9, 10.0),
+            verbose=0, decode_run_key=run_key,
+        )
+        if force_seq:
+            d._mesh_for_tiles = lambda n: None
+        d.optimize_normalization_by_decoding(n_random_tiles=3, n_iterations=2)
+        return (
+            np.asarray(d._iterative_normalization_vector),
+            np.asarray(d._iterative_background_vector),
+        )
+
+    norm_seq, bg_seq = run("nseq", True)
+    norm_mesh, bg_mesh = run("nmesh", False)
+    np.testing.assert_array_equal(norm_seq, norm_mesh)
+    np.testing.assert_array_equal(bg_seq, bg_mesh)
