@@ -24,7 +24,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--overwrite", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--deformable-registration", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--save-all-fiducial-registered", action=argparse.BooleanOptionalAction, default=True)
-    p.add_argument("--num-gpus", type=int, default=1, help="compat flag; devices are mesh-managed")
+    p.add_argument(
+        "--num-gpus", type=int, default=0,
+        help="number of devices to fan tiles across (0 = all visible chips)",
+    )
+    p.add_argument("--round-batch-size", type=int, default=4,
+                   help="moving fiducial rounds resident per decon batch")
     p.add_argument("--crop-yx-decon", type=int, default=2048)
     p.add_argument("--ufish-model", type=str, default="simfish")
     p.add_argument("--ufish-checkpoint", type=Path, default=None)
@@ -43,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     # Global registration / fusion configs
     p.add_argument("--global-binning-zyx", type=int, nargs=3, default=(3, 6, 6))
     p.add_argument("--global-transform-type", type=str, default="translation")
+    p.add_argument("--global-keep-axis-aligned", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--global-quality-threshold", type=float, default=0.2)
     p.add_argument("--fusion-chunk-px", type=int, default=512)
     p.add_argument("--fusion-overlap-px", type=int, default=64)
     return p
@@ -81,11 +88,16 @@ def local_register_data(args) -> None:
         global_registration_config=GlobalRegistrationConfig(
             binning_zyx=tuple(args.global_binning_zyx),
             transform_type=args.global_transform_type,
+            keep_axis_aligned=args.global_keep_axis_aligned,
+            quality_threshold=args.global_quality_threshold,
         ),
         global_fusion_config=GlobalFusionConfig(
             chunk_px=args.fusion_chunk_px, overlap_px=args.fusion_overlap_px
         ),
         decon_max_iters=args.decon_max_iters,
+        round_batch_size=args.round_batch_size,
+        num_devices=args.num_gpus,
+        registration_diagnostics=args.registration_diagnostics,
         verbose=2 if args.registration_diagnostics else 1,
     )
     if args.global_registration_only:

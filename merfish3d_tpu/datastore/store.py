@@ -733,6 +733,30 @@ class qi2labDataStore:
             return None
         return zarrio.read_ome_image(p, return_future=return_future)
 
+    def local_image_shape(
+        self, tile, round=None, bit=None, *, image: str = "registered"
+    ) -> Optional[tuple[int, ...]]:
+        """Shape of a stored entity image from zarr metadata only (no chunk
+        reads) — resume validation checks shape consistency without paying
+        for a full decode (reference `_validate_core_image_shape:2100-2144`,
+        `_has_valid_registered_image:1285`)."""
+        if image == "corrected":
+            d, name = self._entity_dir(tile, round, bit), "corrected_data"
+        elif image == "registered":
+            d = self._entity_dir(tile, round, bit)
+            name = "registered_decon_data" if round is not None else "decon_data"
+        elif image == "feature_predictor":
+            d, name = self._readout_dir(tile, bit), "feature_predictor_data"
+        else:
+            raise ValueError(f"unknown image kind {image!r}")
+        p = d / (name + ".ome.zarr")
+        if not (p / "zarr.json").exists():
+            return None
+        try:
+            return tuple(int(s) for s in zarrio.open_ome_array(p).shape)
+        except Exception:
+            return None  # unreadable/corrupt metadata → treated as missing
+
     def save_local_corrected_image(
         self,
         image: ArrayLike,

@@ -40,7 +40,7 @@ def transform_to_pixel(
     return matrix_px, offset_px
 
 
-@partial(jax.jit, static_argnames=("reference_shape", "order", "z_chunk"))
+@partial(jax.jit, static_argnames=("reference_shape", "order", "z_chunk", "cval"))
 def _affine_warp_core(
     image: jnp.ndarray,
     matrix_px: jnp.ndarray,
@@ -101,7 +101,7 @@ def warp_affine(
         reference_shape=tuple(int(v) for v in reference_shape),
         order=order,
         z_chunk=z_chunk,
-        cval=cval,
+        cval=float(cval),
     )
     return np.asarray(out)
 

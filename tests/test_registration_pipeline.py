@@ -200,3 +200,69 @@ def test_deformable_registration_pipeline(tmp_path):
     )
     assert warped.shape == img.shape
     assert np.all(np.isfinite(warped))
+
+
+def test_resume_rejects_corrupt_registered_image(tmp_path):
+    """A truncated registered image (wrong shape) must fail the resume scan
+    and be reprocessed (reference `_validate_core_image_shape:2100-2144`)."""
+    ds, _ = _make_shifted_experiment(tmp_path)
+    reg = DataRegistration(
+        ds, decon_fiducial=False, decon_readout=False,
+        global_registration=False, verbose=0,
+    )
+    reg.register_all_tiles()
+    assert reg._is_tile_complete(0)
+
+    # corrupt one bit's decon image: overwrite with a truncated-z volume
+    good = np.asarray(ds.load_local_registered_image(tile=0, bit=2))
+    ds.save_local_registered_image(good[:3], tile=0, bit=2)
+    assert not reg._is_tile_complete(0)
+
+    # re-run: the corrupt bit is re-deconvolved back to the full shape
+    reg.register_all_tiles()
+    fixed = np.asarray(ds.load_local_registered_image(tile=0, bit=2))
+    assert fixed.shape == good.shape
+    assert reg._is_tile_complete(0)
+
+
+def test_register_all_tiles_multidevice_fanout(tmp_path):
+    """Tiles fan out across the 8 virtual devices; results must match the
+    sequential path exactly (same per-round transforms)."""
+    import jax
+
+    assert len(jax.devices()) == 8
+
+    def build(sub):
+        ds, gt = generate_synthetic_experiment(
+            tmp_path / sub / "ds", shape=(8, 64, 64), n_spots=30, seed=9,
+            n_tiles=3, tile_offset_px=(0.0, 0.0, 48.0),
+        )
+        return ds
+
+    # overwrite=True: the generator pre-populates identity registration,
+    # so without it register_all_tiles would skip every tile (vacuous test)
+    ds_seq = build("seq")
+    reg_seq = DataRegistration(
+        ds_seq, decon_fiducial=False, decon_readout=False,
+        global_registration=False, verbose=0, num_devices=1, overwrite=True,
+    )
+    reg_seq.register_all_tiles()
+
+    ds_fan = build("fan")
+    reg_fan = DataRegistration(
+        ds_fan, decon_fiducial=False, decon_readout=False,
+        global_registration=False, verbose=0, overwrite=True,
+        registration_diagnostics=False,
+    )
+    assert len(jax.devices()) > 1
+    reg_fan.register_all_tiles()
+
+    for t in range(3):
+        for r in range(ds_seq.num_rounds):
+            a = ds_seq.load_local_round_transform_zyx_um(t, r)
+            b = ds_fan.load_local_round_transform_zyx_um(t, r)
+            np.testing.assert_array_equal(a, b)
+        for bit in range(4):
+            a = np.asarray(ds_seq.load_local_registered_image(tile=t, bit=bit))
+            b = np.asarray(ds_fan.load_local_registered_image(tile=t, bit=bit))
+            np.testing.assert_array_equal(a, b)
