@@ -1040,6 +1040,36 @@ class qi2labDataStore:
             },
         )
 
+    def create_global_fused_image(
+        self,
+        shape: Sequence[int],
+        dtype,
+        *,
+        affine_zyx_um: ArrayLike,
+        origin_zyx_um: ArrayLike,
+        spacing_zyx_um: ArrayLike,
+        all_channels: bool = False,
+    ):
+        """Create an empty fused OME-Zarr and return the writable
+        TensorStore handle for chunk-by-chunk streaming fusion (reference
+        fuses straight to `output_zarr_url`, `DataRegistration.py:1728-1743`)."""
+        name = "fused_all_channels_zyx" if all_channels else "fused_fiducial_zyx"
+        return zarrio.create_ome_image(
+            self._fused_path / "fused.zarr" / name,
+            [int(s) for s in shape],
+            dtype,
+            chunks=zarrio.fused_chunks(shape),
+            extra_attributes={
+                "affine_zyx_um": np.asarray(affine_zyx_um, dtype=np.float64)
+                .reshape(4, 4)
+                .tolist(),
+                "origin_zyx_um": [float(v) for v in np.asarray(origin_zyx_um).ravel()],
+                "spacing_zyx_um": [
+                    float(v) for v in np.asarray(spacing_zyx_um).ravel()
+                ],
+            },
+        )
+
     def load_global_fiducial_image(
         self, return_future: bool = False, all_channels: bool = False
     ):

@@ -42,6 +42,26 @@ def _json_safe(value: Any) -> Any:
     return value
 
 
+def kvstore_spec(path: Path | str) -> dict:
+    """Map a datastore location to a TensorStore kvstore spec, recognizing
+    cloud URLs (reference `qi2labDataStore._get_kvstore_key:1357-1381`).
+
+    s3/gcs/azure locations return their respective TensorStore drivers;
+    plain paths map to the local ``file`` driver. http(s) URLs are rejected
+    just like the reference.
+    """
+    path_str = str(path)
+    if path_str.startswith("s3://") or "s3.amazonaws.com" in path_str:
+        return {"driver": "s3", "path": path_str}
+    if path_str.startswith("gs://") or "storage.googleapis.com" in path_str:
+        return {"driver": "gcs", "path": path_str}
+    if path_str.startswith("azure://") or "blob.core.windows.net" in path_str:
+        return {"driver": "azure", "path": path_str}
+    if path_str.startswith(("http://", "https://")):
+        raise ValueError("Unsupported cloud storage provider in URL")
+    return {"driver": "file", "path": path_str}
+
+
 def image_store_path(path: Path | str) -> Path:
     """Normalize a logical image name to its ``.ome.zarr`` directory."""
     p = Path(path)
@@ -98,29 +118,55 @@ def _array_spec(
     *,
     compression_level: int = 5,
     cname: str = "zstd",
+    shard_chunks: Sequence[int] | None = None,
 ) -> dict:
+    """zarr3 array spec: blosc(zstd, bitshuffle), optionally wrapped in a
+    ``sharding_indexed`` codec (reference
+    `qi2labDataStore._create_array_tensorstore_qi2lab:1431-1536`). With
+    sharding, ``shard_chunks`` is the outer shard shape and ``chunks`` the
+    inner sub-chunk shape."""
+    inner_codecs = [
+        {"name": "bytes", "configuration": {"endian": "little"}},
+        {
+            "name": "blosc",
+            "configuration": {
+                "cname": cname,
+                "clevel": int(compression_level),
+                "shuffle": "bitshuffle",
+                "typesize": np.dtype(dtype).itemsize,
+            },
+        },
+    ]
+    if shard_chunks is not None:
+        grid_chunks = [int(c) for c in shard_chunks]
+        codecs = [
+            {
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": [int(c) for c in chunks],
+                    "codecs": inner_codecs,
+                    "index_codecs": [
+                        {"name": "bytes", "configuration": {"endian": "little"}},
+                        {"name": "crc32c"},
+                    ],
+                    "index_location": "end",
+                },
+            }
+        ]
+    else:
+        grid_chunks = [int(c) for c in chunks]
+        codecs = inner_codecs
     return {
         "driver": "zarr3",
-        "kvstore": {"driver": "file", "path": str(path)},
+        "kvstore": kvstore_spec(path),
         "metadata": {
             "shape": [int(s) for s in shape],
             "data_type": np.dtype(dtype).name,
             "chunk_grid": {
                 "name": "regular",
-                "configuration": {"chunk_shape": [int(c) for c in chunks]},
+                "configuration": {"chunk_shape": grid_chunks},
             },
-            "codecs": [
-                {"name": "bytes", "configuration": {"endian": "little"}},
-                {
-                    "name": "blosc",
-                    "configuration": {
-                        "cname": cname,
-                        "clevel": int(compression_level),
-                        "shuffle": "bitshuffle",
-                        "typesize": np.dtype(dtype).itemsize,
-                    },
-                },
-            ],
+            "codecs": codecs,
             "fill_value": 0,
         },
         "create": True,
@@ -128,17 +174,26 @@ def _array_spec(
     }
 
 
-def write_ome_image(
+def create_ome_image(
     path: Path | str,
-    array: np.ndarray,
+    shape: Sequence[int],
+    dtype: np.dtype | str,
     *,
     scale: Sequence[float] | None = None,
     translation: Sequence[float] | None = None,
     extra_attributes: Mapping[str, Any] | None = None,
     chunks: Sequence[int] | None = None,
-    dtype: np.dtype | str | None = None,
-) -> Path:
-    """Write an array as a standalone OME-NGFF v0.5 image group.
+    shard_chunks: Sequence[int] | None = None,
+) -> ts.TensorStore:
+    """Create an empty OME-NGFF v0.5 image group and return the writable
+    level-0 TensorStore handle.
+
+    This is the streaming write path: callers fill the array chunk by chunk
+    (e.g. chunked direct-to-zarr fusion, reference
+    `DataRegistration._fuse_global_registered_msims:1728-1743` where
+    multiview-stitcher's ``fusion.fuse(output_zarr_url=...)`` writes each
+    fused chunk straight to disk), so host memory stays bounded by one chunk
+    rather than the full global volume.
 
     ``scale``/``translation`` follow the reference convention: only written
     when available, ordered like the array axes (zyx for 3D).
@@ -147,15 +202,14 @@ def write_ome_image(
     """
     root = image_store_path(path)
     root.mkdir(parents=True, exist_ok=True)
-    array = np.asarray(array)
-    if dtype is not None:
-        array = array.astype(dtype)
+    shape = [int(s) for s in shape]
+    dtype = np.dtype(dtype)
     if chunks is None:
-        chunks = default_chunks(array.shape)
+        chunks = default_chunks(shape)
 
     # group-level zarr.json with OME multiscales
     transforms: list[dict] = []
-    ndim = array.ndim
+    ndim = len(shape)
     if scale is not None:
         s = [1.0] * (ndim - len(list(scale))) + [float(v) for v in scale]
         transforms.append({"type": "scale", "scale": s})
@@ -185,17 +239,44 @@ def write_ome_image(
     with (root / "zarr.json").open("w", encoding="utf-8") as fh:
         json.dump(group_meta, fh, indent=2)
 
-    store = ts.open(_array_spec(root / "0", array.shape, array.dtype, chunks)).result()
+    return ts.open(
+        _array_spec(root / "0", shape, dtype, chunks, shard_chunks=shard_chunks)
+    ).result()
+
+
+def write_ome_image(
+    path: Path | str,
+    array: np.ndarray,
+    *,
+    scale: Sequence[float] | None = None,
+    translation: Sequence[float] | None = None,
+    extra_attributes: Mapping[str, Any] | None = None,
+    chunks: Sequence[int] | None = None,
+    dtype: np.dtype | str | None = None,
+    shard_chunks: Sequence[int] | None = None,
+) -> Path:
+    """Write an array as a standalone OME-NGFF v0.5 image group."""
+    array = np.asarray(array)
+    if dtype is not None:
+        array = array.astype(dtype)
+    store = create_ome_image(
+        path,
+        array.shape,
+        array.dtype,
+        scale=scale,
+        translation=translation,
+        extra_attributes=extra_attributes,
+        chunks=chunks,
+        shard_chunks=shard_chunks,
+    )
     store[...] = array
-    return root
+    return image_store_path(path)
 
 
 def open_ome_array(path: Path | str) -> ts.TensorStore:
     """Open the level-0 array of an OME image (lazy TensorStore handle)."""
     root = image_store_path(path)
-    return ts.open(
-        {"driver": "zarr3", "kvstore": {"driver": "file", "path": str(root / "0")}}
-    ).result()
+    return ts.open({"driver": "zarr3", "kvstore": kvstore_spec(root / "0")}).result()
 
 
 def read_ome_image(path: Path | str, return_future: bool = False):

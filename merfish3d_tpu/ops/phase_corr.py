@@ -144,6 +144,231 @@ def phase_cross_correlation(
     return shift.astype(jnp.float32)
 
 
+def _uniform_filter(x: jnp.ndarray, win: int) -> jnp.ndarray:
+    """Separable uniform (box) filter, 'valid' region kept full-size with
+    edge effects handled by cropping at the caller (skimage SSIM semantics)."""
+    for ax in range(x.ndim):
+        kernel = jnp.ones((win,), jnp.float32) / win
+        shape = [1] * x.ndim
+        shape[ax] = win
+        x = jax.scipy.signal.convolve(x, kernel.reshape(shape), mode="same")
+    return x
+
+
+@partial(jax.jit, static_argnames=("win",))
+def ssim(
+    a: jnp.ndarray, b: jnp.ndarray, *, data_range: float = 1.0, win: int = 7
+) -> jnp.ndarray:
+    """Mean structural similarity (skimage defaults: uniform 7^d windows,
+    K1=0.01, K2=0.03, sample covariance normalization), replacing
+    `cucim.skimage.metrics.structural_similarity` in the stitching plugin
+    (reference `multiview_registration.py:810-817`)."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    n = win**a.ndim
+    cov_norm = n / (n - 1.0)
+    ua = _uniform_filter(a, win)
+    ub = _uniform_filter(b, win)
+    uaa = _uniform_filter(a * a, win)
+    ubb = _uniform_filter(b * b, win)
+    uab = _uniform_filter(a * b, win)
+    va = cov_norm * (uaa - ua * ua)
+    vb = cov_norm * (ubb - ub * ub)
+    vab = cov_norm * (uab - ua * ub)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    s = ((2 * ua * ub + c1) * (2 * vab + c2)) / (
+        (ua * ua + ub * ub + c1) * (va + vb + c2)
+    )
+    pad = (win - 1) // 2
+    interior = s[tuple(slice(pad, dim - pad) for dim in s.shape)]
+    return jnp.mean(interior)
+
+
+@partial(jax.jit, static_argnames=("win",))
+def _rolled_candidate_score(
+    fixed: jnp.ndarray,
+    moving: jnp.ndarray,
+    shift: jnp.ndarray,
+    win: int = 7,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(ssim, overlap_fraction, rolled+masked moving) for one integer
+    translation candidate. The rolled image is zeroed outside validity, the
+    SSIM is computed over the full frame — mirroring the reference plugin,
+    which translates with NaN fill then scores ``nan_to_num`` images
+    (`multiview_registration.py:766-817`)."""
+    ndim = fixed.ndim
+    ishift = jnp.round(shift).astype(jnp.int32)
+    rolled = moving
+    mask = jnp.ones(fixed.shape, jnp.float32)
+    for ax in range(ndim):
+        rolled = jnp.roll(rolled, ishift[ax], axis=ax)
+        n = fixed.shape[ax]
+        pos = jax.lax.broadcasted_iota(jnp.int32, fixed.shape, ax)
+        s = ishift[ax]
+        valid = jnp.where(s >= 0, pos >= s, pos < n + s)
+        mask = mask * valid.astype(jnp.float32)
+    rolled = rolled * mask
+    frac = jnp.sum(mask) / float(np.prod(fixed.shape))
+    if win >= 3:
+        score = ssim(fixed, rolled, win=win)
+    else:
+        # overlap too small for a 3^d SSIM window: fall back to masked NCC
+        # (the reference marks such candidates unusable,
+        # `multiview_registration.py:810-812`; NCC keeps tiny-tile tests
+        # and extreme crops functional instead of rejecting everything)
+        score = _masked_ncc_for_shift(fixed, moving, shift)
+    return score, frac, rolled
+
+
+@jax.jit
+def _dual_normalization_peaks(
+    fixed: jnp.ndarray, moving: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Integer correlation peaks under phase normalization and plain
+    cross-correlation (the reference plugin tries both,
+    `multiview_registration.py:701-711`)."""
+    F = jnp.fft.fftn(fixed.astype(jnp.float32))
+    M = jnp.fft.fftn(moving.astype(jnp.float32))
+    R = F * jnp.conj(M)
+    R_phase = R / jnp.maximum(jnp.abs(R), 1e-20)
+    peak_phase = _integer_peak(jnp.abs(jnp.fft.ifftn(R_phase)))
+    peak_plain = _integer_peak(jnp.abs(jnp.fft.ifftn(R)))
+    return peak_phase, peak_plain
+
+
+@partial(jax.jit, static_argnames=("upsample_factor",))
+def _refine_subpixel(
+    fixed: jnp.ndarray,
+    moving: jnp.ndarray,
+    shift: jnp.ndarray,
+    *,
+    upsample_factor: int,
+) -> jnp.ndarray:
+    R = _cross_power_spectrum(fixed, moving)
+    return _upsampled_dft(R, shift, upsample_factor)
+
+
+def _spearman(a: np.ndarray, b: np.ndarray) -> float:
+    """Spearman rank correlation with average ranks (host-side; replaces the
+    reference's custom CuPy rankdata, `multiview_registration.py:554-621`)."""
+    from scipy.stats import spearmanr
+
+    a = np.ravel(np.asarray(a, np.float64))
+    b = np.ravel(np.asarray(b, np.float64))
+    if a.size < 2 or np.ptp(a) == 0 or np.ptp(b) == 0:
+        return float("nan")
+    rho = spearmanr(a, b).statistic
+    return float(rho)
+
+
+def register_translation_with_quality(
+    fixed,
+    moving,
+    *,
+    upsample_factor: int = 2,
+) -> tuple[np.ndarray, float]:
+    """Pairwise translation registration with 4^d-candidate SSIM
+    disambiguation and Spearman quality, the TPU analog of the reference's
+    multiview-stitcher plugin `cucim_phase_correlation_registration`
+    (`multiview_registration.py:624-832`).
+
+    Candidate set: integer peaks from both the phase-normalized and plain
+    cross-power spectra, each expanded per axis into
+    {+s, -s, -(s-size), -s-size} (4 options when s != 0). Each candidate is
+    scored by SSIM of the fixed image vs the rolled/masked moving image;
+    the winner's quality is the Spearman correlation over the valid overlap.
+
+    Returns (shift_push, quality): ``shift_push`` rolls ``moving`` onto
+    ``fixed`` (same convention as :func:`phase_cross_correlation`).
+    """
+    fixed = jnp.asarray(fixed, jnp.float32)
+    moving = jnp.asarray(moving, jnp.float32)
+    # rescale to [0,1] like the reference plugin (`:818-827` rescale_intensity)
+    def _rescale(im):
+        lo, hi = jnp.min(im), jnp.max(im)
+        return (im - lo) / jnp.maximum(hi - lo, 1e-12)
+
+    fixed = _rescale(fixed)
+    moving = _rescale(moving)
+    ndim = fixed.ndim
+    shape = np.asarray(fixed.shape, np.float64)
+
+    peak_phase, peak_plain = _dual_normalization_peaks(fixed, moving)
+    base_shifts = [np.asarray(peak_phase), np.asarray(peak_plain)]
+
+    # 4^d expansion (reference `:735-751`): s, -s, -(s-size), -s-size
+    max_shift = float(max(fixed.shape))
+    candidates: list[tuple[float, ...]] = []
+    seen = set()
+    for s_vec in base_shifts:
+        opts_per_axis = []
+        for d in range(ndim):
+            s = float(s_vec[d])
+            if s == 0:
+                opts_per_axis.append([0.0])
+            else:
+                opts_per_axis.append(
+                    [s, -s, -(s - shape[d]), -s - shape[d]]
+                )
+        import itertools
+
+        for combo in itertools.product(*opts_per_axis):
+            if max(abs(c) for c in combo) >= max_shift:
+                continue
+            key = tuple(int(round(c)) for c in combo)
+            if key in seen:
+                continue
+            seen.add(key)
+            candidates.append(combo)
+
+    if not candidates:
+        return np.zeros(ndim, np.float32), 1.0
+
+    # skimage-style window shrink for small volumes
+    # (`multiview_registration.py:808-812`)
+    min_shape = int(min(fixed.shape))
+    win = min(7, min_shape - ((min_shape - 1) % 2))
+
+    best_idx, best_ssim = 0, -np.inf
+    scores = []
+    for cand in candidates:
+        sv = jnp.asarray(cand, jnp.float32)
+        s_val, frac, _ = _rolled_candidate_score(fixed, moving, sv, win)
+        s_val = float(s_val) if float(frac) >= 0.1 else -1.0
+        scores.append(s_val)
+        if s_val > best_ssim:
+            best_ssim, best_idx = s_val, len(scores) - 1
+
+    winner = np.asarray(candidates[best_idx], np.float64)
+
+    # quality = Spearman over the valid overlap of the winning candidate
+    _, _, rolled = _rolled_candidate_score(
+        fixed, moving, jnp.asarray(winner, jnp.float32), win
+    )
+    ov = overlap_slices_after_translation(fixed.shape, -winner)
+    if ov is None:
+        quality = float("nan")
+    else:
+        quality = _spearman(
+            np.asarray(fixed)[ov], np.asarray(rolled)[ov]
+        )
+
+    # subpixel refinement around the winner on the phase-normalized spectrum
+    if upsample_factor > 1:
+        refined = _refine_subpixel(
+            fixed,
+            moving,
+            jnp.asarray(
+                np.round(winner * upsample_factor) / upsample_factor, jnp.float32
+            ),
+            upsample_factor=upsample_factor,
+        )
+        winner = np.asarray(refined, np.float64)
+
+    return winner.astype(np.float32), quality
+
+
 def overlap_slices_after_translation(
     shape, translation_px
 ) -> tuple[slice, ...] | None:

@@ -15,7 +15,9 @@ contract to the reference (per-tile parquet schema, thresholds, vectors).
 
 from __future__ import annotations
 
+import json
 import random
+from pathlib import Path
 from typing import Optional, Sequence
 
 import numpy as np
@@ -622,6 +624,26 @@ class PixelDecoder:
             if n_tiles > n_random_tiles
             else list(range(n_tiles))
         )
+        # Durable optimization state: pin the random tile sample so a
+        # resumed run replays the same sample and the per-iteration
+        # checkpoints below stay valid (reference checkpoints each
+        # iteration to `temporary/iteration_NNN` parquet dirs,
+        # `qi2labDataStore.py:1117`, `PixelDecoder.py:4241-4251`).
+        state_path = (
+            ds._decoded_run_root() / "temporary" / "optimization_state.json"
+        )
+        if state_path.exists():
+            try:
+                stored = json.loads(state_path.read_text())
+            except (OSError, json.JSONDecodeError):
+                stored = {}
+            if len(stored.get("sample_idx", [])) == len(sample_idx):
+                sample_idx = [int(t) for t in stored["sample_idx"]]
+            else:
+                ds.clear_decoded_temporary()
+        state_path.parent.mkdir(parents=True, exist_ok=True)
+        state_path.write_text(json.dumps({"sample_idx": sample_idx}))
+
         if self._estimate_chromatic:
             save_identity_chromatic_affines(ds, self._n_merfish_bits)
             self._collect_chromatic_centroids = True
@@ -632,33 +654,36 @@ class PixelDecoder:
         )
         mesh = self._mesh_for_tiles(len(sample_idx))
         for _it in range(n_iterations):
-            frames = []
-            if mesh is not None:
-                # sample tiles fan out one-per-chip; extraction + medians
-                # stay host-side (median semantics preserved exactly —
-                # gathered decoded tables are tiny vs the voxel data)
-                for tile_idx, arrays, state in self._decode_tiles_mesh(
-                    sample_idx,
-                    mesh,
-                    lowpass_sigma=lowpass_sigma,
-                    optimize_normalization_weights=True,
-                ):
-                    decoded, mag, dist, intensity = arrays
-                    frames.append(
-                        self._extract_barcodes(
-                            decoded, mag, dist, intensity, tile_idx,
-                            tile_state=state,
-                        )
-                    )
-            else:
-                for tile_idx in sample_idx:
-                    df = self.decode_one_tile(
-                        tile_idx,
+            frames = self._load_iteration_checkpoint(_it, sample_idx)
+            if frames is None:
+                frames = []
+                if mesh is not None:
+                    # sample tiles fan out one-per-chip; extraction + medians
+                    # stay host-side (median semantics preserved exactly —
+                    # gathered decoded tables are tiny vs the voxel data)
+                    for tile_idx, arrays, state in self._decode_tiles_mesh(
+                        sample_idx,
+                        mesh,
                         lowpass_sigma=lowpass_sigma,
                         optimize_normalization_weights=True,
-                        save=False,
-                    )
-                    frames.append(df)
+                    ):
+                        decoded, mag, dist, intensity = arrays
+                        frames.append(
+                            self._extract_barcodes(
+                                decoded, mag, dist, intensity, tile_idx,
+                                tile_state=state,
+                            )
+                        )
+                else:
+                    for tile_idx in sample_idx:
+                        df = self.decode_one_tile(
+                            tile_idx,
+                            lowpass_sigma=lowpass_sigma,
+                            optimize_normalization_weights=True,
+                            save=False,
+                        )
+                        frames.append(df)
+                self._save_iteration_checkpoint(_it, sample_idx, frames)
             self._df_barcodes_loaded = (
                 pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
             )
@@ -675,6 +700,48 @@ class PixelDecoder:
                 )
             self._iterative_normalization_vectors()
         self._collect_chromatic_centroids = False
+
+    def _iteration_frame_path(self, iteration: int, tile_idx: int) -> "Path":
+        d = self._datastore.decoded_temporary_dir(iteration)
+        tid = self._datastore._tile_id(tile_idx)
+        return d / f"{tid}_decoded_features.parquet"
+
+    def _save_iteration_checkpoint(
+        self, iteration: int, sample_idx, frames
+    ) -> None:
+        """Checkpoint one optimization iteration's decoded tables to
+        `temporary/iteration_NNN/` parquet files + a completion marker
+        (reference `PixelDecoder.py:4241-4251`)."""
+        for tile_idx, df in zip(sample_idx, frames):
+            df.to_parquet(
+                self._iteration_frame_path(iteration, tile_idx), engine="pyarrow"
+            )
+        d = self._datastore.decoded_temporary_dir(iteration)
+        (d / "complete.json").write_text(
+            json.dumps({"tiles": [int(t) for t in sample_idx]})
+        )
+
+    def _load_iteration_checkpoint(self, iteration: int, sample_idx):
+        """Load a completed iteration checkpoint, or None to (re)decode.
+        An interrupted optimization run resumes from the first iteration
+        without a completion marker."""
+        d = self._datastore.decoded_temporary_dir(iteration)
+        marker = d / "complete.json"
+        if not marker.exists():
+            return None
+        try:
+            tiles = json.loads(marker.read_text()).get("tiles")
+        except (OSError, json.JSONDecodeError):
+            return None
+        if tiles != [int(t) for t in sample_idx]:
+            return None
+        paths = [
+            self._iteration_frame_path(iteration, tile_idx)
+            for tile_idx in sample_idx
+        ]
+        if not all(p.exists() for p in paths):
+            return None
+        return [pd.read_parquet(p, engine="pyarrow") for p in paths]
 
     # --------------------------------------------------- multi-chip fan-out
     def _mesh_for_tiles(self, n_tiles: int):

@@ -48,10 +48,13 @@ class GlobalRegistrationConfig:
 
 @dataclass(frozen=True)
 class GlobalFusionConfig:
-    """reference `GlobalFusionConfig:98-109`."""
+    """reference `GlobalFusionConfig:98-109`. Fusion streams chunk-by-chunk
+    directly into the fused zarr; ``tile_cache_tiles`` bounds how many
+    loaded tiles are held in host RAM during the pass."""
 
     chunk_px: int = 512
     overlap_px: int = 64
+    tile_cache_tiles: int = 4
 
 
 class DataRegistration:

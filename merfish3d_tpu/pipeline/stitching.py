@@ -1,30 +1,39 @@
-"""Global tile registration + fusion.
+"""Global tile registration + streamed fusion.
 
 Own implementation replacing multiview-stitcher + dask + cupy fusion
 (reference `DataRegistration.global_register:1839-2006` /
 `_fuse_global_registered_msims:1650-1837`, SURVEY.md §2.8):
 
-1. overlap graph from stage positions,
-2. pairwise phase correlation on the stage-predicted overlap regions of
-   the round-1 registered fiducial volumes (the same registration kernel
-   as local registration — `cucim_phase_correlation_registration` analog),
-3. weighted least-squares resolution of per-tile global translations
-   (anchor = tile 0; translation transform_type, matching
-   `GlobalRegistrationConfig`),
-4. feathered weighted-average fusion onto the global bounding box, written
-   to the datastore with (affine, origin, spacing) attributes plus the
-   Cellpose max-projection input.
+1. overlap graph from stage positions, pruned to axis-aligned neighbor
+   pairs when ``keep_axis_aligned`` (reference
+   ``pre_registration_pruning_method="keep_axis_aligned"``,
+   `DataRegistration.py:79`),
+2. pairwise translation registration on ``binning_zyx``-binned overlap
+   regions with 4^d-candidate SSIM disambiguation and Spearman quality
+   (the `cucim_phase_correlation_registration` plugin analog,
+   `multiview_registration.py:624-832`), pairs below ``quality_threshold``
+   dropped (reference ``post_registration_do_quality_filter``),
+3. quality-weighted least-squares resolution of per-tile global
+   translations (anchor = tile 0; ``transform_type="translation"``),
+4. chunked, feathered weighted-average fusion streamed directly into the
+   fused OME-Zarr — host memory stays bounded by one fusion chunk plus a
+   small tile cache, never the global bounding box (reference fuses
+   512-px chunks with 64-px overlap straight to zarr,
+   `DataRegistration.py:1728-1743`, `GlobalFusionConfig:98-109`).
 """
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from pathlib import Path
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 
-import jax.numpy as jnp
-
-from ..ops.phase_corr import phase_cross_correlation
+from ..datastore import zarrio
+from ..ops.filters import downsample_image_anisotropic
+from ..ops.phase_corr import register_translation_with_quality
+from ..ops.warp import warp_affine
 
 
 def _tile_origin_um(datastore, tile_idx) -> np.ndarray:
@@ -34,11 +43,37 @@ def _tile_origin_um(datastore, tile_idx) -> np.ndarray:
     return np.asarray(stage[0], dtype=np.float64)
 
 
+def _camera_affine_px(datastore, tile_idx) -> np.ndarray:
+    stage = datastore.load_local_stage_position_zyx_um(tile_idx, round=0)
+    if stage is None:
+        return np.eye(4)
+    return np.asarray(stage[1], dtype=np.float64)
+
+
 def _load_fiducial(datastore, tile_idx) -> np.ndarray:
     img = datastore.load_local_registered_image(tile=tile_idx, round=0)
     if img is None:
         img = datastore.load_local_corrected_image(tile=tile_idx, round=0)
     return np.asarray(img, np.float32)
+
+
+def _apply_camera_affine(img: np.ndarray, affine_px: np.ndarray) -> np.ndarray:
+    """Resample a tile through its camera-to-stage pixel affine so fusion
+    sees stage-aligned tiles (the reference attaches ``affine_zyx_px`` to
+    each msim before registration/fusion, `DataRegistration.py:1466-1561`).
+
+    ``affine_px`` maps camera px → stage px (moving → reference); the warp
+    convention wants reference → moving, hence the inverse. Identity is the
+    overwhelmingly common case and short-circuits.
+    """
+    if np.allclose(affine_px, np.eye(4)):
+        return img
+    return warp_affine(
+        img,
+        transform_zyx_um=np.linalg.inv(affine_px),
+        spacing_zyx_um=(1.0, 1.0, 1.0),
+        reference_shape=img.shape,
+    ).astype(np.float32, copy=False)
 
 
 def _overlap_bounds(o_i, o_j, shape_px, spacing):
@@ -55,11 +90,34 @@ def _overlap_bounds(o_i, o_j, shape_px, spacing):
     return (lo_i, hi_i), (lo_j, hi_j)
 
 
+def _is_axis_aligned_pair(o_i, o_j, size_um, frac: float = 0.1) -> bool:
+    """True when the pair is adjacent along exactly one axis: the stage
+    offset is significant (>``frac`` of the tile extent) in at most one
+    axis. Diagonal grid neighbors are pruned, matching multiview-stitcher's
+    ``keep_axis_aligned`` pre-registration pruning."""
+    offset = np.abs(np.asarray(o_j) - np.asarray(o_i))
+    significant = offset > frac * np.asarray(size_um)
+    return int(np.sum(significant)) <= 1
+
+
 def global_register(datastore, *, config=None, fusion_config=None, verbose=1):
-    """Estimate + save per-tile global coordinate transforms, then fuse."""
+    """Estimate + save per-tile global coordinate transforms, then fuse.
+
+    Honors every `GlobalRegistrationConfig` field: volumes are binned by
+    ``binning_zyx`` before pairwise registration, non-axis-aligned pairs
+    are pruned when ``keep_axis_aligned``, and pairs whose Spearman quality
+    falls below ``quality_threshold`` are dropped from the least-squares
+    resolution (reference `DataRegistration.py:71-95`,
+    `multiview_registration.py:554-832`).
+    """
     ds = datastore
     n_tiles = len(ds.tile_ids)
     spacing = np.asarray(ds.voxel_size_zyx_um, dtype=np.float64)
+    binning = np.asarray(
+        getattr(config, "binning_zyx", (3, 6, 6)) if config else (3, 6, 6), int
+    )
+    keep_axis_aligned = getattr(config, "keep_axis_aligned", True) if config else True
+    quality_threshold = getattr(config, "quality_threshold", 0.2) if config else 0.2
 
     if n_tiles == 1:
         # single-tile shortcut: identity transform (reference `:1877-1893`)
@@ -71,21 +129,45 @@ def global_register(datastore, *, config=None, fusion_config=None, verbose=1):
         return
 
     origins = [_tile_origin_um(ds, t) for t in range(n_tiles)]
-    images = [_load_fiducial(ds, t) for t in range(n_tiles)]
-    shape_px = images[0].shape
+
+    # Load tiles ONE at a time and keep only the binned copies (a (3,6,6)
+    # binning shrinks them ~100x) — never all full-res tiles in host RAM
+    # (reference registers on binned msims, `registration_binning`).
+    binned: list[np.ndarray] = []
+    shape_px: Optional[tuple[int, ...]] = None
+    for t in range(n_tiles):
+        img = _load_fiducial(ds, t)
+        img = _apply_camera_affine(img, _camera_affine_px(ds, t))
+        if shape_px is None:
+            shape_px = img.shape
+            binning = np.minimum(binning, np.asarray(shape_px))
+        binned.append(
+            downsample_image_anisotropic(img, tuple(int(v) for v in binning))
+        )
+        del img
+    size_um = np.asarray(shape_px) * spacing
+    spacing_binned = spacing * binning
 
     # pairwise measurements: correction_j - correction_i (µm)
     rows, rhs, weights = [], [], []
+    n_pruned = n_lowq = 0
     for i in range(n_tiles):
         for j in range(i + 1, n_tiles):
-            ob = _overlap_bounds(origins[i], origins[j], shape_px, spacing)
+            if keep_axis_aligned and not _is_axis_aligned_pair(
+                origins[i], origins[j], size_um
+            ):
+                n_pruned += 1
+                continue
+            ob = _overlap_bounds(
+                origins[i], origins[j], binned[0].shape, spacing_binned
+            )
             if ob is None:
                 continue
             (lo_i, hi_i), (lo_j, hi_j) = ob
-            sub_i = images[i][
+            sub_i = binned[i][
                 lo_i[0] : hi_i[0], lo_i[1] : hi_i[1], lo_i[2] : hi_i[2]
             ]
-            sub_j = images[j][
+            sub_j = binned[j][
                 lo_j[0] : hi_j[0], lo_j[1] : hi_j[1], lo_j[2] : hi_j[2]
             ]
             shp = np.minimum(sub_i.shape, sub_j.shape)
@@ -94,32 +176,36 @@ def global_register(datastore, *, config=None, fusion_config=None, verbose=1):
                 continue
             sub_i = sub_i[: shp[0], : shp[1], : shp[2]]
             sub_j = sub_j[: shp[0], : shp[1], : shp[2]]
-            shift_px = np.asarray(
-                phase_cross_correlation(
-                    jnp.asarray(sub_i), jnp.asarray(sub_j), upsample_factor=10
-                )
+            shift_px, quality = register_translation_with_quality(
+                sub_i, sub_j, upsample_factor=10
             )
-            # quality: NCC after shift (cheap proxy: plain NCC of overlap)
-            a = sub_i - sub_i.mean()
-            b = sub_j - sub_j.mean()
-            q = float(
-                np.sum(a * b)
-                / max(np.sqrt(np.sum(a * a) * np.sum(b * b)), 1e-9)
-            )
+            if not np.isfinite(quality) or quality < quality_threshold:
+                n_lowq += 1
+                if verbose > 1:
+                    print(
+                        f"pair ({i},{j}): rejected, quality={quality:.3f} "
+                        f"< {quality_threshold}"
+                    )
+                continue
             # if sub_j(x) = sub_i(x - δ) then push = -δ and tile j's stage
-            # origin overshoots by δ: correction_j - correction_i = -δ·s =
-            # push·s
-            measured_um = shift_px * spacing
-            row = np.zeros(3 * n_tiles)
+            # origin overshoots by δ: correction_j - correction_i = push·s
+            measured_um = np.asarray(shift_px, np.float64) * spacing_binned
             row_block = np.zeros((3, 3 * n_tiles))
             for ax in range(3):
                 row_block[ax, 3 * j + ax] = 1.0
                 row_block[ax, 3 * i + ax] = -1.0
             rows.append(row_block)
             rhs.append(measured_um)
-            weights.append(max(q, 1e-3))
+            weights.append(max(float(quality), 1e-3))
             if verbose > 1:
-                print(f"pair ({i},{j}): shift_px={shift_px}, q={q:.3f}")
+                print(f"pair ({i},{j}): shift_px={shift_px}, q={quality:.3f}")
+
+    if verbose:
+        print(
+            f"global registration: {len(rows)} pairs kept, "
+            f"{n_pruned} pruned (axis-aligned), {n_lowq} below quality "
+            f"threshold {quality_threshold}"
+        )
 
     corrections = np.zeros((n_tiles, 3))
     if rows:
@@ -146,63 +232,182 @@ def global_register(datastore, *, config=None, fusion_config=None, verbose=1):
     fuse_global_registered(ds, config=fusion_config, verbose=verbose)
 
 
+def _feather_ramp(n: int, edge: int) -> np.ndarray:
+    ramp = np.minimum(np.arange(n) + 1, np.arange(n)[::-1] + 1).astype(np.float32)
+    return np.minimum(ramp / max(min(edge, n // 2), 1), 1.0)
+
+
 def _feather_weights(shape_px, edge: int = 64) -> np.ndarray:
     """Linear edge feathering (reference fusion overlap 64 px)."""
     w = np.ones(shape_px, np.float32)
     for ax, n in enumerate(shape_px):
-        ramp = np.minimum(np.arange(n) + 1, np.arange(n)[::-1] + 1).astype(
-            np.float32
-        )
-        ramp = np.minimum(ramp / max(min(edge, n // 2), 1), 1.0)
         shape = [1, 1, 1]
         shape[ax] = n
-        w = w * ramp.reshape(shape)
+        w = w * _feather_ramp(n, edge).reshape(shape)
     return w
 
 
+class _TileCache:
+    """Tiny LRU of loaded (possibly warped) tiles keyed by tile index, so a
+    chunked fusion pass re-reads/re-warps each tile a bounded number of
+    times while holding at most ``capacity`` tiles in host RAM."""
+
+    def __init__(self, loader: Callable[[int], Optional[np.ndarray]], capacity: int):
+        self._loader = loader
+        self._capacity = max(1, int(capacity))
+        self._cache: OrderedDict[int, Optional[np.ndarray]] = OrderedDict()
+
+    def get(self, tile_idx: int) -> Optional[np.ndarray]:
+        if tile_idx in self._cache:
+            self._cache.move_to_end(tile_idx)
+            return self._cache[tile_idx]
+        img = self._loader(tile_idx)
+        self._cache[tile_idx] = img
+        while len(self._cache) > self._capacity:
+            self._cache.popitem(last=False)
+        return img
+
+
+def stream_fuse(
+    out_array,
+    *,
+    out_shape: Sequence[int],
+    tile_starts_px: Sequence[np.ndarray],
+    tile_shape_px: Sequence[int],
+    tile_cache: _TileCache,
+    chunk_px: int = 512,
+    feather_px: int = 64,
+    chunk_z: int = 64,
+    out_offset: Sequence[int] = (0, 0, 0),
+    max_projection: Optional[np.ndarray] = None,
+) -> None:
+    """Feathered weighted-average fusion, one output chunk at a time.
+
+    For each (z, y, x) chunk of the global volume, reads only the
+    intersecting windows of the intersecting tiles, accumulates
+    ``sum(w·img) / sum(w)`` in a chunk-sized buffer, and writes the chunk
+    straight into ``out_array`` (a writable TensorStore view). Host memory
+    is bounded by one chunk + the tile cache — the reference's
+    direct-to-zarr chunked fusion (`DataRegistration.py:1728-1743`).
+
+    Feather weights are evaluated analytically per window (the weight is a
+    separable product of per-axis ramps), so no full tile-sized weight
+    volume is ever materialized.
+    """
+    out_shape = np.asarray(out_shape, int)
+    tile_shape_px = np.asarray(tile_shape_px, int)
+    ramps = [_feather_ramp(int(n), feather_px) for n in tile_shape_px]
+    chunk = np.asarray([chunk_z, chunk_px, chunk_px], int)
+    n_chunks = -(-out_shape // chunk)
+
+    for cz in range(n_chunks[0]):
+        for cy in range(n_chunks[1]):
+            for cx in range(n_chunks[2]):
+                c_lo = np.asarray([cz, cy, cx]) * chunk
+                c_hi = np.minimum(c_lo + chunk, out_shape)
+                acc = np.zeros(c_hi - c_lo, np.float32)
+                wacc = np.zeros(c_hi - c_lo, np.float32)
+                for t, start in enumerate(tile_starts_px):
+                    t_lo = np.maximum(c_lo, start)
+                    t_hi = np.minimum(c_hi, start + tile_shape_px)
+                    if np.any(t_hi <= t_lo):
+                        continue
+                    img = tile_cache.get(t)
+                    if img is None:
+                        continue
+                    win = tuple(
+                        slice(int(t_lo[ax] - start[ax]), int(t_hi[ax] - start[ax]))
+                        for ax in range(3)
+                    )
+                    dst = tuple(
+                        slice(int(t_lo[ax] - c_lo[ax]), int(t_hi[ax] - c_lo[ax]))
+                        for ax in range(3)
+                    )
+                    w = (
+                        ramps[0][win[0]][:, None, None]
+                        * ramps[1][win[1]][None, :, None]
+                        * ramps[2][win[2]][None, None, :]
+                    )
+                    acc[dst] += img[win] * w
+                    wacc[dst] += w
+                fused = np.clip(acc / np.maximum(wacc, 1e-9), 0, 65535).astype(
+                    np.uint16
+                )
+                dst_global = tuple(
+                    slice(int(out_offset[ax] + c_lo[ax]), int(out_offset[ax] + c_hi[ax]))
+                    for ax in range(3)
+                )
+                out_array[dst_global] = fused
+                if max_projection is not None:
+                    mp_win = (dst_global[1], dst_global[2])
+                    np.maximum(
+                        max_projection[mp_win],
+                        np.max(fused, axis=0),
+                        out=max_projection[mp_win],
+                    )
+
+
+def _global_layout(ds, n_tiles, spacing):
+    """(per-tile global origins µm, integer start px, tile shape px, bbox)."""
+    origins = []
+    for t in range(n_tiles):
+        xf = ds.load_global_coord_xforms_um(t)
+        if xf is None:
+            origins.append(_tile_origin_um(ds, t))
+        else:
+            affine, origin, _ = xf
+            origins.append(affine[:3, 3] + origin)
+    shape_px = ds.local_image_shape(0, round=0, image="registered")
+    if shape_px is None:
+        shape_px = np.asarray(ds.load_local_corrected_image(tile=0, round=0)).shape
+    shape_px = np.asarray(shape_px, int)
+    lo = np.min(origins, axis=0)
+    hi = np.max(origins, axis=0) + shape_px * spacing
+    out_shape = np.ceil((hi - lo) / spacing).astype(int)
+    starts = [np.round((o - lo) / spacing).astype(int) for o in origins]
+    return origins, starts, shape_px, lo, out_shape
+
+
 def fuse_global_registered(datastore, *, config=None, verbose=1):
-    """Feathered weighted-average fusion of round-1 fiducials onto the
-    global bounding box; writes the fused OME-Zarr + global attrs + the
-    Cellpose max-projection (reference `_fuse_global_registered_msims`)."""
+    """Streamed feathered fusion of round-1 fiducials onto the global
+    bounding box, written chunk-by-chunk directly into the fused OME-Zarr
+    (+ global attrs + the Cellpose max-projection; reference
+    `_fuse_global_registered_msims:1650-1837`)."""
     ds = datastore
     n_tiles = len(ds.tile_ids)
     spacing = np.asarray(ds.voxel_size_zyx_um, dtype=np.float64)
     overlap_px = getattr(config, "overlap_px", 64) if config else 64
+    chunk_px = getattr(config, "chunk_px", 512) if config else 512
+    cache_tiles = getattr(config, "tile_cache_tiles", 4) if config else 4
 
-    tiles, global_origins = [], []
-    for t in range(n_tiles):
-        img = _load_fiducial(ds, t)
-        xf = ds.load_global_coord_xforms_um(t)
-        if xf is None:
-            origin = _tile_origin_um(ds, t)
-            affine = np.eye(4)
-        else:
-            affine, origin, _ = xf
-        tiles.append(img)
-        global_origins.append(affine[:3, 3] + origin)
+    _, starts, shape_px, lo, out_shape = _global_layout(ds, n_tiles, spacing)
 
-    shape_px = np.asarray(tiles[0].shape)
-    lo = np.min(global_origins, axis=0)
-    hi = np.max(global_origins, axis=0) + shape_px * spacing
-    out_shape = np.ceil((hi - lo) / spacing).astype(int)
-
-    acc = np.zeros(out_shape, np.float64)
-    wacc = np.zeros(out_shape, np.float64)
-    for img, origin in zip(tiles, global_origins):
-        start = np.round((origin - lo) / spacing).astype(int)
-        end = start + np.asarray(img.shape)
-        w = _feather_weights(img.shape, edge=overlap_px)
-        acc[start[0] : end[0], start[1] : end[1], start[2] : end[2]] += img * w
-        wacc[start[0] : end[0], start[1] : end[1], start[2] : end[2]] += w
-    fused = (acc / np.maximum(wacc, 1e-9)).astype(np.float32)
-    fused_u16 = np.clip(fused, 0, 65535).astype(np.uint16)
-
-    ds.save_global_fiducial_image(
-        fused_u16,
+    out = ds.create_global_fused_image(
+        tuple(int(v) for v in out_shape),
+        np.uint16,
         affine_zyx_um=np.eye(4),
         origin_zyx_um=lo,
         spacing_zyx_um=spacing,
     )
+    max_proj = np.zeros((int(out_shape[1]), int(out_shape[2])), np.uint16)
+
+    def _loader(t: int) -> np.ndarray:
+        img = _load_fiducial(ds, t)
+        return _apply_camera_affine(img, _camera_affine_px(ds, t))
+
+    stream_fuse(
+        out,
+        out_shape=out_shape,
+        tile_starts_px=starts,
+        tile_shape_px=shape_px,
+        tile_cache=_TileCache(_loader, cache_tiles),
+        chunk_px=chunk_px,
+        feather_px=overlap_px,
+        max_projection=max_proj,
+    )
+    if verbose:
+        print(f"fused global volume {tuple(out_shape)} from {n_tiles} tiles")
+
     if getattr(config, "create_max_proj_tiff", True) if config else True:
         # Cellpose input artifact, as the reference writes after fusion
         # (`DataRegistration.py:1786-1825`).
@@ -211,10 +416,9 @@ def fuse_global_registered(datastore, *, config=None, verbose=1):
         write_ome_tiff_2d(
             Path(ds._datastore_path)
             / "segmentation" / "cellpose" / "fiducial_max_projection.ome.tiff",
-            np.max(fused_u16, axis=0),
+            max_proj,
             spacing_yx_um=(spacing[1], spacing[2]),
         )
     state = ds.datastore_state
     state.update({"GlobalRegistered": True, "Fused": True})
     ds.datastore_state = state
-    return fused_u16

@@ -127,3 +127,36 @@ def test_multi_tile_decode_with_overlap_dedup(tmp_path_factory):
     assert set(df["tile_idx"].unique()) == {0, 1}
     result = match_spots_f1(df, gt, radius_um=1.0)
     assert result["f1"] >= 0.8, result
+
+
+def test_optimization_iteration_checkpoints_resume(experiment, monkeypatch):
+    """Each optimization iteration checkpoints its decoded tables to
+    `temporary/iteration_NNN/` (reference `qi2labDataStore.py:1117`,
+    `PixelDecoder.py:4241-4251`); a resumed run replays from the
+    checkpoints without re-decoding and lands on identical vectors."""
+    ds, _ = experiment
+    dec = PixelDecoder(
+        ds, minimum_pixels=4, magnitude_threshold=(0.9, 10.0), verbose=0,
+        decode_run_key="ckpt",
+    )
+    dec.optimize_normalization_by_decoding(n_random_tiles=1, n_iterations=2)
+    root = ds._decoded_path / "ckpt" / "temporary"
+    for it in range(2):
+        d = root / f"iteration_{it:03d}"
+        assert (d / "complete.json").exists()
+        assert (d / "tile0000_decoded_features.parquet").exists()
+    norm1 = ds.load_decode_normalization_vectors(run_key="iterative")
+
+    dec2 = PixelDecoder(
+        ds, minimum_pixels=4, magnitude_threshold=(0.9, 10.0), verbose=0,
+        decode_run_key="ckpt",
+    )
+
+    def _no_decode(*args, **kwargs):
+        raise AssertionError("resume must not re-decode checkpointed tiles")
+
+    monkeypatch.setattr(dec2, "decode_one_tile", _no_decode)
+    dec2.optimize_normalization_by_decoding(n_random_tiles=1, n_iterations=2)
+    norm2 = ds.load_decode_normalization_vectors(run_key="iterative")
+    np.testing.assert_allclose(norm1[0], norm2[0])
+    np.testing.assert_allclose(norm1[1], norm2[1])

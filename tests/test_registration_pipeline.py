@@ -97,23 +97,12 @@ def test_register_all_tiles_resume(tmp_path):
     reg.register_all_tiles()
 
 
-def test_global_register_two_tiles(tmp_path):
-    """Two overlapping tiles with a known stage error: global registration
-    must recover the correction and produce a fused volume."""
-    shape = (8, 64, 96)
-    spacing = np.asarray([0.31, 0.098, 0.098])
-    ds = qi2labDataStore(tmp_path / "ds")
-    ds.channels_in_data = ["fid", "r1", "r2"]
-    ds.num_tiles = 2
-    ds.voxel_size_zyx_um = list(spacing)
-    ds.experiment_order = np.array([[1, 1, 2]])
-    ds.codebook = pd.DataFrame(
-        {"gene_id": ["g1", "g2"], "bit01": [1, 0], "bit02": [0, 1]}
-    )
+SPACING = np.asarray([0.31, 0.098, 0.098])
 
-    # a wide bead field; tile 1 sees it shifted by the true stage offset
-    rng = np.random.default_rng(2)
-    big = np.zeros((8, 64, 160), np.float32)
+
+def _bead_field(shape, seed=2):
+    rng = np.random.default_rng(seed)
+    big = np.zeros(shape, np.float32)
     zz, yy, xx = np.meshgrid(
         *[np.arange(s, dtype=np.float64) for s in big.shape], indexing="ij"
     )
@@ -126,40 +115,137 @@ def test_global_register_two_tiles(tmp_path):
                 / (2 * 1.2**2)
             )
         ).astype(np.float32)
+    return big
 
-    # tile 0: x ∈ [0, 96); tile 1 true position x = 64 px, stage reports 66 px
-    true_x_px = 64
-    stage_x_px = 66
-    tile0 = big[:, :, :96]
-    tile1 = big[:, :, true_x_px : true_x_px + 96]
+
+def _build_two_tile_store(
+    tmp_path,
+    *,
+    true_off_px=(0, 0, 64),
+    stage_off_px=(0, 0, 66),
+    tile1_noise=False,
+):
+    """Two overlapping (8, 64, 96) tiles cut from one bead field; tile 1's
+    stage position carries a known error (stage_off - true_off)."""
+    tile_shape = (8, 64, 96)
+    ds = qi2labDataStore(tmp_path / "ds")
+    ds.channels_in_data = ["fid", "r1", "r2"]
+    ds.num_tiles = 2
+    ds.voxel_size_zyx_um = list(SPACING)
+    ds.experiment_order = np.array([[1, 1, 2]])
+    ds.codebook = pd.DataFrame(
+        {"gene_id": ["g1", "g2"], "bit01": [1, 0], "bit02": [0, 1]}
+    )
+    canvas = tuple(
+        s + abs(int(o)) + 2 for s, o in zip(tile_shape, true_off_px)
+    )
+    big = _bead_field(canvas)
+    sl0 = tuple(slice(0, s) for s in tile_shape)
+    sl1 = tuple(
+        slice(int(o), int(o) + s) for o, s in zip(true_off_px, tile_shape)
+    )
+    tile0 = big[sl0]
+    if tile1_noise:
+        tile1 = np.random.default_rng(7).uniform(
+            0, 1200, tile_shape
+        ).astype(np.float32)
+    else:
+        tile1 = big[sl1]
     for t, (img, stage_px) in enumerate(
-        [(tile0, 0.0), (tile1, stage_x_px)]
+        [(tile0, np.zeros(3)), (tile1, np.asarray(stage_off_px, np.float64))]
     ):
         ds.initialize_tile(t)
-        ds.save_local_corrected_image(
-            np.clip(img + 20, 0, 65535).astype(np.uint16), tile=t, round=0
-        )
-        ds.save_local_registered_image(
-            np.clip(img + 20, 0, 65535).astype(np.uint16), tile=t, round=0
-        )
-        ds.save_local_stage_position_zyx_um(
-            [0, 0, stage_px * spacing[2]], tile=t, round=0
-        )
+        u16 = np.clip(img + 20, 0, 65535).astype(np.uint16)
+        ds.save_local_corrected_image(u16, tile=t, round=0)
+        ds.save_local_registered_image(u16, tile=t, round=0)
+        ds.save_local_stage_position_zyx_um(stage_px * SPACING, tile=t, round=0)
         ds.save_local_wavelengths_um((0.488, 0.520), tile=t, round=0)
         ds.save_local_round_transform_zyx_um(np.eye(4), tile=t, round=0)
+    return ds
 
-    global_register(ds, verbose=0)
-    xf0 = ds.load_global_coord_xforms_um(0)
-    xf1 = ds.load_global_coord_xforms_um(1)
-    assert xf0 is not None and xf1 is not None
+
+def _correction_px(ds, tile=1):
+    xf = ds.load_global_coord_xforms_um(tile)
+    assert xf is not None
+    return xf[0][:3, 3] / SPACING
+
+
+def test_global_register_two_tiles(tmp_path):
+    """Two overlapping tiles with a known stage error: global registration
+    must recover the correction and produce a fused volume."""
+    from merfish3d_tpu.pipeline.registration import GlobalRegistrationConfig
+
+    ds = _build_two_tile_store(tmp_path)
+    global_register(
+        ds,
+        config=GlobalRegistrationConfig(binning_zyx=(1, 1, 1)),
+        verbose=0,
+    )
     # tile 1 correction ≈ (true - stage) offset = -2 px in x
-    corr_px = xf1[0][:3, 3] / spacing
-    np.testing.assert_allclose(corr_px, [0, 0, true_x_px - stage_x_px], atol=0.5)
+    np.testing.assert_allclose(_correction_px(ds), [0, 0, -2], atol=0.5)
     fused = ds.load_global_fiducial_image()
     assert fused is not None
     img, (affine, origin, sp) = fused
-    assert img.shape[2] >= 96 + true_x_px - 2
+    assert img.shape[2] >= 96 + 64 - 2
     assert ds.datastore_state["Fused"] is True
+
+
+def test_global_register_binning_is_honored(tmp_path):
+    """binning_zyx must change behavior: at (3, 6, 6) the binned overlap of
+    these tiny tiles is below the minimum registrable size, so the pair is
+    dropped and the correction stays zero; at (1, 1, 1) the -2 px error is
+    recovered (see test_global_register_two_tiles)."""
+    from merfish3d_tpu.pipeline.registration import GlobalRegistrationConfig
+
+    ds = _build_two_tile_store(tmp_path)
+    global_register(
+        ds,
+        config=GlobalRegistrationConfig(binning_zyx=(3, 6, 6)),
+        verbose=0,
+    )
+    np.testing.assert_allclose(_correction_px(ds), [0, 0, 0], atol=1e-9)
+
+
+def test_global_register_quality_threshold_rejects_garbage(tmp_path):
+    """A pair whose overlap content does not match (noise tile) must be
+    rejected by the Spearman quality filter, leaving the stage position
+    uncorrected (reference `post_registration_do_quality_filter`)."""
+    from merfish3d_tpu.pipeline.registration import GlobalRegistrationConfig
+
+    ds = _build_two_tile_store(tmp_path, tile1_noise=True)
+    global_register(
+        ds,
+        config=GlobalRegistrationConfig(binning_zyx=(1, 1, 1)),
+        verbose=0,
+    )
+    np.testing.assert_allclose(_correction_px(ds), [0, 0, 0], atol=1e-9)
+
+
+def test_global_register_keep_axis_aligned_prunes_diagonal(tmp_path):
+    """A diagonally-offset pair is pruned when keep_axis_aligned=True (no
+    correction applied) but registered when False (correction recovered)."""
+    from merfish3d_tpu.pipeline.registration import GlobalRegistrationConfig
+
+    diag = dict(true_off_px=(0, 30, 46), stage_off_px=(0, 30, 48))
+    ds = _build_two_tile_store(tmp_path / "a", **diag)
+    global_register(
+        ds,
+        config=GlobalRegistrationConfig(
+            binning_zyx=(1, 1, 1), keep_axis_aligned=True
+        ),
+        verbose=0,
+    )
+    np.testing.assert_allclose(_correction_px(ds), [0, 0, 0], atol=1e-9)
+
+    ds2 = _build_two_tile_store(tmp_path / "b", **diag)
+    global_register(
+        ds2,
+        config=GlobalRegistrationConfig(
+            binning_zyx=(1, 1, 1), keep_axis_aligned=False
+        ),
+        verbose=0,
+    )
+    np.testing.assert_allclose(_correction_px(ds2), [0, 0, -2], atol=0.5)
 
 
 def test_deformable_registration_pipeline(tmp_path):
