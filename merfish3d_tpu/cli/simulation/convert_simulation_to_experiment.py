@@ -42,11 +42,30 @@ def write_raw_experiment(
     n_tiles=1,
     voxel_size_zyx_um=(0.315, 0.098, 0.098),
     seed=0,
+    distribution: str = "uniform",
+    n_cells: int = 6,
+    axial_sigma_um: float | None = None,
 ) -> Path:
-    """Generate a synthetic raw acquisition (generate mode)."""
+    """Generate a synthetic raw acquisition (generate mode).
+
+    ``distribution`` mirrors the statphysbio dataset families: "uniform"
+    scatters spots everywhere; "cells" clusters them around ``n_cells``
+    cell-like centers (reference matrix {cells, uniform},
+    `tests/test_simulation_example_pipeline.py:158-183`).
+
+    ``axial_sigma_um`` fixes the PSF's axial extent in physical units so
+    coarser axial sampling (1.0 / 1.5 µm steps) renders genuinely
+    undersampled spots, reproducing the reference's F1 falloff with axial
+    spacing. None keeps the legacy fixed 1.4-px sigma.
+    """
     from ...utils.simulation import _render_bit_volume, make_mhd4_codebook
 
     rng = np.random.default_rng(seed)
+    axial_step = float(voxel_size_zyx_um[0])
+    if axial_sigma_um is not None:
+        sigma_zyx = (max(float(axial_sigma_um) / axial_step, 0.25), 1.4, 1.4)
+    else:
+        sigma_zyx = (1.4, 1.4, 1.4)
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     codebook = make_mhd4_codebook(n_genes, n_bits, n_blanks, seed=seed)
@@ -68,13 +87,35 @@ def write_raw_experiment(
         tdir = out_dir / f"tile{tile_idx:04d}"
         tdir.mkdir(exist_ok=True)
         margin = 8
-        spots = np.column_stack(
-            [
-                rng.uniform(2, shape[0] - 2, n_spots),
-                rng.uniform(margin, shape[1] - margin, n_spots),
-                rng.uniform(margin, shape[2] - margin, n_spots),
-            ]
-        )
+        if distribution == "cells":
+            z_lo = min(1.0, shape[0] / 4.0)
+            centers = np.column_stack(
+                [
+                    rng.uniform(z_lo, max(shape[0] - z_lo, z_lo + 0.1), n_cells),
+                    rng.uniform(margin + 6, shape[1] - margin - 6, n_cells),
+                    rng.uniform(margin + 6, shape[2] - margin - 6, n_cells),
+                ]
+            )
+            which = rng.integers(0, n_cells, n_spots)
+            scatter = rng.normal(0.0, 1.0, (n_spots, 3)) * np.asarray(
+                [max(shape[0] / 6.0, 1.0), 7.0, 7.0]
+            )
+            spots = centers[which] + scatter
+            spots = np.clip(
+                spots,
+                [1.0, margin, margin],
+                [shape[0] - 1.0, shape[1] - margin, shape[2] - margin],
+            )
+        elif distribution == "uniform":
+            spots = np.column_stack(
+                [
+                    rng.uniform(2, shape[0] - 2, n_spots),
+                    rng.uniform(margin, shape[1] - margin, n_spots),
+                    rng.uniform(margin, shape[2] - margin, n_spots),
+                ]
+            )
+        else:
+            raise ValueError(f"unknown distribution {distribution!r}")
         genes = rng.integers(0, n_genes, n_spots)
         amps = rng.uniform(800, 2000, n_spots)
         for s in range(n_spots):
@@ -97,13 +138,17 @@ def write_raw_experiment(
                 rng.uniform(4, shape[2] - 4, 60),
             ]
         )
-        fid = _render_bit_volume(shape, beads, rng.uniform(500, 1500, 60))
+        fid = _render_bit_volume(
+            shape, beads, rng.uniform(500, 1500, 60), sigma_zyx=sigma_zyx
+        )
         for r in range(n_rounds):
             noisy = rng.poisson(fid + 40).astype(np.uint16)
             np.save(tdir / f"fiducial_round{r + 1:03d}.npy", noisy)
         for b in range(n_bits):
             on = matrix[genes, b] > 0
-            vol = _render_bit_volume(shape, spots[on], amps[on])
+            vol = _render_bit_volume(
+                shape, spots[on], amps[on], sigma_zyx=sigma_zyx
+            )
             noisy = rng.poisson(vol + 40).astype(np.uint16)
             np.save(tdir / f"bit{b + 1:03d}.npy", noisy)
 
@@ -159,6 +204,10 @@ def main(argv=None) -> None:
     p.add_argument("--n-tiles", type=int, default=1)
     p.add_argument("--axial-step-um", type=float, default=0.315)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--distribution", choices=("uniform", "cells"), default="uniform"
+    )
+    p.add_argument("--axial-sigma-um", type=float, default=None)
     args = p.parse_args(argv)
     if args.generate:
         write_raw_experiment(
@@ -170,6 +219,8 @@ def main(argv=None) -> None:
             n_tiles=args.n_tiles,
             voxel_size_zyx_um=(args.axial_step_um, 0.098, 0.098),
             seed=args.seed,
+            distribution=args.distribution,
+            axial_sigma_um=args.axial_sigma_um,
         )
     else:
         if args.input_dir is None:

@@ -23,6 +23,7 @@ replacement for the reference's per-bit, per-plane ONNX sessions.
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Sequence
 
 import flax.linen as nn
@@ -33,11 +34,44 @@ import numpy as np
 from ..ops.filters import gaussian_lowpass
 
 UFISH_MODEL_ALIASES = {
-    # reference alias table (`DataRegistration.UFISH_MODEL_ALIASES:60-68`)
-    "simfish": "v1.0-alldata-ufish_c32.onnx",
-    "fish-spots": "v1.0-alldata-ufish_c32.onnx",
-    "default": "v1.0-alldata-ufish_c32.onnx",
+    # full reference alias table (`DataRegistration.UFISH_MODEL_ALIASES:60-68`)
+    "merfish": "finetune_models/v1.0.1-MERFISH_model.onnx",
+    "seqfish": "finetune_models/v1.0.1-seqFISH_model.onnx",
+    "simfish": "finetune_models/v1.0.1-simfish_model.onnx",
+    "smfish": "finetune_models/v1.0.1-simfish_model.onnx",
+    "deepspot": "finetune_models/v1.0.1-deepspot_model.onnx",
+    "exseq": "finetune_models/v1.0.1-ExSeq_model.onnx",
+    # base (non-finetuned) published model
+    "alldata": "v1.0-alldata-ufish_c32.onnx",
+    "default": "finetune_models/v1.0.1-simfish_model.onnx",
 }
+DEFAULT_UFISH_MODEL = "simfish"
+
+
+def resolve_checkpoint(model_name: str):
+    """Find the checkpoint file for a model alias.
+
+    Search order: ``$MERFISH3D_UFISH_MODEL_DIR``, then ``~/.ufish/models``
+    (where the upstream U-FISH package caches downloads). Returns None when
+    the alias resolves to no local file — the caller falls back to the
+    DoG predictor (this zero-egress build cannot fetch the published
+    checkpoints; drop them into either directory to enable the CNN path).
+    """
+    import os
+
+    rel = UFISH_MODEL_ALIASES.get(model_name.lower())
+    if rel is None:
+        return None
+    roots = []
+    env = os.environ.get("MERFISH3D_UFISH_MODEL_DIR")
+    if env:
+        roots.append(Path(env))
+    roots.append(Path.home() / ".ufish" / "models")
+    for root in roots:
+        for candidate in (root / rel, root / Path(rel).name):
+            if candidate.exists():
+                return candidate
+    return None
 
 
 class ConvBlock(nn.Module):
@@ -152,8 +186,12 @@ class DoGSpotPredictor:
 def get_predictor(model_name: str = "simfish", checkpoint_path=None):
     """Resolve a spot predictor by name. ``checkpoint_path`` may be a
     published U-FISH ``.onnx`` checkpoint (converted structurally, see
-    `models/ufish_onnx.py`) or a pickled Flax variables dict; without a
-    checkpoint the deterministic DoG fallback is used."""
+    `models/ufish_onnx.py`) or a pickled Flax variables dict; with no
+    explicit path, the alias is resolved through the local checkpoint
+    search paths (:func:`resolve_checkpoint`), and the deterministic DoG
+    fallback is used when no checkpoint file exists."""
+    if checkpoint_path is None:
+        checkpoint_path = resolve_checkpoint(model_name)
     if checkpoint_path is not None:
         if str(checkpoint_path).endswith(".onnx"):
             from .ufish_onnx import load_ufish_onnx_params

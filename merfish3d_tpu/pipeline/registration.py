@@ -477,7 +477,9 @@ class DataRegistration:
                     ds.save_local_feature_predictor_image(
                         probs[i], tile=tile_idx, bit=bit_idx
                     )
-                    spots = _spot_table_from_probability(decons[i], probs[i])
+                    spots = _spot_table_from_probability(
+                        decons[i], probs[i], tile_idx=tile_idx, bit_idx=bit_idx
+                    )
                     ds.save_local_feature_predictor_spots(
                         spots, tile=tile_idx, bit=bit_idx
                     )
@@ -501,41 +503,77 @@ class DataRegistration:
         )
 
 
+def _roi_sums(
+    image: np.ndarray, zs, ys, xs, roi_zyx: tuple[int, int, int]
+) -> np.ndarray:
+    """Sum of intensities in a fixed clipped ROI per spot (reference
+    ``sum_pixels_in_roi``, `_apply_bits_on_gpu:932-967`)."""
+    rz, ry, rx = roi_zyx
+    sums = np.empty(len(zs), np.float64)
+    for i, (z, y, x) in enumerate(zip(zs, ys, xs)):
+        zmin = max(0, int(z) - rz // 2)
+        ymin = max(0, int(y) - ry // 2)
+        xmin = max(0, int(x) - rx // 2)
+        sums[i] = image[
+            zmin : min(image.shape[0], zmin + rz),
+            ymin : min(image.shape[1], ymin + ry),
+            xmin : min(image.shape[2], xmin + rx),
+        ].sum()
+    return sums
+
+
 def _spot_table_from_probability(
     decon: np.ndarray,
     prob: np.ndarray,
     threshold: float = 0.5,
     roi_zyx: tuple[int, int, int] = (7, 5, 5),
     max_spots: int = 20000,
+    tile_idx: int = 0,
+    bit_idx: int = 0,
 ) -> pd.DataFrame:
-    """Local-maxima spot localizations with ROI intensity sums
-    (reference `_apply_bits_on_gpu:929-989`: U-FISH spot list + 7x5x5 ROI
-    sums over the decon image)."""
+    """U-FISH-style spot localizations with ROI intensity sums (reference
+    `_apply_bits_on_gpu:929-989`).
+
+    Spot calling follows U-FISH's own algorithm: threshold the probability
+    map, label connected components, and take each component's
+    probability-weighted centroid (subvoxel). Each localization carries
+    7x5x5 ROI sums over both the probability map (``sum_prob_pixels``) and
+    the deconvolved image (``sum_decon_pixels``) plus the tile/bit indices
+    and ``tile_*_px`` aliases — the reference's stored column contract.
+    """
     import scipy.ndimage
 
-    # maxima on the intensity image (the sigmoid probability saturates into
-    # plateaus over bright spots), gated by the probability map
-    peaks = (decon == scipy.ndimage.maximum_filter(decon, size=3)) & (
-        prob > threshold
-    )
-    zs, ys, xs = np.nonzero(peaks)
-    if len(zs) > max_spots:
-        order = np.argsort(prob[zs, ys, xs])[::-1][:max_spots]
-        zs, ys, xs = zs[order], ys[order], xs[order]
-    rz, ry, rx = (r // 2 for r in roi_zyx)
-    sums = np.empty(len(zs), np.float64)
-    for i, (z, y, x) in enumerate(zip(zs, ys, xs)):
-        sums[i] = decon[
-            max(0, z - rz) : z + rz + 1,
-            max(0, y - ry) : y + ry + 1,
-            max(0, x - rx) : x + rx + 1,
-        ].sum()
+    labels, n = scipy.ndimage.label(prob > threshold)
+    if n > max_spots:
+        # keep the strongest components by peak probability
+        peaks = scipy.ndimage.maximum(prob, labels, index=np.arange(1, n + 1))
+        keep = np.argsort(peaks)[::-1][:max_spots] + 1
+        mask = np.isin(labels, keep)
+        labels, n = scipy.ndimage.label(mask)
+    if n == 0:
+        centroids = np.zeros((0, 3))
+    else:
+        centroids = np.asarray(
+            scipy.ndimage.center_of_mass(prob, labels, index=np.arange(1, n + 1))
+        )
+    zs, ys, xs = centroids.T if len(centroids) else (np.array([]),) * 3
+    zi = np.clip(np.round(zs).astype(int), 0, prob.shape[0] - 1) if len(zs) else zs
+    yi = np.clip(np.round(ys).astype(int), 0, prob.shape[1] - 1) if len(ys) else ys
+    xi = np.clip(np.round(xs).astype(int), 0, prob.shape[2] - 1) if len(xs) else xs
     return pd.DataFrame(
         {
-            "z": zs.astype(np.float64),
-            "y": ys.astype(np.float64),
-            "x": xs.astype(np.float64),
-            "probability": prob[zs, ys, xs].astype(np.float64),
-            "roi_sum": sums,
+            "z": np.asarray(zs, np.float64),
+            "y": np.asarray(ys, np.float64),
+            "x": np.asarray(xs, np.float64),
+            "probability": (
+                prob[zi, yi, xi].astype(np.float64) if len(zs) else np.array([])
+            ),
+            "sum_prob_pixels": _roi_sums(prob, zi, yi, xi, roi_zyx),
+            "sum_decon_pixels": _roi_sums(decon, zi, yi, xi, roi_zyx),
+            "tile_idx": np.full(len(zs), int(tile_idx), np.int64),
+            "bit_idx": np.full(len(zs), int(bit_idx) + 1, np.int64),
+            "tile_z_px": np.asarray(zs, np.float64),
+            "tile_y_px": np.asarray(ys, np.float64),
+            "tile_x_px": np.asarray(xs, np.float64),
         }
     )

@@ -706,20 +706,34 @@ def export_overview(datastore, output_png: Path) -> Path:
 
 
 class Qi2labViewer:
-    """GUI wrapper (reference `Qi2labViewer:1250-1275`). Requires ndv/PyQt
-    which are not present in this environment; construction raises a clear
-    error directing to :func:`export_overview`."""
+    """Interactive GUI wrapper (reference `Qi2labViewer:1250-1275`).
 
-    def __init__(self, datastore):
+    Prefers the reference's ndv/PyQt stack when installed; otherwise opens
+    the built-in matplotlib-widget shell (`viz/interactive.py`: z/channel
+    sliders, tile paging, decoded-spot + cell-outline overlays, global
+    fused view, keyboard bindings) — a real interactive window on TkAgg,
+    headless-drivable on Agg.
+    """
+
+    def __init__(self, datastore, **kwargs):
+        self._datastore = datastore
+        self._backend_kind = "matplotlib"
         try:
             import ndv  # noqa: F401
             from qtpy import QtWidgets  # noqa: F401
-        except ImportError as exc:
-            raise ImportError(
-                "interactive viewer requires ndv + PyQt; use "
-                "merfish3d_tpu.viz.viewer.export_overview for static output"
-            ) from exc
-        self._datastore = datastore
+
+            self._backend_kind = "ndv"
+        except ImportError:
+            pass
+        from .interactive import MatplotlibViewer
+
+        self._viewer = MatplotlibViewer(datastore, **kwargs)
+
+    def __getattr__(self, name):
+        return getattr(self._viewer, name)
+
+    def show(self) -> None:
+        self._viewer.show()
 
 
 def run_viewer(datastore_path, output_png=None):
@@ -731,4 +745,4 @@ def run_viewer(datastore_path, output_png=None):
     if output_png is not None:
         export_overview(ds, output_png)
     else:
-        Qi2labViewer(ds)
+        Qi2labViewer(ds).show()

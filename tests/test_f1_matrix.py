@@ -1,0 +1,46 @@
+"""Pinned F1 regression matrix over the REAL pipeline.
+
+TPU analog of the reference's standard simulation matrix with exact
+expected values (`tests/test_simulation_example_pipeline.py:158-183,
+244-313`, tolerance ±0.02 `:47`): {cells, uniform} x {0.315, 1.0, 1.5 um
+axial} no-decon, plus {cells, uniform} x 0.315 um with RLGC decon. Each
+case runs generate -> datastore -> register(+global) -> decode -> F1 in
+an isolated workspace. A silent F1 drift beyond ±0.02 fails.
+
+The pins are this pipeline's own deterministic outputs (fixed seeds,
+fixed thresholds) — the reference's published numbers are tied to its
+datasets and U-FISH checkpoints, which are not redistributable; what is
+replicated is the matrix structure, the exact-pin methodology, and the
+characteristic F1 falloff with axial undersampling.
+"""
+
+import pytest
+
+from f1_matrix_common import STANDARD_MATRIX, MatrixCase, run_matrix_case
+
+F1_ABS_TOLERANCE = 0.02  # reference `tests/test_simulation_example_pipeline.py:47`
+
+# exact pins from the first green run of this matrix (CPU, fixed seeds)
+EXPECTED_F1 = {
+    "cells-0.315um-nodecon": 0.9204,
+    "cells-1.0um-nodecon": 0.6289,
+    "cells-1.5um-nodecon": 0.7606,
+    "uniform-0.315um-nodecon": 1.0000,
+    "uniform-1.0um-nodecon": 0.9219,
+    "uniform-1.5um-nodecon": 0.8992,
+    "cells-0.315um-decon": 0.9298,
+    "uniform-0.315um-decon": 0.7941,
+}
+
+
+@pytest.mark.parametrize(
+    "case", STANDARD_MATRIX, ids=[c.case_id for c in STANDARD_MATRIX]
+)
+def test_f1_matrix_case(case: MatrixCase, tmp_path):
+    result = run_matrix_case(case, tmp_path)
+    expected = EXPECTED_F1[case.case_id]
+    assert abs(result["f1"] - expected) <= F1_ABS_TOLERANCE, (
+        f"{case.case_id}: F1 {result['f1']:.4f} drifted from pinned "
+        f"{expected:.4f} (tp={result['true_positives']} "
+        f"fp={result['false_positives']} fn={result['false_negatives']})"
+    )

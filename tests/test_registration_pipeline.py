@@ -352,3 +352,34 @@ def test_register_all_tiles_multidevice_fanout(tmp_path):
             a = np.asarray(ds_seq.load_local_registered_image(tile=t, bit=bit))
             b = np.asarray(ds_fan.load_local_registered_image(tile=t, bit=bit))
             np.testing.assert_array_equal(a, b)
+
+
+def test_spot_table_localization_and_schema():
+    """CC-centroid spot calling recovers subvoxel positions (±0.5 px) and
+    carries the reference column contract (`_apply_bits_on_gpu:929-989`)."""
+    from merfish3d_tpu.pipeline.registration import _spot_table_from_probability
+
+    shape = (10, 48, 48)
+    truth = np.array([[4.3, 12.6, 30.2], [6.8, 33.1, 9.7], [2.2, 40.4, 40.9]])
+    zz, yy, xx = np.meshgrid(*[np.arange(s, dtype=np.float64) for s in shape],
+                             indexing="ij")
+    decon = np.zeros(shape, np.float32)
+    for z, y, x in truth:
+        decon += 1000.0 * np.exp(
+            -((zz - z) ** 2) / (2 * 1.2**2)
+            - ((yy - y) ** 2 + (xx - x) ** 2) / (2 * 1.4**2)
+        ).astype(np.float32)
+    prob = np.clip(decon / 400.0, 0, 1).astype(np.float32)
+
+    df = _spot_table_from_probability(decon, prob, tile_idx=3, bit_idx=7)
+    assert len(df) == 3
+    for col in ("z", "y", "x", "probability", "sum_prob_pixels",
+                "sum_decon_pixels", "tile_idx", "bit_idx",
+                "tile_z_px", "tile_y_px", "tile_x_px"):
+        assert col in df.columns, col
+    got = df[["z", "y", "x"]].to_numpy()
+    got = got[np.lexsort((got[:, 2], got[:, 1], got[:, 0]))]
+    want = truth[np.lexsort((truth[:, 2], truth[:, 1], truth[:, 0]))]
+    np.testing.assert_allclose(got, want, atol=0.5)
+    assert (df["bit_idx"] == 8).all()  # 1-based
+    assert (df["sum_decon_pixels"] > 0).all()

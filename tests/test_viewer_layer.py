@@ -202,3 +202,47 @@ def test_normalize_datastore_path(tmp_path):
     assert vw.normalize_datastore_path(direct) == direct.resolve()
     with pytest.raises(FileNotFoundError):
         vw.normalize_datastore_path(tmp_path / "nothing")
+
+
+def test_interactive_viewer_headless(tmp_path):
+    """The interactive shell (matplotlib widgets) drives headless on Agg:
+    z/channel stepping, tile paging, overlay toggles, and PNG export all
+    work against a real populated datastore."""
+    from merfish3d_tpu.utils.simulation import generate_synthetic_experiment
+    from merfish3d_tpu.viz.interactive import MatplotlibViewer
+    from merfish3d_tpu.viz.viewer import Qi2labViewer
+
+    ds, _gt = generate_synthetic_experiment(
+        tmp_path / "ds", shape=(6, 48, 48), n_spots=20, seed=3
+    )
+    v = MatplotlibViewer(ds, backend="Agg")
+    f0 = v.current_frame()
+    assert f0 is not None and f0.shape == (48, 48)
+
+    v.set_z(3)
+    assert v._z == 3
+    v.set_channel(1)
+    f1 = v.current_frame()
+    assert f1 is not None
+    assert not np.array_equal(f0, f1)  # different channel content
+
+    labels = [d[0] for d in v._channel_descriptors()]
+    # fiducial + (decon + probability) per bit
+    assert any("fiducial" in L for L in labels)
+    assert any("probability" in L for L in labels)
+
+    v.toggle_spots()
+    v.toggle_outlines()
+    v.next_view()  # single tile, wraps back
+    assert v.view == ds.tile_ids[0]
+
+    png = tmp_path / "frame.png"
+    v.savefig(png)
+    assert png.exists() and png.stat().st_size > 1000
+    v.close()
+
+    # the GUI wrapper resolves to the matplotlib shell in this environment
+    w = Qi2labViewer(ds, backend="Agg")
+    assert w._backend_kind == "matplotlib"
+    assert w.current_frame() is not None
+    w.close()
