@@ -24,7 +24,7 @@ replacement for the reference's per-bit, per-plane ONNX sessions.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -123,7 +123,19 @@ def _percentile_normalize(plane: jnp.ndarray) -> jnp.ndarray:
 class UFishPredictor:
     """U-FISH CNN inference wrapper with the reference call contract."""
 
-    def __init__(self, params=None, base_features: int = 32, pad_to: int = 64):
+    def __init__(
+        self, params=None, base_features: Optional[int] = None, pad_to: int = 64
+    ):
+        if base_features is None:
+            if params is not None:
+                # infer from the first conv's output features
+                base_features = int(
+                    np.asarray(
+                        params["params"]["ConvBlock_0"]["Conv_0"]["kernel"]
+                    ).shape[-1]
+                )
+            else:
+                base_features = 32
         self.net = UFishNet(base_features=base_features)
         self.pad_to = pad_to
         if params is None:

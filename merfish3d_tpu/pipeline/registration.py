@@ -44,6 +44,7 @@ class GlobalRegistrationConfig:
     transform_type: str = "translation"
     keep_axis_aligned: bool = True
     quality_threshold: float = 0.2
+    diagnostics: bool = False  # `[multiview-registration]` channel
 
 
 @dataclass(frozen=True)

@@ -24,6 +24,7 @@ Own implementation replacing multiview-stitcher + dask + cupy fusion
 
 from __future__ import annotations
 
+import time
 from collections import OrderedDict
 from pathlib import Path
 from typing import Callable, Optional, Sequence
@@ -34,6 +35,20 @@ from ..datastore import zarrio
 from ..ops.filters import downsample_image_anisotropic
 from ..ops.phase_corr import register_translation_with_quality
 from ..ops.warp import warp_affine
+
+
+def _mv_diag(enabled: bool, stage: str, **fields) -> None:
+    """Structured `[multiview-registration]` diagnostics channel
+    (reference `multiview_registration.py:13-31`): timestamped lines with
+    shapes/shift/quality/elapsed per pairwise registration and fusion
+    geometry."""
+    if not enabled:
+        return
+    import time as _time
+
+    ts = _time.strftime("%Y-%m-%d %H:%M:%S")
+    kv = " ".join(f"{k}={v}" for k, v in fields.items())
+    print(f"[multiview-registration] {ts} stage={stage} {kv}", flush=True)
 
 
 def _tile_origin_um(datastore, tile_idx) -> np.ndarray:
@@ -118,6 +133,15 @@ def global_register(datastore, *, config=None, fusion_config=None, verbose=1):
     )
     keep_axis_aligned = getattr(config, "keep_axis_aligned", True) if config else True
     quality_threshold = getattr(config, "quality_threshold", 0.2) if config else 0.2
+    diagnostics = bool(getattr(config, "diagnostics", False)) if config else False
+    _mv_diag(
+        diagnostics,
+        "start",
+        n_tiles=n_tiles,
+        binning=tuple(int(v) for v in binning),
+        keep_axis_aligned=keep_axis_aligned,
+        quality_threshold=quality_threshold,
+    )
 
     if n_tiles == 1:
         # single-tile shortcut: identity transform (reference `:1877-1893`)
@@ -176,8 +200,18 @@ def global_register(datastore, *, config=None, fusion_config=None, verbose=1):
                 continue
             sub_i = sub_i[: shp[0], : shp[1], : shp[2]]
             sub_j = sub_j[: shp[0], : shp[1], : shp[2]]
+            t_pair = time.perf_counter()
             shift_px, quality = register_translation_with_quality(
                 sub_i, sub_j, upsample_factor=10
+            )
+            _mv_diag(
+                diagnostics,
+                "pair",
+                pair=(i, j),
+                overlap_shape=tuple(int(v) for v in shp),
+                shift_binned_px=np.round(np.asarray(shift_px), 3).tolist(),
+                quality=round(float(quality), 4),
+                elapsed_s=round(time.perf_counter() - t_pair, 3),
             )
             if not np.isfinite(quality) or quality < quality_threshold:
                 n_lowq += 1
@@ -381,6 +415,22 @@ def fuse_global_registered(datastore, *, config=None, verbose=1):
     cache_tiles = getattr(config, "tile_cache_tiles", 4) if config else 4
 
     _, starts, shape_px, lo, out_shape = _global_layout(ds, n_tiles, spacing)
+    if verbose > 1:
+        # fusion geometry diagnostics (reference
+        # `_print_global_fusion_diagnostics:1563-1648`)
+        chunk = np.asarray([64, chunk_px, chunk_px])
+        _mv_diag(
+            True,
+            "fusion-geometry",
+            n_tiles=n_tiles,
+            tile_shape_px=tuple(int(v) for v in shape_px),
+            global_shape_px=tuple(int(v) for v in out_shape),
+            origin_um=np.round(lo, 3).tolist(),
+            chunk_px=chunk_px,
+            feather_px=overlap_px,
+            n_chunks=int(np.prod(-(-out_shape // chunk))),
+            tile_cache=cache_tiles,
+        )
 
     out = ds.create_global_fused_image(
         tuple(int(v) for v in out_shape),
