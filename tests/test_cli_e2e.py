@@ -264,7 +264,29 @@ def test_sweep_f1_single_point(workspace):
         magnitude_lows=(0.9,),
         minimum_pixels_grid=(4,),
         output_csv=root / "sweep.csv",
+        results_json=root / "decode_params_results.json",
+        verbose=0,
     )
     assert len(result) == 1
     assert 0.0 <= result["f1"].iloc[0] <= 1.0
     assert (root / "sweep.csv").exists()
+    # incremental per-point JSON checkpoint (reference sweep_f1.py:380-382)
+    points = json.loads((root / "decode_params_results.json").read_text())
+    assert len(points) == 1
+    (entry,) = points.values()
+    assert "f1" in entry
+
+
+def test_build_matrix_figure(workspace, tmp_path):
+    """The multi-case comparison figure renders GT vs decoded overlays
+    (reference build_figure.py:179-438)."""
+    from merfish3d_tpu.cli.simulation.build_figure import build_matrix_figure
+
+    root, raw, ds = workspace
+    case = tmp_path / "case"
+    case.mkdir()
+    (case / "raw").symlink_to(raw)
+    (case / "qi2labdatastore").symlink_to(ds.datastore_path)
+    png = tmp_path / "matrix.png"
+    build_matrix_figure([case], png, labels=["0.315 um"])
+    assert png.exists() and png.stat().st_size > 5000
