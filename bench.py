@@ -154,8 +154,9 @@ def bench_decode(jax, jnp, sync) -> float:
     readback_rtt = (time.perf_counter() - t0) / 10
 
     # single-device execution is in-order: the readback of the final output
-    # cannot complete before all prior dispatched steps have executed
-    n_iters = 5
+    # cannot complete before all prior dispatched steps have executed.
+    # 20 iterations so kernel time dwarfs the (subtracted) tunnel RTT.
+    n_iters = 20
     t0 = time.perf_counter()
     out = None
     for _ in range(n_iters):

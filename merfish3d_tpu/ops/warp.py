@@ -40,6 +40,41 @@ def transform_to_pixel(
     return matrix_px, offset_px
 
 
+@partial(jax.jit, static_argnames=("cval",))
+def translate_volume(
+    vol: jnp.ndarray, shift_pull_px: jnp.ndarray, cval: float = 0.0
+) -> jnp.ndarray:
+    """Subpixel pure translation: ``out[p] = vol[p + shift]`` (pull shift),
+    zero (``cval``) outside.
+
+    Translation is separable, so each axis is one roll-pair linear blend —
+    pure elementwise/memory traffic instead of the trilinear
+    ``map_coordinates`` gather, which measures ~50x slower on TPU for the
+    same volume (5.7 s vs ~0.1 s at (32, 1024, 1024) on v5e). Used for the
+    translation-only warps in staged registration (the stage-1 lateral
+    pull, `multiview_registration.py:241-365`).
+    """
+    out = vol.astype(jnp.float32)
+    shift = jnp.asarray(shift_pull_px, jnp.float32)
+    for ax in range(vol.ndim):
+        n = vol.shape[ax]
+        s = shift[ax]
+        i = jnp.floor(s).astype(jnp.int32)
+        f = s - i.astype(jnp.float32)
+        a = jnp.roll(out, -i, axis=ax)
+        b = jnp.roll(out, -(i + 1), axis=ax)
+        # per-sample validity so the boundary strips blend with cval
+        # exactly like order-1 map_coordinates in 'constant' mode
+        pos = jax.lax.broadcasted_iota(jnp.int32, out.shape, ax)
+        ia = pos + i
+        valid_a = (ia >= 0) & (ia <= n - 1)
+        valid_b = (ia + 1 >= 0) & (ia + 1 <= n - 1)
+        out = (1.0 - f) * jnp.where(valid_a, a, cval) + f * jnp.where(
+            valid_b, b, cval
+        )
+    return out
+
+
 @partial(jax.jit, static_argnames=("reference_shape", "order", "z_chunk", "cval"))
 def _affine_warp_core(
     image: jnp.ndarray,
@@ -94,6 +129,21 @@ def warp_affine(
     matrix_px, offset_px = transform_to_pixel(
         transform_zyx_um, spacing_zyx_um, reference_origin_zyx_um
     )
+    # translation-only fast path: separable roll-blend instead of the
+    # trilinear gather (~50x on TPU). Identical up to the single boundary
+    # voxel row where map_coordinates blends with cval.
+    if (
+        order == 1
+        and tuple(int(v) for v in reference_shape) == tuple(image.shape)
+        and np.allclose(matrix_px, np.eye(3), atol=1e-6)
+    ):
+        return np.asarray(
+            translate_volume(
+                jnp.asarray(image, jnp.float32),
+                jnp.asarray(offset_px, jnp.float32),
+                cval=float(cval),
+            )
+        )
     out = _affine_warp_core(
         jnp.asarray(image, jnp.float32),
         jnp.asarray(matrix_px),

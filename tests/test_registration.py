@@ -151,3 +151,33 @@ def test_warp_affine_plus_flow_constant_flow():
     )
     interior = (slice(1, -1), slice(4, -4), slice(4, -4))
     np.testing.assert_allclose(a[interior], b[interior], atol=0.5)
+
+
+def test_translate_volume_matches_affine_warp_interior():
+    """The separable roll-blend translation equals the trilinear affine
+    warp away from the boundary strip (same pull-shift convention)."""
+    import jax.numpy as jnp
+
+    from merfish3d_tpu.ops.warp import (
+        _affine_warp_core,
+        translate_volume,
+        transform_to_pixel,
+    )
+
+    rng = np.random.default_rng(4)
+    vol = rng.uniform(0, 100, (10, 24, 28)).astype(np.float32)
+    spacing = np.asarray([0.31, 0.098, 0.098], np.float32)
+    pull_px = np.asarray([1.3, -2.6, 3.75], np.float32)
+
+    xform = np.eye(4, dtype=np.float32)
+    xform[:3, 3] = pull_px * spacing
+    m, o = transform_to_pixel(xform, spacing)
+    ref = np.asarray(
+        _affine_warp_core(
+            jnp.asarray(vol), jnp.asarray(m), jnp.asarray(o),
+            reference_shape=vol.shape,
+        )
+    )
+    fast = np.asarray(translate_volume(jnp.asarray(vol), jnp.asarray(pull_px)))
+    interior = (slice(3, -3), slice(4, -4), slice(5, -5))
+    np.testing.assert_allclose(fast[interior], ref[interior], atol=1e-4)
