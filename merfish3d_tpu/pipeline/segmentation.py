@@ -58,11 +58,17 @@ def mask_outlines(
     *,
     origin_yx_um=(0.0, 0.0),
     spacing_yx_um=(1.0, 1.0),
+    affine_zyx_um: Optional[np.ndarray] = None,
 ) -> dict:
     """Extract per-cell boundary polygons from a 2D label mask (contourpy
     via matplotlib, replacing shapely/roifile). Returns the outlines dict
     stored by ``save_global_cellpose_outlines`` and consumed by
-    ``assign_cells``: polygons in (global_y, global_x) µm."""
+    ``assign_cells``: polygons in (global_y, global_x) µm.
+
+    Pixel ROIs warp to global coordinates through origin + spacing and,
+    when given, the stored fused-image 4x4 affine — the reference's
+    `warp_points`/`_global_roi_from_pixel_roi` path
+    (`segment_fiducial.py:272-333`)."""
     from contourpy import contour_generator
 
     mask2d = np.asarray(mask2d)
@@ -81,6 +87,20 @@ def mask_outlines(
         poly_yx_um = np.column_stack(
             [poly[:, 1] * spacing[0] + origin[0], poly[:, 0] * spacing[1] + origin[1]]
         )
+        if affine_zyx_um is not None and not np.allclose(
+            affine_zyx_um, np.eye(4)
+        ):
+            aff = np.asarray(affine_zyx_um, np.float64)
+            pts = np.column_stack(
+                [
+                    np.zeros(len(poly_yx_um)),
+                    poly_yx_um[:, 0],
+                    poly_yx_um[:, 1],
+                    np.ones(len(poly_yx_um)),
+                ]
+            )
+            warped = (aff @ pts.T).T
+            poly_yx_um = warped[:, 1:3]
         cells.append(
             {
                 "cell_id": int(cell_id),
@@ -122,6 +142,7 @@ def segment_fiducial(
         mask2d,
         origin_yx_um=(origin[1], origin[2]),
         spacing_yx_um=(spacing[1], spacing[2]),
+        affine_zyx_um=affine,
     )
     datastore.save_global_cellpose_outlines(outlines)
     # ImageJ RoiSet export of the global-micron outlines, as the reference
