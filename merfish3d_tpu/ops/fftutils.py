@@ -20,7 +20,16 @@ import numpy as np
 
 
 def next_smooth_fft_size(x: int) -> int:
-    """Smallest 2,3-smooth integer >= x (reference `rlgc.py:73-103`)."""
+    """Smallest 2,3-smooth integer >= x with at most 3^3 in the factor 3
+    (reference `rlgc.py:73-103` uses plain 2,3-smooth sizes for cuFFT).
+
+    The extra constraint is TPU-specific: XLA's TPU FFT chokes on sizes
+    dominated by radix 3 (a 2048-px camera frame pads to 2062, whose
+    smallest plain 2,3-smooth cover is 2187 = 3^7 — the compile fails
+    outright; capping the 3-exponent picks 2304 = 2^8 * 3^2 instead).
+    Sizes used throughout the tests and benchmarks (48, 1152, ...) are
+    unchanged by the cap.
+    """
     if x <= 1:
         return 1
     n = int(x)
@@ -28,9 +37,11 @@ def next_smooth_fft_size(x: int) -> int:
         m = n
         while m % 2 == 0:
             m //= 2
+        threes = 0
         while m % 3 == 0:
             m //= 3
-        if m == 1:
+            threes += 1
+        if m == 1 and threes <= 3:
             return n
         n += 1
 
@@ -97,6 +108,25 @@ def observed_region_mask(shape: tuple[int, ...], pad_width: PadWidth) -> np.ndar
     )
     mask[slices] = 1.0
     return mask
+
+
+def observed_region_mask_device(
+    shape: tuple[int, ...], pad_width: PadWidth
+) -> jnp.ndarray:
+    """On-device mask of the unpadded region, built from iota comparisons.
+
+    A NumPy mask constant gets baked into the jitted program — at
+    production padded shapes ((48, 2304, 2304) for a 2048² camera frame)
+    that is a ~1 GB compile-payload constant, which the remote-compile
+    path rejects outright (HTTP 413) and which bloats every compile cache
+    entry. Iotas compile to O(1) metadata instead.
+    """
+    mask = None
+    for ax, (before, after) in enumerate(pad_width):
+        pos = jax.lax.broadcasted_iota(jnp.int32, shape, ax)
+        ok = (pos >= before) & (pos < shape[ax] - after)
+        mask = ok if mask is None else (mask & ok)
+    return mask.astype(jnp.float32)
 
 
 def pad_psf(

@@ -29,10 +29,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .fftutils import (
+    axis_linear_fft_padding,
     enforce_symmetric_boundary,
     fft_conv,
     linear_fft_pad_width,
     observed_region_mask,
+    observed_region_mask_device,
     pad_psf,
     pad_symmetric,
     remove_padding_zyx,
@@ -97,7 +99,7 @@ def _rlgc_core(
     """Jitted RLGC solve on a pre-padded observed image. Returns
     (recon_padded, num_iters)."""
     shape = observed.shape
-    mask = jnp.asarray(observed_region_mask(shape, pad_width))
+    mask = observed_region_mask_device(shape, pad_width)
     num_pixels = float(np.prod([s - b - a for s, (b, a) in zip(shape, pad_width)]))
 
     padded_psf = pad_psf(psf, shape)
@@ -379,30 +381,63 @@ def rlgc_diagnostics(
     return np.asarray(out, dtype=np.float32)
 
 
+# Largest padded working set known to compile + run comfortably on one
+# 16 GB v5e chip: the (48, 1152, 1152) solve (~64M padded voxels, ~10
+# f32-buffer-equivalents live incl. the complex FFT intermediates).
+# (48, 2304, 2304) (~255M) fails to compile outright — so the static
+# budget matters, there is no runtime OOM-retry to fall back on.
+DEFAULT_BUDGET_PADDED_VOXELS = 9.0e7
+
+
+def auto_crop_yx(
+    image_shape,
+    psf_shape,
+    budget_padded_voxels: float = DEFAULT_BUDGET_PADDED_VOXELS,
+) -> int:
+    """Largest lateral crop whose PADDED solve fits the HBM budget.
+
+    The TPU replacement for the reference's OOM-retry shrink loop
+    (`rlgc.py:1152-1171` catches GPU OOM and reduces ``crop_yx`` by 128):
+    XLA memory planning is static, so the tile size is chosen up front
+    from the padded-FFT working-set size instead of reactively.
+    """
+    nz = int(image_shape[0])
+    pz = nz + sum(axis_linear_fft_padding(nz, psf_shape[0]))
+    for crop in (4096, 3072, 2048, 1536, 1280, 1024, 768, 512, 384, 256):
+        py = crop + sum(axis_linear_fft_padding(crop, psf_shape[1]))
+        px = crop + sum(axis_linear_fft_padding(crop, psf_shape[2]))
+        if pz * py * px <= budget_padded_voxels:
+            return crop
+    return 256
+
+
 def chunked_rlgc(
     image: np.ndarray,
     psf: np.ndarray,
     *,
-    crop_yx: int = 2048,
+    crop_yx: "int | None" = None,
     seed: int = 42,
     safe_mode: bool = True,
     limit: float = 0.01,
     max_delta: float = 0.001,
     max_iters: int = 100,
 ) -> np.ndarray:
-    """Lateral-tiled RLGC for volumes larger than HBM budget.
+    """Lateral-tiled RLGC for volumes larger than the HBM budget.
 
     Retained (non-overlapping) YX tiles of at most ``crop_yx`` exactly cover
     the image; each tile is deconvolved with a discarded halo equal to the
     full PSF support per axis and a per-tile seed offset
-    (reference `rlgc.py:795-1031`). On TPU the tile size is chosen
-    statically from the HBM budget rather than by OOM-retry.
+    (reference `rlgc.py:795-1031`). ``crop_yx=None`` picks the tile size
+    statically from the HBM budget (:func:`auto_crop_yx`) — the TPU
+    equivalent of the reference's OOM-retry shrink.
     """
     image = np.asarray(image, dtype=np.float32)
     psf = np.asarray(psf, dtype=np.float32)
     if psf.ndim == 2:
         psf = psf[None]
     nz, ny, nx = image.shape
+    if crop_yx is None:
+        crop_yx = auto_crop_yx(image.shape, psf.shape)
     if ny <= crop_yx and nx <= crop_yx:
         return rlgc(
             image, psf, seed=seed, safe_mode=safe_mode, limit=limit,

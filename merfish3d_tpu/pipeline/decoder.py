@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import random
+import time
 from pathlib import Path
 from typing import Optional, Sequence
 
@@ -843,7 +844,6 @@ class PixelDecoder:
         self,
         *,
         assign_to_cells: bool = False,
-        prep_for_baysor: bool = False,
         lowpass_sigma=DEFAULT_DECODE_LOWPASS_SIGMA,
         filter_method: str = "blank_fraction",
         target_misid_rate: float = 0.05,
@@ -890,15 +890,24 @@ class PixelDecoder:
                 decoded, mag, dist, intensity, tile_idx, tile_state=state
             )
             ds.save_local_decoded_spots(df, tile_idx)
+            return len(df)
 
+        # verbosity-leveled progress (reference verbose semantics with tqdm
+        # bars, `PixelDecoder:428-429`): 1 = per-tile line, 2 = + timings
+        t_start = time.perf_counter()
         with ThreadPoolExecutor(max_workers=1) as pool:
             pending = []
             for tile_idx, arrays, state in tile_stream:
                 pending.append(
-                    pool.submit(extract_and_save, tile_idx, arrays, state)
+                    (tile_idx, pool.submit(extract_and_save, tile_idx, arrays, state))
                 )
-            for fut in pending:
-                fut.result()
+            for i, (tile_idx, fut) in enumerate(pending):
+                n_spots = fut.result()
+                if self._verbose >= 1:
+                    msg = f"decoded tile {i + 1}/{n_tiles}: {n_spots} transcripts"
+                    if self._verbose >= 2:
+                        msg += f" ({time.perf_counter() - t_start:.1f}s elapsed)"
+                    print(msg, flush=True)
         frames = [
             ds.load_local_decoded_spots(t)
             for t in range(len(ds.tile_ids))

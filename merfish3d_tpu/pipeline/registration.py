@@ -70,7 +70,7 @@ class DataRegistration:
         overwrite: bool = False,
         deformable_registration: bool = False,
         save_all_fiducial_registered: bool = True,
-        crop_yx_decon: int = 2048,
+        crop_yx_decon: "int | None" = None,  # None = static HBM-budget auto
         ufish_model: str = "simfish",
         ufish_checkpoint=None,
         global_registration: bool = True,
@@ -321,7 +321,7 @@ class DataRegistration:
             )
             if fid_psf is None:
                 decons = raws
-            elif len(batch_rounds) > 1 and raws.shape[2] <= self._crop_yx_decon:
+            elif len(batch_rounds) > 1 and raws.shape[2] <= (self._crop_yx_decon or 1024):
                 decons = rlgc_batch(
                     raws, fid_psf, seed=42 + tile_idx + 1000 + start,
                     max_iters=self._decon_max_iters,
@@ -449,7 +449,7 @@ class DataRegistration:
                 )
                 if psf is None:
                     decons = raws
-                elif len(chunk) > 1 and raws[0].shape[1] <= self._crop_yx_decon:
+                elif len(chunk) > 1 and raws[0].shape[1] <= (self._crop_yx_decon or 1024):
                     decons = rlgc_batch(
                         raws, psf, seed=7 + tile_idx * 100 + chunk[0][0],
                         max_iters=self._decon_max_iters,

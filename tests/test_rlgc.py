@@ -131,3 +131,41 @@ def test_rlgc_diagnostics_variant_matches(caplog):
     ref = rlgc(observed, psf, seed=9, max_iters=10)
     np.testing.assert_allclose(diag, ref, rtol=1e-4, atol=1e-3)
     assert any("iteration=" in r.message for r in caplog.records)
+
+
+def test_auto_crop_yx_budget():
+    """The static HBM-budget crop selection (TPU replacement for the
+    reference's OOM-retry shrink, `rlgc.py:1152-1171`): full 2048-px
+    camera frames tile down, small volumes stay untiled."""
+    from merfish3d_tpu.ops.rlgc import auto_crop_yx
+
+    psf_shape = (9, 15, 15)
+    # production camera frame: must tile below the known-good 1024 solve
+    assert auto_crop_yx((48, 2048, 2048), psf_shape) <= 1024
+    # small volumes stay whole-frame
+    crop = auto_crop_yx((12, 128, 128), psf_shape)
+    assert crop >= 128
+    # deeper stacks shrink the lateral budget monotonically
+    assert auto_crop_yx((96, 2048, 2048), psf_shape) <= auto_crop_yx(
+        (16, 2048, 2048), psf_shape
+    )
+
+
+def test_next_smooth_size_avoids_radix3_dominated():
+    """FFT sizes cap the 3-exponent (pure 3^k sizes fail to compile on
+    TPU: 2062 must pick 2304 = 2^8*3^2, not 2187 = 3^7)."""
+    from merfish3d_tpu.ops.fftutils import next_smooth_fft_size
+
+    assert next_smooth_fft_size(2062) == 2304
+    assert next_smooth_fft_size(1038) == 1152
+    assert next_smooth_fft_size(40) == 48
+    for x in (7, 100, 513, 1025):
+        n = next_smooth_fft_size(x)
+        assert n >= x
+        m, threes = n, 0
+        while m % 2 == 0:
+            m //= 2
+        while m % 3 == 0:
+            m //= 3
+            threes += 1
+        assert m == 1 and threes <= 3
