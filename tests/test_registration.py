@@ -181,3 +181,60 @@ def test_translate_volume_matches_affine_warp_interior():
     fast = np.asarray(translate_volume(jnp.asarray(vol), jnp.asarray(pull_px)))
     interior = (slice(3, -3), slice(4, -4), slice(5, -5))
     np.testing.assert_allclose(fast[interior], ref[interior], atol=1e-4)
+
+
+def test_separable_diagonal_resample_matches_gather():
+    """Scale+translation warps through the separable per-axis path equal
+    the general map_coordinates gather (tensor-product linearity)."""
+    import jax.numpy as jnp
+
+    from merfish3d_tpu.ops.warp import (
+        _affine_warp_core,
+        separable_diagonal_resample,
+    )
+
+    rng = np.random.default_rng(6)
+    vol = rng.uniform(0, 100, (8, 40, 44)).astype(np.float32)
+    scale = np.asarray([1.02, 0.97, 1.01], np.float32)
+    offset = np.asarray([0.4, -1.3, 2.6], np.float32)
+    ref = np.asarray(
+        _affine_warp_core(
+            jnp.asarray(vol),
+            jnp.asarray(np.diag(scale)),
+            jnp.asarray(offset),
+            reference_shape=vol.shape,
+        )
+    )
+    fast = np.asarray(
+        separable_diagonal_resample(
+            jnp.asarray(vol), jnp.asarray(scale), jnp.asarray(offset)
+        )
+    )
+    np.testing.assert_allclose(fast, ref, atol=1e-3)
+
+
+def test_warp_affine_diagonal_takes_separable_path():
+    """warp_affine with a chromatic-style diagonal physical transform
+    produces the same volume as the general gather path."""
+    import jax.numpy as jnp
+
+    from merfish3d_tpu.ops.warp import _affine_warp_core, transform_to_pixel, warp_affine
+
+    rng = np.random.default_rng(8)
+    vol = rng.uniform(0, 100, (8, 40, 44)).astype(np.float32)
+    spacing = np.asarray([0.31, 0.098, 0.098], np.float32)
+    xform = np.diag([1.0, 1.004, 0.996, 1.0]).astype(np.float32)
+    xform[:3, 3] = np.asarray([0.3, -0.15, 0.2]) * spacing
+
+    out = warp_affine(
+        vol, transform_zyx_um=xform, spacing_zyx_um=spacing,
+        reference_shape=vol.shape,
+    )
+    m, o = transform_to_pixel(xform, spacing)
+    ref = np.asarray(
+        _affine_warp_core(
+            jnp.asarray(vol), jnp.asarray(m), jnp.asarray(o),
+            reference_shape=vol.shape,
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-3)
