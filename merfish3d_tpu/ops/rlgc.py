@@ -314,6 +314,9 @@ def rlgc_diagnostics(
     otf = jnp.fft.rfftn(padded_psf)
     otf_t = jnp.conj(otf)
     otf_otf_t = otf * otf_t
+    # same complex-packed adjoint pair as `_rlgc_core` so the diagnostics
+    # channel reports production numerics exactly
+    otf_t_full = jnp.conj(jnp.fft.fftn(padded_psf.astype(jnp.complex64)))
     update_norm = jnp.maximum(fft_conv(mask, otf_t, shape), 1e-6)
     observed_int = padded.astype(jnp.int32)
 
@@ -325,8 +328,10 @@ def rlgc_diagnostics(
         kld1 = _kl_div(Hu, split1, mask)
         kld2 = _kl_div(Hu, split2, mask)
         denom = 0.5 * (Hu + 1e-12)
-        ht1 = fft_conv(mask * (split1 / denom), otf_t, shape) / update_norm
-        ht2 = fft_conv(mask * (split2 / denom), otf_t, shape) / update_norm
+        packed = (mask * (split1 / denom)) + 1j * (mask * (split2 / denom))
+        g = jnp.fft.ifftn(jnp.fft.fftn(packed) * otf_t_full)
+        ht1 = jnp.real(g).astype(jnp.float32) / update_norm
+        ht2 = jnp.imag(g).astype(jnp.float32) / update_norm
         ht = ht1 + ht2
         consensus = fft_conv((ht1 - 1.0) * (ht2 - 1.0), otf_otf_t, shape)
         new_recon = jnp.where(consensus < 0, recon, recon * ht)

@@ -285,3 +285,42 @@ def test_stage_position_updates_ome_translation(tmp_path):
         / "corrected_data.ome.zarr"
     )
     assert translation == [2.0, 5.0, -7.0]
+
+
+def test_kvstore_spec_cloud_recognition():
+    """Cloud locations map to their TensorStore drivers; http rejected
+    (reference `_get_kvstore_key:1357-1381`)."""
+    import pytest
+
+    from merfish3d_tpu.datastore.zarrio import kvstore_spec
+
+    assert kvstore_spec("s3://bucket/key")["driver"] == "s3"
+    assert kvstore_spec("gs://bucket/key")["driver"] == "gcs"
+    assert kvstore_spec("azure://container/key")["driver"] == "azure"
+    assert kvstore_spec("https://bucket.s3.amazonaws.com/k")["driver"] == "s3"
+    assert kvstore_spec("/local/path")["driver"] == "file"
+    with pytest.raises(ValueError):
+        kvstore_spec("https://example.com/data")
+
+
+def test_sharding_indexed_roundtrip(tmp_path):
+    """Optional zarr3 sharding_indexed codec: outer shard + inner chunk
+    layout round-trips (reference `_create_array_tensorstore_qi2lab:
+    1431-1536`)."""
+    import json
+
+    import numpy as np
+
+    from merfish3d_tpu.datastore import zarrio
+
+    a = np.arange(4 * 64 * 64, dtype=np.uint16).reshape(4, 64, 64)
+    zarrio.write_ome_image(
+        tmp_path / "img", a, chunks=[2, 16, 16], shard_chunks=[4, 32, 32]
+    )
+    b = zarrio.read_ome_image(tmp_path / "img")
+    np.testing.assert_array_equal(a, b)
+    meta = json.loads((tmp_path / "img.ome.zarr" / "0" / "zarr.json").read_text())
+    codecs = meta["codecs"]
+    assert codecs[0]["name"] == "sharding_indexed"
+    assert codecs[0]["configuration"]["chunk_shape"] == [2, 16, 16]
+    assert meta["chunk_grid"]["configuration"]["chunk_shape"] == [4, 32, 32]
