@@ -228,3 +228,43 @@ def test_write_ome_tiff_2d(tmp_path):
     assert "OME" in desc and 'SizeX="47"' in desc and 'PhysicalSizeX="0.098"' in desc
     assert tags[296] == 3  # resolution unit: centimeter
     assert abs(float(tags[282]) - 1e4 / 0.098) < 1.0  # pixels per cm
+
+
+def test_bulkseq_correlation_normalization(tmp_path):
+    """Counts-vs-FPKM QC: gene-name normalization (prefix drop + trailing
+    dash-number strip), log-log Pearson, scatter export
+    (reference `bulkseq_correlation.py:29-268`)."""
+    import pandas as pd
+
+    from merfish3d_tpu.cli.qi2lab.bulkseq_correlation import (
+        bulkseq_correlation,
+        write_scatter,
+    )
+
+    rng = np.random.default_rng(0)
+    genes = [f"gene{i:02d}" for i in range(12)]
+    fpkm_vals = 10 ** rng.uniform(0, 3, 12)
+    # decoded counts proportional to FPKM → strong correlation; decoded
+    # names carry probe prefixes + trailing -N suffixes
+    rows = []
+    for g, v in zip(genes, fpkm_vals):
+        rows += [{"gene_id": f"probe_{g}-1"}] * max(1, int(v / 10))
+    rows += [{"gene_id": "blank01"}] * 5
+    decoded = pd.DataFrame(rows)
+    fpkm = pd.DataFrame({"gene": genes, "FPKM": fpkm_vals})
+
+    result = bulkseq_correlation(
+        decoded, fpkm,
+        drop_prefixes=("probe_",),
+        strip_trailing_dash_number=True,
+    )
+    assert result["n_genes"] == 12
+    assert result["pearson_r"] > 0.95
+
+    png = tmp_path / "scatter.png"
+    write_scatter(result, png)
+    assert png.exists() and png.stat().st_size > 1000
+
+    # without normalization nothing matches
+    raw = bulkseq_correlation(decoded, fpkm)
+    assert raw["n_genes"] == 0
