@@ -383,3 +383,36 @@ def test_spot_table_localization_and_schema():
     np.testing.assert_allclose(got, want, atol=0.5)
     assert (df["bit_idx"] == 8).all()  # 1-based
     assert (df["sum_decon_pixels"] > 0).all()
+
+
+def test_fanout_aggregates_worker_failures(tmp_path, monkeypatch):
+    """A failing tile in the multi-device fan-out must not kill sibling
+    workers: the other tiles complete and the error surfaces with the
+    failed tile listed (reference worker exitcode/queue monitoring,
+    `DataRegistration.py:2175-2212`, `_join_gpu_workers`)."""
+    ds, _ = generate_synthetic_experiment(
+        tmp_path / "ds", shape=(6, 48, 48), n_spots=20, seed=5,
+        n_tiles=4, tile_offset_px=(0.0, 0.0, 32.0),
+    )
+    reg = DataRegistration(
+        ds, decon_fiducial=False, decon_readout=False,
+        global_registration=False, verbose=0,
+    )
+    real = DataRegistration.register_one_tile
+    done = []
+
+    def flaky(self, tile_idx):
+        if tile_idx == 0:
+            real(self, tile_idx)  # warm-up tile on the main thread
+            done.append(tile_idx)
+            return
+        if tile_idx == 2:
+            raise ValueError("injected tile failure")
+        real(self, tile_idx)
+        done.append(tile_idx)
+
+    monkeypatch.setattr(DataRegistration, "register_one_tile", flaky)
+    with pytest.raises(RuntimeError, match=r"tiles \[2\]"):
+        reg._register_tiles_fanout([0, 1, 2, 3], __import__("jax").devices()[:4])
+    # siblings were not killed by the injected failure
+    assert set(done) == {0, 1, 3}
