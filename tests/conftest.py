@@ -28,3 +28,12 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--run-f1-exhaustive",
+        action="store_true",
+        default=False,
+        help="run the exhaustive F1 matrix (decon at coarse axial spacings)",
+    )

@@ -72,6 +72,17 @@ STANDARD_MATRIX = [
     MatrixCase("uniform", 0.315, True),
 ]
 
+# exhaustive mode (opt-in, reference `--run-simulation-exhaustive`
+# conftest machinery `:32-76`): decon at the coarse axial spacings, where
+# deconvolution of undersampled data collapses F1 — the same phenomenon
+# the reference pins (its cells/1.5 um decon F1 is 0.377)
+EXHAUSTIVE_MATRIX = [
+    MatrixCase("cells", 1.0, True),
+    MatrixCase("cells", 1.5, True),
+    MatrixCase("uniform", 1.0, True),
+    MatrixCase("uniform", 1.5, True),
+]
+
 
 def run_matrix_case(case: MatrixCase, workdir: Path) -> dict:
     """Generate -> datastore -> register -> decode -> F1 for one case."""

@@ -16,7 +16,12 @@ characteristic F1 falloff with axial undersampling.
 
 import pytest
 
-from f1_matrix_common import STANDARD_MATRIX, MatrixCase, run_matrix_case
+from f1_matrix_common import (
+    EXHAUSTIVE_MATRIX,
+    STANDARD_MATRIX,
+    MatrixCase,
+    run_matrix_case,
+)
 
 F1_ABS_TOLERANCE = 0.02  # reference `tests/test_simulation_example_pipeline.py:47`
 
@@ -30,6 +35,12 @@ EXPECTED_F1 = {
     "uniform-1.5um-nodecon": 0.8992,
     "cells-0.315um-decon": 0.9298,
     "uniform-0.315um-decon": 0.7941,
+    # exhaustive mode: decon of axially undersampled data collapses, the
+    # reference's own documented phenomenon (cells/1.5 decon = 0.377)
+    "cells-1.0um-decon": 0.3435,
+    "cells-1.5um-decon": 0.5414,
+    "uniform-1.0um-decon": 0.4720,
+    "uniform-1.5um-decon": 0.4312,
 }
 
 
@@ -43,4 +54,20 @@ def test_f1_matrix_case(case: MatrixCase, tmp_path):
         f"{case.case_id}: F1 {result['f1']:.4f} drifted from pinned "
         f"{expected:.4f} (tp={result['true_positives']} "
         f"fp={result['false_positives']} fn={result['false_negatives']})"
+    )
+
+
+@pytest.mark.parametrize(
+    "case", EXHAUSTIVE_MATRIX, ids=[c.case_id for c in EXHAUSTIVE_MATRIX]
+)
+def test_f1_matrix_exhaustive_case(case: MatrixCase, tmp_path, request):
+    """Opt-in exhaustive cells (pytest --run-f1-exhaustive), mirroring the
+    reference's exhaustive-mode marker machinery."""
+    if not request.config.getoption("--run-f1-exhaustive"):
+        pytest.skip("exhaustive matrix: pass --run-f1-exhaustive")
+    result = run_matrix_case(case, tmp_path)
+    expected = EXPECTED_F1[case.case_id]
+    assert abs(result["f1"] - expected) <= F1_ABS_TOLERANCE, (
+        f"{case.case_id}: F1 {result['f1']:.4f} drifted from pinned "
+        f"{expected:.4f}"
     )

