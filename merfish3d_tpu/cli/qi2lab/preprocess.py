@@ -30,7 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--round-batch-size", type=int, default=4,
                    help="moving fiducial rounds resident per decon batch")
-    p.add_argument("--crop-yx-decon", type=int, default=2048)
+    p.add_argument(
+        "--crop-yx-decon", type=int, default=None,
+        help="RLGC lateral tile (default: auto from the HBM budget)",
+    )
     p.add_argument("--ufish-model", type=str, default="simfish")
     p.add_argument("--ufish-checkpoint", type=Path, default=None)
     p.add_argument("--global-registration", action=argparse.BooleanOptionalAction, default=True)

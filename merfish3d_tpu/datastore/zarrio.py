@@ -42,21 +42,47 @@ def _json_safe(value: Any) -> Any:
     return value
 
 
+def _split_bucket_key(url: str, scheme: str) -> tuple[str, str]:
+    rest = url[len(scheme):]
+    bucket, _, key = rest.partition("/")
+    return bucket, key
+
+
 def kvstore_spec(path: Path | str) -> dict:
     """Map a datastore location to a TensorStore kvstore spec, recognizing
     cloud URLs (reference `qi2labDataStore._get_kvstore_key:1357-1381`).
 
-    s3/gcs/azure locations return their respective TensorStore drivers;
-    plain paths map to the local ``file`` driver. http(s) URLs are rejected
-    just like the reference.
+    s3/gcs locations parse into the bucket + key form the TensorStore
+    drivers actually require (the reference passes the whole URL as
+    ``path``, which TensorStore rejects); azure is recognized but has no
+    open-source TensorStore driver, so it raises with a clear message.
+    Plain paths map to the local ``file`` driver; bare http(s) URLs are
+    rejected like the reference.
     """
     path_str = str(path)
-    if path_str.startswith("s3://") or "s3.amazonaws.com" in path_str:
-        return {"driver": "s3", "path": path_str}
-    if path_str.startswith("gs://") or "storage.googleapis.com" in path_str:
-        return {"driver": "gcs", "path": path_str}
+    if path_str.startswith("s3://"):
+        bucket, key = _split_bucket_key(path_str, "s3://")
+        return {"driver": "s3", "bucket": bucket, "path": key}
+    if path_str.startswith(("gs://", "gcs://")):
+        scheme = "gs://" if path_str.startswith("gs://") else "gcs://"
+        bucket, key = _split_bucket_key(path_str, scheme)
+        return {"driver": "gcs", "bucket": bucket, "path": key}
+    if "s3.amazonaws.com" in path_str:
+        # https://<bucket>.s3.amazonaws.com/<key> virtual-hosted form
+        host_rest = path_str.split("://", 1)[-1]
+        host, _, key = host_rest.partition("/")
+        bucket = host.split(".s3.amazonaws.com")[0]
+        return {"driver": "s3", "bucket": bucket, "path": key}
+    if "storage.googleapis.com" in path_str:
+        tail = path_str.split("storage.googleapis.com/", 1)[-1]
+        bucket, _, key = tail.partition("/")
+        return {"driver": "gcs", "bucket": bucket, "path": key}
     if path_str.startswith("azure://") or "blob.core.windows.net" in path_str:
-        return {"driver": "azure", "path": path_str}
+        raise ValueError(
+            "Azure locations are recognized but TensorStore has no "
+            "open-source azure kvstore driver; mirror the data to s3/gcs "
+            "or a local path."
+        )
     if path_str.startswith(("http://", "https://")):
         raise ValueError("Unsupported cloud storage provider in URL")
     return {"driver": "file", "path": path_str}

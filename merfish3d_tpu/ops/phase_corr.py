@@ -297,7 +297,12 @@ def register_translation_with_quality(
     peak_phase, peak_plain = _dual_normalization_peaks(fixed, moving)
     base_shifts = [np.asarray(peak_phase), np.asarray(peak_plain)]
 
-    # 4^d expansion (reference `:735-751`): s, -s, -(s-size), -s-size
+    # 4^d expansion in PUSH convention: {s, s-size} are the two aliases of
+    # the measured wrap-around peak, {-s, size-s} their sign flips (the
+    # reference enumerates the same four in the PULL convention of
+    # `affine_transform`, `multiview_registration.py:735-751` —
+    # translating its literals without flipping sign drops the true wrap
+    # candidate and made shifts beyond half the overlap unrecoverable)
     max_shift = float(max(fixed.shape))
     candidates: list[tuple[float, ...]] = []
     seen = set()
@@ -309,7 +314,7 @@ def register_translation_with_quality(
                 opts_per_axis.append([0.0])
             else:
                 opts_per_axis.append(
-                    [s, -s, -(s - shape[d]), -s - shape[d]]
+                    [s, s - shape[d], -s, shape[d] - s]
                 )
         import itertools
 

@@ -630,6 +630,19 @@ class PixelDecoder:
         # checkpoints below stay valid (reference checkpoints each
         # iteration to `temporary/iteration_NNN` parquet dirs,
         # `qi2labDataStore.py:1117`, `PixelDecoder.py:4241-4251`).
+        # The decode-parameter fingerprint invalidates checkpoints from a
+        # previous run with different thresholds — replaying stale frames
+        # would silently feed the old parameters' decodes into the new
+        # run's normalization vectors.
+        fingerprint = {
+            "magnitude_threshold": list(self._magnitude_threshold),
+            "minimum_pixels": self._minimum_pixels,
+            "maximum_pixels": self._maximum_pixels,
+            "lowpass_sigma": list(self._effective_lowpass_sigma(lowpass_sigma)),
+            "is_3D": self._is_3D,
+            "n_merfish_bits": self._n_merfish_bits,
+            "z_range": list(self._z_range) if self._z_range else None,
+        }
         state_path = (
             ds._decoded_run_root() / "temporary" / "optimization_state.json"
         )
@@ -638,12 +651,17 @@ class PixelDecoder:
                 stored = json.loads(state_path.read_text())
             except (OSError, json.JSONDecodeError):
                 stored = {}
-            if len(stored.get("sample_idx", [])) == len(sample_idx):
+            if (
+                len(stored.get("sample_idx", [])) == len(sample_idx)
+                and stored.get("fingerprint") == fingerprint
+            ):
                 sample_idx = [int(t) for t in stored["sample_idx"]]
             else:
                 ds.clear_decoded_temporary()
         state_path.parent.mkdir(parents=True, exist_ok=True)
-        state_path.write_text(json.dumps({"sample_idx": sample_idx}))
+        state_path.write_text(
+            json.dumps({"sample_idx": sample_idx, "fingerprint": fingerprint})
+        )
 
         if self._estimate_chromatic:
             save_identity_chromatic_affines(ds, self._n_merfish_bits)
@@ -893,21 +911,41 @@ class PixelDecoder:
             return len(df)
 
         # verbosity-leveled progress (reference verbose semantics with tqdm
-        # bars, `PixelDecoder:428-429`): 1 = per-tile line, 2 = + timings
+        # bars, `PixelDecoder:428-429`): 1 = per-tile line, 2 = + timings.
+        # The in-flight window is BOUNDED: each pending future holds a full
+        # tile's decode arrays (the intensity block alone is bits × volume),
+        # so letting the producer run ahead of the single extraction worker
+        # accumulates O(n_tiles × tile bytes) host RAM at production scale.
+        import collections
+
+        max_in_flight = 3
         t_start = time.perf_counter()
+        done_count = 0
+
+        def _drain(fut_entry):
+            nonlocal done_count
+            _tile_idx, fut = fut_entry
+            n_spots = fut.result()
+            done_count += 1
+            if self._verbose >= 1:
+                msg = (
+                    f"decoded tile {done_count}/{n_tiles}: "
+                    f"{n_spots} transcripts"
+                )
+                if self._verbose >= 2:
+                    msg += f" ({time.perf_counter() - t_start:.1f}s elapsed)"
+                print(msg, flush=True)
+
         with ThreadPoolExecutor(max_workers=1) as pool:
-            pending = []
+            pending: collections.deque = collections.deque()
             for tile_idx, arrays, state in tile_stream:
                 pending.append(
                     (tile_idx, pool.submit(extract_and_save, tile_idx, arrays, state))
                 )
-            for i, (tile_idx, fut) in enumerate(pending):
-                n_spots = fut.result()
-                if self._verbose >= 1:
-                    msg = f"decoded tile {i + 1}/{n_tiles}: {n_spots} transcripts"
-                    if self._verbose >= 2:
-                        msg += f" ({time.perf_counter() - t_start:.1f}s elapsed)"
-                    print(msg, flush=True)
+                while len(pending) > max_in_flight:
+                    _drain(pending.popleft())
+            while pending:
+                _drain(pending.popleft())
         frames = [
             ds.load_local_decoded_spots(t)
             for t in range(len(ds.tile_ids))

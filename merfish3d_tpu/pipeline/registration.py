@@ -148,18 +148,6 @@ class DataRegistration:
             tile_idx, round=0, image="corrected"
         )
 
-    def _has_valid_registered_image(self, tile_idx, round_idx) -> bool:
-        """Existence AND shape consistency (reference
-        `_has_valid_registered_image:1285`) — a truncated/corrupt write must
-        not be treated as complete on resume."""
-        shape = self._datastore.local_image_shape(
-            tile_idx, round=round_idx, image="registered"
-        )
-        if shape is None:
-            return False
-        core = self._core_shape(tile_idx)
-        return core is None or shape == core
-
     def _is_tile_complete(self, tile_idx: int) -> bool:
         """reference `_is_tile_complete:1365-1397` incl. shape validation
         (`_validate_core_image_shape:2100-2144`)."""
@@ -238,8 +226,10 @@ class DataRegistration:
         errors: list[tuple[int, BaseException]] = []
         lock = threading.Lock()
 
+        stop = threading.Event()
+
         def worker(dev):
-            while True:
+            while not stop.is_set():
                 try:
                     t = q.get_nowait()
                 except queue.Empty:
@@ -252,7 +242,13 @@ class DataRegistration:
                         "tile-done", tile=t, device=str(dev),
                         elapsed=f"{time.perf_counter() - t0:.2f}s",
                     )
-                except BaseException as e:  # aggregate, don't kill siblings
+                except (KeyboardInterrupt, SystemExit) as e:
+                    # fatal signals stop the whole fan-out, not just this tile
+                    with lock:
+                        errors.append((t, e))
+                    stop.set()
+                    return
+                except Exception as e:  # aggregate, don't kill siblings
                     with lock:
                         errors.append((t, e))
 

@@ -25,7 +25,6 @@ Own implementation replacing multiview-stitcher + dask + cupy fusion
 from __future__ import annotations
 
 import time
-from collections import OrderedDict
 from pathlib import Path
 from typing import Callable, Optional, Sequence
 
@@ -35,6 +34,7 @@ from ..datastore import zarrio
 from ..ops.filters import downsample_image_anisotropic
 from ..ops.phase_corr import register_translation_with_quality
 from ..ops.warp import warp_affine
+from ..utils.cache import LoaderCache
 
 
 def _mv_diag(enabled: bool, stage: str, **fields) -> None:
@@ -281,25 +281,10 @@ def _feather_weights(shape_px, edge: int = 64) -> np.ndarray:
     return w
 
 
-class _TileCache:
-    """Tiny LRU of loaded (possibly warped) tiles keyed by tile index, so a
-    chunked fusion pass re-reads/re-warps each tile a bounded number of
-    times while holding at most ``capacity`` tiles in host RAM."""
-
-    def __init__(self, loader: Callable[[int], Optional[np.ndarray]], capacity: int):
-        self._loader = loader
-        self._capacity = max(1, int(capacity))
-        self._cache: OrderedDict[int, Optional[np.ndarray]] = OrderedDict()
-
-    def get(self, tile_idx: int) -> Optional[np.ndarray]:
-        if tile_idx in self._cache:
-            self._cache.move_to_end(tile_idx)
-            return self._cache[tile_idx]
-        img = self._loader(tile_idx)
-        self._cache[tile_idx] = img
-        while len(self._cache) > self._capacity:
-            self._cache.popitem(last=False)
-        return img
+# Tiny LRU of loaded (possibly warped) tiles keyed by tile index, so a
+# chunked fusion pass re-reads/re-warps each tile a bounded number of
+# times while holding at most ``capacity`` tiles in host RAM.
+_TileCache = LoaderCache
 
 
 def stream_fuse(

@@ -15,28 +15,14 @@ All state transitions are plain methods (`set_z`, `set_channel`,
 
 from __future__ import annotations
 
-from collections import OrderedDict
 from typing import Callable, Optional
 
 import numpy as np
 
+from ..utils.cache import LoaderCache as _VolumeCache
 from . import viewer as data_layer
 
 
-class _VolumeCache:
-    def __init__(self, capacity: int = 4):
-        self._cache: OrderedDict[str, Optional[np.ndarray]] = OrderedDict()
-        self._capacity = capacity
-
-    def get(self, key: str, loader: Callable[[], Optional[np.ndarray]]):
-        if key in self._cache:
-            self._cache.move_to_end(key)
-            return self._cache[key]
-        vol = loader()
-        self._cache[key] = vol
-        while len(self._cache) > self._capacity:
-            self._cache.popitem(last=False)
-        return vol
 
 
 class MatplotlibViewer:
@@ -256,7 +242,7 @@ class MatplotlibViewer:
             self.toggle_outlines()
 
     def _on_key(self, event) -> None:
-        if event.key in ("up", "right") and event.key == "up":
+        if event.key == "up":
             self.set_z(self._z + 1)
         elif event.key == "down":
             self.set_z(self._z - 1)

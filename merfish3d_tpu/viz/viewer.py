@@ -708,23 +708,16 @@ def export_overview(datastore, output_png: Path) -> Path:
 class Qi2labViewer:
     """Interactive GUI wrapper (reference `Qi2labViewer:1250-1275`).
 
-    Prefers the reference's ndv/PyQt stack when installed; otherwise opens
-    the built-in matplotlib-widget shell (`viz/interactive.py`: z/channel
-    sliders, tile paging, decoded-spot + cell-outline overlays, global
-    fused view, keyboard bindings) — a real interactive window on TkAgg,
-    headless-drivable on Agg.
+    Opens the built-in matplotlib-widget shell (`viz/interactive.py`:
+    z/channel sliders, tile paging, decoded-spot + cell-outline overlays,
+    global fused view, keyboard bindings) — a real interactive window on
+    TkAgg, headless-drivable on Agg. The reference's ndv/PyQt stack can
+    consume the same data layer (`viz/viewer.py`) directly when installed.
     """
 
     def __init__(self, datastore, **kwargs):
         self._datastore = datastore
         self._backend_kind = "matplotlib"
-        try:
-            import ndv  # noqa: F401
-            from qtpy import QtWidgets  # noqa: F401
-
-            self._backend_kind = "ndv"
-        except ImportError:
-            pass
         from .interactive import MatplotlibViewer
 
         self._viewer = MatplotlibViewer(datastore, **kwargs)

@@ -294,11 +294,16 @@ def test_kvstore_spec_cloud_recognition():
 
     from merfish3d_tpu.datastore.zarrio import kvstore_spec
 
-    assert kvstore_spec("s3://bucket/key")["driver"] == "s3"
-    assert kvstore_spec("gs://bucket/key")["driver"] == "gcs"
-    assert kvstore_spec("azure://container/key")["driver"] == "azure"
-    assert kvstore_spec("https://bucket.s3.amazonaws.com/k")["driver"] == "s3"
+    s3 = kvstore_spec("s3://bucket/some/key")
+    assert s3 == {"driver": "s3", "bucket": "bucket", "path": "some/key"}
+    gcs = kvstore_spec("gs://bkt/obj")
+    assert gcs == {"driver": "gcs", "bucket": "bkt", "path": "obj"}
+    hosted = kvstore_spec("https://bucket.s3.amazonaws.com/k")
+    assert hosted == {"driver": "s3", "bucket": "bucket", "path": "k"}
     assert kvstore_spec("/local/path")["driver"] == "file"
+    # azure recognized but no open-source TensorStore driver
+    with pytest.raises(ValueError, match="azure"):
+        kvstore_spec("azure://container/key")
     with pytest.raises(ValueError):
         kvstore_spec("https://example.com/data")
 

@@ -238,3 +238,21 @@ def test_warp_affine_diagonal_takes_separable_path():
         )
     )
     np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
+def test_register_translation_with_quality_recovers_wrap_shift():
+    """Shifts beyond half the overlap extent must be recovered through the
+    wrap candidates (push-convention {s, s-size, -s, size-s}; translating
+    the reference's pull-convention literals verbatim dropped the true
+    wrap candidate)."""
+    from scipy.ndimage import gaussian_filter
+
+    from merfish3d_tpu.ops.phase_corr import register_translation_with_quality
+
+    rng = np.random.default_rng(0)
+    canvas = gaussian_filter(rng.normal(size=(8, 220, 100)).astype(np.float32), 2)
+    fixed = canvas[:, 60:160]
+    moving = canvas[:, 0:100]  # true push = -60 (beyond size/2)
+    s, q = register_translation_with_quality(fixed, moving, upsample_factor=10)
+    assert abs(s[1] - (-60)) < 1.0, s
+    assert q > 0.9
