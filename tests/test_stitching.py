@@ -197,3 +197,74 @@ def test_fuse_all_channels_applies_decode_warp(tmp_path):
     raw = raw - raw.mean()
     ncc_unwarped = (fid * raw).sum() / np.sqrt((fid**2).sum() * (raw**2).sum())
     assert ncc > ncc_unwarped + 0.005
+
+
+def test_stream_fuse_bounded_memory_discipline():
+    """The streaming pass touches the output only in chunk-shaped writes
+    and holds at most `tile_cache` tiles: fusing a grid whose global
+    volume far exceeds one chunk never materializes more than
+    (chunk buffer + cache) — the direct-to-zarr discipline (reference
+    `DataRegistration.py:1728-1743`)."""
+    from merfish3d_tpu.pipeline.stitching import _TileCache, stream_fuse
+
+    tile_shape = (4, 32, 32)
+    step = 24
+    n = 4  # 4x4 grid -> global ~ (4, 104, 104), chunk 32 -> many chunks
+    rng = np.random.default_rng(0)
+    tiles = {
+        t: rng.uniform(0, 1000, tile_shape).astype(np.float32)
+        for t in range(n * n)
+    }
+    starts = [
+        np.asarray([0, (t // n) * step, (t % n) * step]) for t in range(n * n)
+    ]
+    out_shape = np.asarray([4, 32 + step * (n - 1), 32 + step * (n - 1)])
+
+    loads = []
+
+    def loader(t):
+        loads.append(t)
+        return tiles[t]
+
+    cache = _TileCache(loader, 2)
+
+    writes = []
+
+    class SpyOut:
+        def __init__(self):
+            self.data = np.zeros(tuple(out_shape), np.uint16)
+
+        def __setitem__(self, key, value):
+            writes.append(tuple(value.shape))
+            self.data[key] = value
+
+    spy = SpyOut()
+    stream_fuse(
+        spy,
+        out_shape=out_shape,
+        tile_starts_px=starts,
+        tile_shape_px=tile_shape,
+        tile_cache=cache,
+        chunk_px=32,
+        feather_px=8,
+    )
+    # every write is at most one chunk
+    assert writes and all(
+        s[0] <= 64 and s[1] <= 32 and s[2] <= 32 for s in writes
+    )
+    # the cache re-loaded tiles instead of holding them all: with capacity
+    # 2 and 16 tiles the loader must have been called more than 16 times,
+    # and the cache never held more than 2
+    assert len(loads) > n * n
+    assert len(cache._cache) <= 2
+    # and the fused content is correct: interior of a central tile matches
+    # (weights sum to the feather everywhere it's the only contributor)
+    t5 = tiles[5]
+    s5 = starts[5]
+    inner = spy.data[
+        1:3, s5[1] + 12 : s5[1] + 20, s5[2] + 12 : s5[2] + 20
+    ]
+    expect = np.clip(t5[1:3, 12:20, 12:20], 0, 65535).astype(np.uint16)
+    np.testing.assert_allclose(
+        inner.astype(float), expect.astype(float), atol=1.0
+    )
