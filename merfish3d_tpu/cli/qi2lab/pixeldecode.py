@@ -85,7 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--include-blanks", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--z-range", type=int, nargs=2, default=None)
     p.add_argument("--decode-run-key", type=str, default=None)
-    p.add_argument("--num-gpus", type=int, default=1, help="compat flag")
+    p.add_argument(
+        "--num-gpus", type=int, default=0,
+        help="devices for tile fan-out (0 = all visible)",
+    )
     p.add_argument(
         "--optimize-filtering-only",
         action=argparse.BooleanOptionalAction,
@@ -122,6 +125,7 @@ def decode_pixels(args) -> None:
         minimum_pixels=minimum_pixels,
         maximum_pixels=args.maximum_pixels,
         decode_run_key=args.decode_run_key,
+        num_devices=args.num_gpus,
         estimate_chromatic_affines=args.estimate_chromatic_affines,
     )
     if args.optimize_filtering_only:

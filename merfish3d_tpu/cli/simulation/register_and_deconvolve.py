@@ -14,7 +14,10 @@ def main(argv=None) -> None:
     p.add_argument("--deformable-registration", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--ufish-model", type=str, default="simfish")
     p.add_argument("--decon-max-iters", type=int, default=40)
-    p.add_argument("--num-gpus", type=int, default=1, help="compat flag")
+    p.add_argument(
+        "--num-gpus", type=int, default=0,
+        help="devices for tile fan-out (0 = all visible)",
+    )
     args = p.parse_args(argv)
 
     from ...datastore import qi2labDataStore
@@ -29,6 +32,7 @@ def main(argv=None) -> None:
         ufish_model=args.ufish_model,
         global_registration=True,
         decon_max_iters=args.decon_max_iters,
+        num_devices=args.num_gpus,
     )
     reg.register_all_tiles()
 

@@ -64,6 +64,7 @@ class PixelDecoder:
         maximum_pixels: int = 500,
         decode_run_key: Optional[str] = None,
         component_capacity: int = 65536,
+        num_devices: int = 0,  # 0 = all visible devices for tile fan-out
         estimate_chromatic_affines: bool = False,
         chromatic_affine_config: ChromaticAffineEstimationConfig = ChromaticAffineEstimationConfig(),
     ):
@@ -76,6 +77,7 @@ class PixelDecoder:
         self._minimum_pixels = float(minimum_pixels)
         self._maximum_pixels = float(maximum_pixels)
         self._component_capacity = int(component_capacity)
+        self._num_devices = int(num_devices)
         self._decode_run_key = decode_run_key
         if decode_run_key is not None:
             datastore.decode_run_key = decode_run_key
@@ -769,6 +771,8 @@ class PixelDecoder:
         import jax
 
         devices = jax.devices()
+        if self._num_devices > 0:
+            devices = devices[: self._num_devices]
         if len(devices) < 2 or n_tiles < 2:
             return None
         from ..parallel.mesh import make_tile_mesh
