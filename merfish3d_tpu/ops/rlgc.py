@@ -392,6 +392,23 @@ def rlgc_diagnostics(
 # (48, 2304, 2304) (~255M) fails to compile outright — so the static
 # budget matters, there is no runtime OOM-retry to fall back on.
 DEFAULT_BUDGET_PADDED_VOXELS = 9.0e7
+# vmapped solves share almost nothing, so the TOTAL padded voxels across a
+# batch is what must fit: B=2 at (48,1152,1152) (~128M) runs, B=4 (~255M)
+# fails to compile — measured on v5e
+VMAP_BUDGET_PADDED_VOXELS = 1.4e8
+
+
+def max_vmap_batch(
+    image_shape,
+    psf_shape,
+    budget_padded_voxels: float = VMAP_BUDGET_PADDED_VOXELS,
+) -> int:
+    """How many volumes of this shape fit one vmapped RLGC solve."""
+    nz, ny, nx = (int(v) for v in image_shape)
+    pz = nz + sum(axis_linear_fft_padding(nz, psf_shape[0]))
+    py = ny + sum(axis_linear_fft_padding(ny, psf_shape[1]))
+    px = nx + sum(axis_linear_fft_padding(nx, psf_shape[2]))
+    return max(1, int(budget_padded_voxels // (pz * py * px)))
 
 
 def auto_crop_yx(

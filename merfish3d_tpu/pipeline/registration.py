@@ -300,11 +300,19 @@ class DataRegistration:
         # (reference scale = 9 rounds × ~2 GB f32 — stacking all of them,
         # as round 1 did, blows both; VERDICT r1 weak #3). Rounds are
         # independent given the round-1 reference.
-        from ..ops.rlgc import rlgc_batch
+        from ..ops.rlgc import max_vmap_batch, rlgc_batch
 
         moving_rounds = list(range(1, ds.num_rounds))
-        for start in range(0, len(moving_rounds), self._round_batch_size):
-            batch_rounds = moving_rounds[start : start + self._round_batch_size]
+        # HBM-bound the vmap width: the TOTAL padded voxels across a batch
+        # must fit (B=4 of 1024-px frames fails to compile on a 16 GB chip)
+        sample_shape = self._core_shape(tile_idx)
+        batch_cap = self._round_batch_size
+        if fid_psf is not None and sample_shape is not None:
+            batch_cap = min(
+                batch_cap, max_vmap_batch(sample_shape, fid_psf.shape)
+            )
+        for start in range(0, len(moving_rounds), max(batch_cap, 1)):
+            batch_rounds = moving_rounds[start : start + max(batch_cap, 1)]
             t0 = time.perf_counter()
             raws = np.stack(
                 [
@@ -401,8 +409,9 @@ class DataRegistration:
 
         TPU-first: bits sharing a PSF are deconvolved as one vmapped batch
         (`rlgc_batch`) instead of the reference's per-bit GPU loop, bounded
-        by ``bit_batch_size`` volumes in HBM at once."""
-        from ..ops.rlgc import rlgc_batch
+        by ``bit_batch_size`` volumes in HBM at once (further clamped by
+        the padded-voxel vmap budget, like the round batches)."""
+        from ..ops.rlgc import max_vmap_batch, rlgc_batch
 
         ds = self._datastore
         core = self._core_shape(tile_idx)
@@ -432,8 +441,13 @@ class DataRegistration:
 
         for psf_idx, members in groups.items():
             psf = self._psf_for_channel(psf_idx) if psf_idx >= 0 else None
-            for start in range(0, len(members), bit_batch_size):
-                chunk = members[start : start + bit_batch_size]
+            group_batch = bit_batch_size
+            if psf is not None and core is not None:
+                group_batch = min(
+                    group_batch, max_vmap_batch(core, psf.shape)
+                )
+            for start in range(0, len(members), max(group_batch, 1)):
+                chunk = members[start : start + max(group_batch, 1)]
                 raws = np.stack(
                     [
                         np.asarray(

@@ -169,3 +169,15 @@ def test_next_smooth_size_avoids_radix3_dominated():
             m //= 3
             threes += 1
         assert m == 1 and threes <= 3
+
+
+def test_max_vmap_batch_budget():
+    """The vmap-width budget: full 1024-px frames cap at ~2 per batch
+    (B=4 measured failing to compile on v5e); tiny test volumes allow
+    wide batches."""
+    from merfish3d_tpu.ops.rlgc import max_vmap_batch
+
+    psf_shape = (9, 15, 15)
+    cap = max_vmap_batch((32, 1024, 1024), psf_shape)
+    assert 1 <= cap <= 2
+    assert max_vmap_batch((12, 128, 128), psf_shape) >= 8
