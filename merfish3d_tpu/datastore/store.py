@@ -189,10 +189,11 @@ class qi2labDataStore:
         """Re-open an existing datastore (`qi2labDataStore.py:2423-2845`).
 
         Loads stage flags and calibration attributes into memory. With
-        ``validate=True``, checks that entity directories exist consistent
-        with the state flags (lightweight compared to the reference's full
-        revalidation; stage code additionally shape-checks its own inputs).
-        """
+        ``validate=True``, re-validates the whole store against the state
+        flags like the reference: per-entity attribute-key checks, zarr
+        metadata + chunk-presence checks, cross-array shape consistency,
+        and decoded/filtered parquet presence. ``validate=False`` is the
+        escape hatch for partially written stores."""
         with (self._datastore_path / "datastore_state.json").open("r") as fh:
             self._datastore_state = json.load(fh)
         version = self._datastore_state.get("Version")
@@ -229,9 +230,167 @@ class qi2labDataStore:
             eo = np.asarray(self._exp_order)
             self._num_rounds = int(eo[-1, 0])
             self._num_bits = int(np.max(eo[:, 1:]))
-        if validate and self._datastore_state.get("Corrected", False):
+        if validate:
+            self._validate_against_state()
+
+    # --------------------------------------------------- open-time validation
+    def _validate_image(self, group_path: Path, what: str):
+        """Validate an OME image without reading voxel data: group + array
+        zarr.json must parse, and a non-empty array must have at least one
+        chunk on disk (catches truncated/corrupted writes at open time
+        instead of mid-stage; reference `_check_for_zarr_array` analog).
+        Returns the array shape."""
+        group_path = zarrio.image_store_path(group_path)
+        if not (group_path / "zarr.json").exists():
+            raise FileNotFoundError(f"{what}: missing image {group_path}")
+        arr_meta_path = group_path / "0" / "zarr.json"
+        try:
+            with arr_meta_path.open("r", encoding="utf-8") as fh:
+                meta = json.load(fh)
+            shape = tuple(int(v) for v in meta["shape"])
+        except (OSError, json.JSONDecodeError, KeyError, TypeError, ValueError) as e:
+            raise ValueError(
+                f"{what}: corrupt zarr metadata at {arr_meta_path}: {e}"
+            ) from e
+        if int(np.prod(shape)) > 0:
+            chunk_root = group_path / "0" / "c"
+            has_chunk = chunk_root.exists() and any(chunk_root.rglob("*"))
+            if not has_chunk:
+                raise ValueError(
+                    f"{what}: zarr array at {group_path} has shape {shape} "
+                    "but no chunk data on disk (truncated write?)"
+                )
+        return shape
+
+    def _require_attrs(
+        self, entity_dir: Path, keys, what: str, image_name: str | None = None
+    ) -> dict:
+        attrs = self._load_entity_attributes(entity_dir, image_name)
+        for key in keys:
+            if key not in attrs:
+                raise KeyError(f"{what}: attribute '{key}' missing in {entity_dir}")
+        return attrs
+
+    def _validate_against_state(self) -> None:
+        """Per-state-flag revalidation (reference
+        `_parse_datastore:2560-2845` semantics on the v0.6 zarr3 layout)."""
+        state = self._datastore_state
+        tile_ids = self.tile_ids
+        round_ids = self.round_ids
+        bit_ids = self.bit_ids
+
+        if state.get("Corrected", False):
             if not any(self._fiducial_path.glob("tile*")):
-                raise ValueError("Datastore marked Corrected but has no tiles.")
+                raise FileNotFoundError(
+                    "Datastore marked Corrected but has no fiducial tiles."
+                )
+            for tid in tile_ids:
+                for rid in round_ids:
+                    d = self._fiducial_dir(tid, rid)
+                    self._require_attrs(
+                        d,
+                        ("stage_zyx_um", "excitation_um", "emission_um",
+                         "psf_idx", "bit_linker"),
+                        f"Corrected fiducial {tid}/{rid}",
+                        image_name="corrected_data",
+                    )
+                    self._validate_image(
+                        d / "corrected_data", f"Corrected fiducial {tid}/{rid}"
+                    )
+                for bid in bit_ids:
+                    d = self._readout_dir(tid, bid)
+                    self._require_attrs(
+                        d,
+                        ("excitation_um", "emission_um", "psf_idx", "round_linker"),
+                        f"Corrected readout {tid}/{bid}",
+                        image_name="corrected_data",
+                    )
+                    self._validate_image(
+                        d / "corrected_data", f"Corrected readout {tid}/{bid}"
+                    )
+
+        if state.get("LocalRegistered", False):
+            for tid in tile_ids:
+                for rid in round_ids:
+                    d = self._fiducial_dir(tid, rid)
+                    if rid != round_ids[0]:
+                        self._require_attrs(
+                            d,
+                            ("local_round_transform_zyx_um",),
+                            f"LocalRegistered fiducial {tid}/{rid}",
+                        )
+                    reg = d / "registered_decon_data.ome.zarr"
+                    if rid == round_ids[0] or (reg / "zarr.json").exists():
+                        reg_shape = self._validate_image(
+                            reg, f"LocalRegistered fiducial {tid}/{rid}"
+                        )
+                        corr = d / "corrected_data.ome.zarr"
+                        if (corr / "zarr.json").exists():
+                            corr_shape = self._validate_image(
+                                corr, f"Corrected fiducial {tid}/{rid}"
+                            )
+                            if corr_shape != reg_shape:
+                                raise ValueError(
+                                    f"{tid}/{rid}: corrected and registered "
+                                    f"shapes differ: {corr_shape} != {reg_shape}"
+                                )
+                for bid in bit_ids:
+                    d = self._readout_dir(tid, bid)
+                    shapes = {}
+                    for name in ("corrected_data", "decon_data",
+                                 "feature_predictor_data"):
+                        p = d / (name + ".ome.zarr")
+                        if (p / "zarr.json").exists():
+                            shapes[name] = self._validate_image(
+                                p, f"LocalRegistered readout {tid}/{bid}/{name}"
+                            )
+                    if len(set(shapes.values())) > 1:
+                        raise ValueError(
+                            f"{tid}/{bid}: readout image shapes differ: {shapes}"
+                        )
+                    loc = self._fp_localizations_path / tid / (bid + ".parquet")
+                    if not loc.exists():
+                        raise FileNotFoundError(
+                            f"{tid}/{bid}: feature predictor localizations missing"
+                        )
+
+        if state.get("GlobalRegistered", False) and round_ids:
+            for tid in tile_ids:
+                self._require_attrs(
+                    self._fiducial_dir(tid, round_ids[0]),
+                    ("affine_zyx_um", "origin_zyx_um", "spacing_zyx_um"),
+                    f"GlobalRegistered {tid}",
+                )
+
+        if state.get("Fused", False):
+            p = self._fused_path / "fused.zarr" / "fused_fiducial_zyx.ome.zarr"
+            self._validate_image(p, "Fused fiducial image")
+            attrs = zarrio.read_image_attrs(p)
+            for key in ("affine_zyx_um", "origin_zyx_um", "spacing_zyx_um"):
+                if key not in attrs:
+                    raise KeyError(f"Fused image metadata missing '{key}'")
+
+        if state.get("SegmentedCells", False):
+            self._validate_image(
+                self._segmentation_path / "cellpose" / "cellpose.zarr"
+                / "masks_fiducial_iso_zyx",
+                "Cellpose segmentation mask",
+            )
+            if not (
+                self._segmentation_path / "cellpose" / "cell_outlines.json"
+            ).exists():
+                raise FileNotFoundError("Cellpose cell outlines missing.")
+
+        if state.get("DecodedSpots", False):
+            for tid in tile_ids:
+                p = self._decoded_run_root() / (tid + "_decoded_features.parquet")
+                if not p.exists():
+                    raise FileNotFoundError(f"{tid}: decoded spots missing")
+
+        if state.get("FilteredSpots", False):
+            p = self._filtered_path / "decoded_features.parquet"
+            if not p.exists():
+                raise FileNotFoundError("filtered decoded spots missing")
 
     # ------------------------------------------------------------------- IDs
     @property
@@ -1085,6 +1244,19 @@ class qi2labDataStore:
             np.asarray(attrs["spacing_zyx_um"], dtype=np.float64),
         )
 
+    def load_global_fused_geometry(self):
+        """(affine, origin, spacing) of the fused fiducial image without
+        reading the voxel data (attrs-only; for mask/coordinate mapping)."""
+        p = self._fused_path / "fused.zarr" / "fused_fiducial_zyx.ome.zarr"
+        if not (p / "zarr.json").exists():
+            return None
+        attrs = zarrio.read_image_attrs(p)
+        return (
+            np.asarray(attrs["affine_zyx_um"], dtype=np.float64),
+            np.asarray(attrs["origin_zyx_um"], dtype=np.float64),
+            np.asarray(attrs["spacing_zyx_um"], dtype=np.float64),
+        )
+
     # --------------------------------------------------------- segmentation
     def save_global_cellpose_segmentation_image(
         self,
@@ -1110,6 +1282,20 @@ class qi2labDataStore:
         if not (p / "zarr.json").exists():
             return None
         return zarrio.read_ome_image(p, return_future=return_future)
+
+    def load_global_cellpose_segmentation_downsampling(self) -> Optional[np.ndarray]:
+        """The per-axis downsampling of the stored mask relative to the
+        fused fiducial image (attrs-only)."""
+        p = (
+            self._segmentation_path
+            / "cellpose"
+            / "cellpose.zarr"
+            / "masks_fiducial_iso_zyx.ome.zarr"
+        )
+        if not (p / "zarr.json").exists():
+            return None
+        attrs = zarrio.read_image_attrs(p)
+        return np.asarray(attrs.get("downsampling", [1.0, 1.0, 1.0]), np.float64)
 
     def save_global_cellpose_outlines(self, outlines: dict) -> None:
         d = self._segmentation_path / "cellpose"

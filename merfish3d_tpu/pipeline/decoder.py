@@ -81,6 +81,10 @@ class PixelDecoder:
         self._decode_run_key = decode_run_key
         if decode_run_key is not None:
             datastore.decode_run_key = decode_run_key
+        self._use_mask = bool(use_mask)
+        self._mask_state: Optional[dict] = None
+        if self._use_mask:
+            self._load_mask()
         self._n_merfish_bits = int(merfish_bits or datastore.num_bits)
         self._estimate_chromatic = bool(estimate_chromatic_affines)
         self._chromatic_affine_config = chromatic_affine_config
@@ -128,6 +132,72 @@ class PixelDecoder:
     @property
     def codebook_matrix(self) -> np.ndarray:
         return self._codebook_matrix.copy()
+
+    # ------------------------------------------------------------- mask gate
+    def _load_mask(self) -> None:
+        """Load the stored segmentation mask + fused geometry for decode
+        gating.  The reference declares ``use_mask`` but never implements it
+        (`PixelDecoder.py:526-529` calls a nonexistent ``self._load_mask``
+        TODO); here the flag restricts extraction to voxels whose global
+        (y, x) falls inside a segmented cell."""
+        ds = self._datastore
+        seg = ds.load_global_cellpose_segmentation_image()
+        geom = ds.load_global_fused_geometry()
+        if seg is None or geom is None:
+            raise ValueError(
+                "use_mask=True requires a stored segmentation mask and a "
+                "fused image geometry (run segmentation + fusion first)"
+            )
+        mask = np.asarray(seg) > 0
+        if mask.ndim == 3:
+            # 2D (y, x) foreground like the reference's polygon cell
+            # assignment on (global_y, global_x) (`_assign_cells:3650-3710`)
+            mask = mask.max(axis=0)
+        downsampling = ds.load_global_cellpose_segmentation_downsampling()
+        if downsampling is None:
+            downsampling = np.ones(3)
+        affine, origin, spacing = geom
+        self._mask_state = {
+            "mask_yx": mask,
+            "affine_inv": np.linalg.inv(np.asarray(affine, np.float64)),
+            "origin": np.asarray(origin, np.float64),
+            "spacing": np.asarray(spacing, np.float64),
+            "downsampling": np.asarray(downsampling, np.float64),
+        }
+
+    def _tile_foreground_yx(
+        self, shape_zyx: tuple[int, int, int], state: dict
+    ) -> np.ndarray:
+        """(Y, X) bool: which tile pixels land inside a segmented cell.
+        tile px → µm → camera-to-stage → global affine (same chain as
+        `_warp_pixels`) → inverse fused affine → fused px → mask px."""
+        ms = self._mask_state
+        nz, ny, nx = shape_zyx
+        yy, xx = np.meshgrid(
+            np.arange(ny, dtype=np.float64),
+            np.arange(nx, dtype=np.float64),
+            indexing="ij",
+        )
+        pts = np.stack(
+            [np.full(yy.size, nz / 2.0), yy.ravel(), xx.ravel()], axis=1
+        )
+        glob = self._warp_pixels(pts, state)
+        homo = np.concatenate([glob, np.ones((len(glob), 1))], axis=1)
+        fused_um = (ms["affine_inv"] @ homo.T).T[:, :3]
+        fused_px = (fused_um - ms["origin"][None, :]) / ms["spacing"][None, :]
+        mask_px = np.round(fused_px[:, 1:] / ms["downsampling"][None, 1:]).astype(
+            np.int64
+        )
+        my, mx = ms["mask_yx"].shape
+        inside = (
+            (mask_px[:, 0] >= 0)
+            & (mask_px[:, 0] < my)
+            & (mask_px[:, 1] >= 0)
+            & (mask_px[:, 1] < mx)
+        )
+        fg = np.zeros(len(mask_px), bool)
+        fg[inside] = ms["mask_yx"][mask_px[inside, 0], mask_px[inside, 1]]
+        return fg.reshape(ny, nx)
 
     # ------------------------------------------------------------ z-slicing
     def _z_slice(self, nz: int) -> slice:
@@ -418,6 +488,9 @@ class PixelDecoder:
         from ..native import label_components
 
         state = tile_state or self._tile_state_snapshot()
+        if self._use_mask and self._mask_state is not None:
+            fg = self._tile_foreground_yx(decoded.shape, state)
+            decoded = np.where(fg[None, :, :], decoded, -1)
         labels = label_components(
             decoded.astype(np.int32), use_2d=not self._is_3D
         )

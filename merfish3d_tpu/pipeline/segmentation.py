@@ -53,6 +53,73 @@ def threshold_segment(
     return labels.astype(np.int32)
 
 
+def watershed_segment(
+    image: np.ndarray,
+    *,
+    sigma: float = 4.0,
+    min_area: int = 200,
+    min_seed_distance: int = 10,
+    min_seed_height: float = 2.0,
+) -> np.ndarray:
+    """Distance-transform watershed fallback that SPLITS touching cells
+    (the reference delegates this to Cellpose-SAM,
+    `segment_fiducial.py:24-270`; this is the hermetic stand-in).
+
+    Otsu foreground → Euclidean distance transform → local-maxima seeds
+    (plateau-merged) → nearest-seed (Voronoi) assignment restricted to the
+    foreground. No skimage in the image, so the watershed is approximated
+    by the seeded Voronoi split along the ridge between distance peaks."""
+    img = scipy.ndimage.gaussian_filter(np.asarray(image, np.float32), sigma)
+    binary = img > _otsu_threshold(img)
+    if not binary.any():
+        return np.zeros(img.shape, np.int32)
+    dist = scipy.ndimage.distance_transform_edt(binary)
+    footprint = np.ones((min_seed_distance,) * img.ndim, bool)
+    maxf = scipy.ndimage.maximum_filter(dist, footprint=footprint)
+    seeds = (dist >= maxf) & (dist > min_seed_height)
+    seed_labels, n_seeds = scipy.ndimage.label(seeds)
+    if n_seeds == 0:
+        labels, _ = scipy.ndimage.label(binary)
+        return _drop_small_components(labels.astype(np.int32), min_area)
+    # nearest-seed assignment: EDT from the seed set with index return
+    idx = scipy.ndimage.distance_transform_edt(
+        seed_labels == 0, return_distances=False, return_indices=True
+    )
+    labels = seed_labels[tuple(idx)]
+    labels[~binary] = 0
+    return _drop_small_components(labels.astype(np.int32), min_area)
+
+
+def _otsu_threshold(img: np.ndarray) -> float:
+    hist, edges = np.histogram(img.ravel(), bins=256)
+    centers = (edges[:-1] + edges[1:]) / 2
+    w = hist.astype(np.float64)
+    total = w.sum()
+    csum = np.cumsum(w)
+    cmean = np.cumsum(w * centers)
+    mean_total = cmean[-1] / total
+    with np.errstate(invalid="ignore", divide="ignore"):
+        wb = csum / total
+        mb = cmean / np.maximum(csum, 1e-9)
+        between = (
+            wb * (1 - wb)
+            * (mb - (mean_total - wb * mb) / np.maximum(1 - wb, 1e-9)) ** 2
+        )
+    return float(centers[int(np.nanargmax(between))])
+
+
+def _drop_small_components(labels: np.ndarray, min_area: int) -> np.ndarray:
+    if labels.max() == 0:
+        return labels
+    counts = np.bincount(labels.ravel())
+    small = np.where(counts < min_area)[0]
+    labels[np.isin(labels, small)] = 0
+    uniq = np.unique(labels)
+    remap = np.zeros(uniq.max() + 1, labels.dtype)
+    remap[uniq] = np.arange(len(uniq))
+    return remap[labels]
+
+
 def mask_outlines(
     mask2d: np.ndarray,
     *,
@@ -128,7 +195,7 @@ def segment_fiducial(
         mask = np.load(mask_path)
     else:
         max_proj = np.max(np.asarray(img, np.float32), axis=0)
-        mask = threshold_segment(max_proj)
+        mask = watershed_segment(max_proj)
     if mask.ndim == 2:
         mask3d = np.broadcast_to(mask, (img.shape[0], *mask.shape)).copy()
         mask2d = mask

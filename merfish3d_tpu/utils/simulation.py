@@ -201,6 +201,11 @@ def generate_synthetic_experiment(
             ds.save_local_feature_predictor_image(
                 np.ones(shape, np.float32), tile=tile_idx, bit=b
             )
+            ds.save_local_feature_predictor_spots(
+                pd.DataFrame(columns=["z", "y", "x", "sum_prob_7x5x5"]),
+                tile=tile_idx,
+                bit=b,
+            )
         state = ds.datastore_state
         state.update({"Corrected": True, "LocalRegistered": True})
         ds.datastore_state = state

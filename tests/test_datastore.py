@@ -329,3 +329,91 @@ def test_sharding_indexed_roundtrip(tmp_path):
     assert codecs[0]["name"] == "sharding_indexed"
     assert codecs[0]["configuration"]["chunk_shape"] == [2, 16, 16]
     assert meta["chunk_grid"]["configuration"]["chunk_shape"] == [4, 32, 32]
+
+
+# --------------------------------------------- open-time full validation
+def _mini_corrected_store(tmp_path):
+    """A 1-tile store marked Corrected with complete attrs + images."""
+    ds = qi2labDataStore(tmp_path / "qi2labdatastore")
+    ds.channels_in_data = ["fiducial", "readout1"]
+    ds.num_tiles = 1
+    ds.microscope_type = "3D"
+    ds.tile_overlap = 0.2
+    ds.e_per_ADU = 1.0
+    ds.na = 1.35
+    ds.ri = 1.4
+    ds.binning = 1
+    ds.voxel_size_zyx_um = [0.31, 0.098, 0.098]
+    ds.experiment_order = np.array([[1, 1, 2]], dtype=np.int64)
+    ds.codebook = pd.DataFrame(
+        {"gene_id": ["geneA", "geneB"], "bit01": [1, 0], "bit02": [0, 1]}
+    )
+    ds.initialize_tile(0)
+    img = np.ones((4, 16, 16), np.uint16)
+    ds.save_local_corrected_image(img, tile=0, round=0, psf_idx=0)
+    ds.save_local_stage_position_zyx_um([0, 0, 0], tile=0, round=0)
+    ds.save_local_wavelengths_um((0.488, 0.520), tile=0, round=0)
+    for b in (0, 1):
+        ds.save_local_corrected_image(img, tile=0, bit=b, psf_idx=1)
+        ds.save_local_wavelengths_um((0.561, 0.590), tile=0, bit=b)
+    state = ds.datastore_state
+    state.update({"Corrected": True})
+    ds.datastore_state = state
+    return ds
+
+
+def test_parse_validates_corrected_store(tmp_path):
+    ds = _mini_corrected_store(tmp_path)
+    # clean reopen passes full validation
+    qi2labDataStore(ds.datastore_path)
+
+
+def test_parse_detects_truncated_zarr(tmp_path):
+    """Reference `_parse_datastore` re-validates arrays on open
+    (`qi2labDataStore.py:2423-2845`); a zarr with metadata but no chunk
+    data must fail at open time, not mid-stage."""
+    import shutil
+
+    ds = _mini_corrected_store(tmp_path)
+    chunk_dir = (
+        ds.datastore_path / "fiducial" / "tile0000" / "round001"
+        / "corrected_data.ome.zarr" / "0" / "c"
+    )
+    shutil.rmtree(chunk_dir)
+    with pytest.raises(ValueError, match="no chunk data"):
+        qi2labDataStore(ds.datastore_path)
+    # escape hatch still opens
+    qi2labDataStore(ds.datastore_path, validate=False)
+
+
+def test_parse_detects_corrupt_metadata(tmp_path):
+    ds = _mini_corrected_store(tmp_path)
+    meta = (
+        ds.datastore_path / "readouts" / "tile0000" / "bit001"
+        / "corrected_data.ome.zarr" / "0" / "zarr.json"
+    )
+    meta.write_text("{not json")
+    with pytest.raises(ValueError, match="corrupt zarr metadata"):
+        qi2labDataStore(ds.datastore_path)
+
+
+def test_parse_detects_missing_attribute(tmp_path):
+    ds = _mini_corrected_store(tmp_path)
+    attrs_path = (
+        ds.datastore_path / "fiducial" / "tile0000" / "round001"
+        / "attributes.json"
+    )
+    attrs = json.loads(attrs_path.read_text())
+    del attrs["stage_zyx_um"]
+    attrs_path.write_text(json.dumps(attrs))
+    with pytest.raises(KeyError, match="stage_zyx_um"):
+        qi2labDataStore(ds.datastore_path)
+
+
+def test_parse_detects_missing_decoded_parquet(tmp_path):
+    ds = _mini_corrected_store(tmp_path)
+    state = ds.datastore_state
+    state.update({"DecodedSpots": True})
+    ds.datastore_state = state
+    with pytest.raises(FileNotFoundError, match="decoded spots missing"):
+        qi2labDataStore(ds.datastore_path)

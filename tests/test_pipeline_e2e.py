@@ -129,6 +129,48 @@ def test_multi_tile_decode_with_overlap_dedup(tmp_path_factory):
     assert result["f1"] >= 0.8, result
 
 
+def test_use_mask_restricts_decode_to_cells(tmp_path_factory):
+    """use_mask=True must drop transcripts outside the stored segmentation
+    mask (the reference declares the flag but leaves `_load_mask` a TODO,
+    `PixelDecoder.py:526-529`; here it is implemented)."""
+    path = tmp_path_factory.mktemp("simmask") / "qi2labdatastore"
+    ds, gt = generate_synthetic_experiment(
+        path, shape=(8, 64, 96), n_spots=60, seed=11
+    )
+    spacing = np.asarray(ds.voxel_size_zyx_um, np.float64)
+    nz, ny, nx = 8, 64, 96
+    # identity fused geometry: fused px == tile px
+    ds.save_global_fiducial_image(
+        np.zeros((nz, ny, nx), np.uint16),
+        affine_zyx_um=np.eye(4),
+        origin_zyx_um=[0.0, 0.0, 0.0],
+        spacing_zyx_um=list(spacing),
+    )
+    # left half of x is "inside cells"
+    mask = np.zeros((ny, nx), np.uint16)
+    mask[:, : nx // 2] = 1
+    ds.save_global_cellpose_segmentation_image(mask, downsampling=(1.0, 1.0, 1.0))
+
+    kwargs = dict(minimum_pixels=4, magnitude_threshold=(0.9, 10.0), verbose=0)
+    unmasked = PixelDecoder(ds, **kwargs)
+    unmasked._load_global_normalization_vectors(recalculate=True)
+    df_all = unmasked.decode_one_tile(0, save=False)
+    assert (df_all["tile_x"] >= nx // 2).any(), "need spots on both sides"
+
+    masked = PixelDecoder(ds, use_mask=True, **kwargs)
+    df_masked = masked.decode_one_tile(0, save=False)
+    assert not df_masked.empty
+    # component centroids can straddle the boundary by < 1 spot radius
+    assert (df_masked["tile_x"] < nx // 2 + 3).all()
+    assert len(df_masked) < len(df_all)
+
+
+def test_use_mask_requires_segmentation(experiment):
+    ds, _ = experiment
+    with pytest.raises(ValueError, match="use_mask"):
+        PixelDecoder(ds, use_mask=True, verbose=0)
+
+
 def test_optimization_iteration_checkpoints_resume(experiment, monkeypatch):
     """Each optimization iteration checkpoints its decoded tables to
     `temporary/iteration_NNN/` (reference `qi2labDataStore.py:1117`,
