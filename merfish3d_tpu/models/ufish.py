@@ -89,10 +89,24 @@ class ConvBlock(nn.Module):
 
 
 class UFishNet(nn.Module):
-    """2D U-Net with two downsamplings (U-FISH ``c32`` family: base 32)."""
+    """2D U-Net (U-FISH ``c32`` family: base 32, two downsamplings).
+
+    ``up_mode`` selects the decoder upsampling:
+
+    - ``"convtranspose"`` — ``ConvTranspose(2×2, stride 2)``, the textbook
+      U-Net decoder and the assumed topology of the published U-FISH
+      checkpoints (`models/ufish_topology.json`),
+    - ``"resize"`` — nearest-neighbour resize + Conv(2×2) (the r1/r2
+      architecture, kept for existing converted/pickled params).
+
+    The ONNX converter (`ufish_onnx.infer_topology`) distinguishes the two
+    from the checkpoint's weight shapes, so either family converts without
+    the caller knowing which was exported.
+    """
 
     base_features: int = 32
     depths: Sequence[int] = (1, 2, 4)
+    up_mode: str = "resize"
 
     @nn.compact
     def __call__(self, x):  # x: (B, H, W, 1)
@@ -104,9 +118,12 @@ class UFishNet(nn.Module):
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = ConvBlock(f[-1])(x)
         for feats, skip in zip(reversed(f[:-1]), reversed(skips)):
-            b, h, w, c = x.shape
-            x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-            x = nn.Conv(feats, (2, 2), padding="SAME")(x)
+            if self.up_mode == "convtranspose":
+                x = nn.ConvTranspose(feats, (2, 2), strides=(2, 2))(x)
+            else:
+                b, h, w, c = x.shape
+                x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+                x = nn.Conv(feats, (2, 2), padding="SAME")(x)
             x = jnp.concatenate([x, skip], axis=-1)
             x = ConvBlock(feats)(x)
         x = nn.Conv(1, (1, 1))(x)
@@ -126,17 +143,30 @@ class UFishPredictor:
     def __init__(
         self, params=None, base_features: Optional[int] = None, pad_to: int = 64
     ):
-        if base_features is None:
-            if params is not None:
+        depths: Sequence[int] = (1, 2, 4)
+        up_mode = "resize"
+        if params is not None:
+            p = params["params"]
+            if base_features is None:
                 # infer from the first conv's output features
                 base_features = int(
-                    np.asarray(
-                        params["params"]["ConvBlock_0"]["Conv_0"]["kernel"]
-                    ).shape[-1]
+                    np.asarray(p["ConvBlock_0"]["Conv_0"]["kernel"]).shape[-1]
                 )
-            else:
-                base_features = 32
-        self.net = UFishNet(base_features=base_features)
+            # infer depths from the encoder+bottleneck ConvBlock widths
+            n_blocks = sum(1 for k in p if k.startswith("ConvBlock_"))
+            n_levels = (n_blocks + 1) // 2
+            depths = tuple(
+                int(np.asarray(p[f"ConvBlock_{i}"]["Conv_0"]["kernel"]).shape[-1])
+                // base_features
+                for i in range(n_levels)
+            )
+            if any(k.startswith("ConvTranspose_") for k in p):
+                up_mode = "convtranspose"
+        elif base_features is None:
+            base_features = 32
+        self.net = UFishNet(
+            base_features=base_features, depths=depths, up_mode=up_mode
+        )
         self.pad_to = pad_to
         if params is None:
             key = jax.random.PRNGKey(0)

@@ -59,15 +59,21 @@ def _lattice_starts(size: int, patch: int, stride: int) -> np.ndarray:
     return np.arange(n) * stride
 
 
-@partial(jax.jit, static_argnames=("patch_size", "strides"))
+@partial(jax.jit, static_argnames=("patch_size", "strides", "batch_size"))
 def _patch_xcorr_flow(
     fixed: jnp.ndarray,
     moving: jnp.ndarray,
     *,
     patch_size: tuple[int, int, int],
     strides: tuple[int, int, int],
+    batch_size: int = 512,
 ):
-    """Integer + subpixel flow per lattice patch via batched FFT x-corr.
+    """Integer + subpixel flow per lattice patch via BATCHED FFT x-corr:
+    lattice patches are gathered and cross-correlated ``batch_size`` at a
+    time (vmapped FFTs — the analog of SOFIMA's batched
+    ``JAXMaskedXCorrWithStatsCalculator``,
+    `utils/sofima_registration.py:625`), bounding memory at
+    O(batch_size · patch voxels) while keeping the FFTs batched on device.
 
     Returns (flow_zyx (P, 3), peak_ratio (P,)) with flow = displacement of
     moving content relative to the reference patch."""
@@ -81,6 +87,26 @@ def _patch_xcorr_flow(
     ).reshape(-1, 3)
     grid = jnp.asarray(grid, jnp.int32)
 
+    # patch-constant geometry, hoisted out of the batched kernel:
+    # signed displacement per FFT bin and the plausible-displacement mask
+    # (≤ quarter patch per axis)
+    signed = [
+        jnp.asarray(np.fft.fftfreq(n) * n, jnp.float32) for n in patch_size
+    ]
+    disp_ok = np.ones(patch_size, bool)
+    for ax, n in enumerate(patch_size):
+        shape = [1, 1, 1]
+        shape[ax] = n
+        c = np.abs(np.fft.fftfreq(n) * n).reshape(shape)
+        disp_ok = disp_ok & (c <= n // 4)
+    disp_ok = jnp.asarray(disp_ok)
+    ramps = [
+        jnp.arange(n, dtype=jnp.int32).reshape(
+            [n if a == ax else 1 for a in range(3)]
+        )
+        for ax, n in enumerate(patch_size)
+    ]
+
     def one_patch(start):
         f = jax.lax.dynamic_slice(fixed, start, patch_size)
         m = jax.lax.dynamic_slice(moving, start, patch_size)
@@ -89,31 +115,19 @@ def _patch_xcorr_flow(
         F = jnp.fft.fftn(f)
         M = jnp.fft.fftn(m)
         corr = jnp.fft.ifftn(F * jnp.conj(M)).real
-        # restrict to plausible displacements (≤ quarter patch)
-        lim = jnp.asarray([pz // 4, py // 4, px // 4])
-        coords = [
-            jnp.fft.fftfreq(n) * n for n in patch_size
-        ]  # signed displacement per axis
-        mask = jnp.ones(patch_size, bool)
-        for ax, c in enumerate(coords):
-            shape = [1, 1, 1]
-            shape[ax] = patch_size[ax]
-            mask = mask & (jnp.abs(c.reshape(shape)) <= lim[ax])
-        corr_m = jnp.where(mask, corr, -jnp.inf)
+        corr_m = jnp.where(disp_ok, corr, -jnp.inf)
         flat = jnp.argmax(corr_m)
         idx = jnp.stack(jnp.unravel_index(flat, corr.shape))
-        size = jnp.asarray(patch_size)
-        peak = jnp.where(idx > size // 2, idx - size, idx).astype(jnp.float32)
+        peak = jnp.stack([signed[a][idx[a]] for a in range(3)])
 
-        # peak ratio: best / second-best (outside a 1-px neighborhood)
-        best = corr_m[idx[0], idx[1], idx[2]]
-        neigh = jnp.zeros(patch_size, bool)
-        for dz in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    neigh = neigh.at[
-                        (idx[0] + dz) % pz, (idx[1] + dy) % py, (idx[2] + dx) % px
-                    ].set(True)
+        # peak ratio: best / second-best outside a periodic 1-px
+        # neighborhood of the best (gather-free: coordinate-ramp compare)
+        best = corr_m.reshape(-1)[flat]
+        neigh = jnp.ones(patch_size, bool)
+        for ax in range(3):
+            n = patch_size[ax]
+            d = jnp.abs(ramps[ax] - idx[ax])
+            neigh = neigh & (jnp.minimum(d, n - d) <= 1)
         second = jnp.max(jnp.where(neigh, -jnp.inf, corr_m))
         ratio = best / jnp.maximum(second, 1e-12)
         ratio = jnp.where(second <= 0, jnp.inf, ratio)
@@ -121,14 +135,13 @@ def _patch_xcorr_flow(
         # 3-point parabolic subpixel refinement per axis
         sub = []
         for ax in range(3):
-            n = patch_size[ax]
-            i0 = idx[ax]
-            get = lambda off: corr[
-                tuple(
-                    (idx[a] + (off if a == ax else 0)) % patch_size[a]
-                    for a in range(3)
-                )
-            ]
+            def get(off):
+                lin = 0
+                for a in range(3):
+                    i = (idx[a] + (off if a == ax else 0)) % patch_size[a]
+                    lin = lin * patch_size[a] + i
+                return corr.reshape(-1)[lin]
+
             cm, c0, cp = get(-1), get(0), get(1)
             denom = cm - 2 * c0 + cp
             delta = jnp.where(
@@ -139,7 +152,7 @@ def _patch_xcorr_flow(
         flow = -(peak + jnp.stack(sub))
         return flow, ratio
 
-    flows, ratios = jax.lax.map(one_patch, grid)
+    flows, ratios = jax.lax.map(one_patch, grid, batch_size=batch_size)
     lattice_shape = tuple(len(s) for s in starts)
     return (
         flows.reshape(*lattice_shape, 3),

@@ -250,14 +250,20 @@ def test_fused_lowpass_decode_matches_reference_path():
             vol, cbt, bg, nm, sigma=(3.0, 1.0, 1.0), **kw
         )
     assert (np.asarray(d0) == np.asarray(d1)).mean() == 1.0
+    # float tolerances: the fused kernel stores bf16 (Mosaic has no f16
+    # stores) before the f16 cast, so stored values carry one bf16
+    # rounding (rel ~2^-9); thresholds/argmax run in f32 pre-store
     np.testing.assert_allclose(
-        np.asarray(m0, np.float32), np.asarray(m1, np.float32), atol=3e-3
+        np.asarray(m0, np.float32), np.asarray(m1, np.float32),
+        rtol=4e-3, atol=1e-3,
     )
     np.testing.assert_allclose(
-        np.asarray(di0, np.float32), np.asarray(di1, np.float32), atol=3e-3
+        np.asarray(di0, np.float32), np.asarray(di1, np.float32),
+        rtol=4e-3, atol=2e-3,
     )
     np.testing.assert_allclose(
-        np.asarray(s0, np.float32), np.asarray(s1, np.float32), atol=1e-3
+        np.asarray(s0, np.float32), np.asarray(s1, np.float32),
+        rtol=4e-3, atol=2e-3,
     )
 
 

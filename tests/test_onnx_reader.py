@@ -68,7 +68,7 @@ def test_ufish_onnx_structural_roundtrip(tmp_path):
 
     # structural mismatch is reported, not silently mis-mapped
     bad = list(export_flax_to_onnx_initializers(variables, base_features=4).values())
-    with pytest.raises(ValueError, match="does not match UFishNet"):
+    with pytest.raises(ValueError, match="does not match UFishNet"):  # family or layout
         structural_onnx_to_flax(bad[1:], base_features=4)  # first weight gone
 
     predictor = UFishPredictor(params=restored, base_features=4, pad_to=16)
