@@ -200,10 +200,17 @@ class DoGSpotPredictor:
     """
 
     def __init__(self, sigma_spot: float = 1.3, sigma_bg: float = 2.6,
-                 gain: float = 4.0):
+                 gain: float = 4.0, center: float = 5.0):
         self.sigma_spot = float(sigma_spot)
         self.sigma_bg = float(sigma_bg)
         self.gain = float(gain)
+        # operating point in MAD units: Poisson noise peaks reach 2-3 MAD
+        # per plane, so a sigmoid centered there enhances noise into
+        # decodable junk that (a) floods the blank-fraction filter and
+        # (b) collapses the iterative normalization medians toward junk
+        # intensity (measured: cells/1.0um F1 0.63 -> 0.94 moving the
+        # center from 2 to 5 MAD; docs/f1_ablation.md)
+        self.center = float(center)
         self._fn = jax.jit(self._predict_volume)
 
     def _predict_volume(self, vol: jnp.ndarray) -> jnp.ndarray:
@@ -213,7 +220,7 @@ class DoGSpotPredictor:
         # robust per-plane scale: median absolute DoG response
         mad = jnp.median(jnp.abs(dog), axis=(-2, -1), keepdims=True)
         score = dog / jnp.maximum(mad * 1.4826, 1e-6)
-        return jax.nn.sigmoid(self.gain * (score - 2.0))
+        return jax.nn.sigmoid(self.gain * (score - self.center))
 
     def predict(self, volume: np.ndarray, batch_size: int = 8) -> np.ndarray:
         out = self._fn(jnp.asarray(volume, jnp.float32))

@@ -25,22 +25,30 @@ from f1_matrix_common import (
 
 F1_ABS_TOLERANCE = 0.02  # reference `tests/test_simulation_example_pipeline.py:47`
 
-# exact pins from the first green run of this matrix (CPU, fixed seeds)
+# exact pins (CPU, fixed seeds), re-pinned in r3 after root-causing the
+# r2 gap (docs/f1_ablation.md): the DoG fallback's sigmoid operating
+# point at 2 MAD enhanced Poisson noise peaks into decodable junk, which
+# flooded the blank-fraction filter and collapsed the iterative
+# normalization medians. Moving it to 5 MAD lifted every case to >= 0.91
+# — matching the reference's standard-matrix shape (its worst standard
+# cell is 0.79; README.md:130-137) with no coarse-spacing collapse.
 EXPECTED_F1 = {
-    "cells-0.315um-nodecon": 0.9204,
-    "cells-1.0um-nodecon": 0.6289,
-    "cells-1.5um-nodecon": 0.7606,
+    "cells-0.315um-nodecon": 0.9123,
+    "cells-1.0um-nodecon": 0.9391,
+    "cells-1.5um-nodecon": 0.9298,
     "uniform-0.315um-nodecon": 1.0000,
-    "uniform-1.0um-nodecon": 0.9219,
-    "uniform-1.5um-nodecon": 0.8992,
-    "cells-0.315um-decon": 0.9298,
-    "uniform-0.315um-decon": 0.7941,
-    # exhaustive mode: decon of axially undersampled data collapses, the
-    # reference's own documented phenomenon (cells/1.5 decon = 0.377)
-    "cells-1.0um-decon": 0.3435,
-    "cells-1.5um-decon": 0.5414,
-    "uniform-1.0um-decon": 0.4720,
-    "uniform-1.5um-decon": 0.4312,
+    "uniform-1.0um-nodecon": 1.0000,
+    "uniform-1.5um-nodecon": 1.0000,
+    "cells-0.315um-decon": 0.9483,
+    "uniform-0.315um-decon": 1.0000,
+    # exhaustive mode: decon at coarse axial spacing no longer collapses
+    # (the reference documents cells/1.5 decon = 0.377 on its data; the
+    # r2 collapse HERE was junk-FP driven, not decon physics — ablation
+    # table in docs/f1_ablation.md)
+    "cells-1.0um-decon": 0.9565,
+    "cells-1.5um-decon": 0.9655,
+    "uniform-1.0um-decon": 1.0000,
+    "uniform-1.5um-decon": 1.0000,
 }
 
 
