@@ -251,9 +251,11 @@ def bench_rlgc(jax, jnp, sync) -> tuple[float, float, int, dict]:
     impulses = (
         jax.random.uniform(key, (NZ, NY, NX), jnp.float32) > 0.9995
     ).astype(jnp.float32) * 2000.0
-    import jax.scipy.signal as jsig
+    from merfish3d_tpu.ops.fftutils import fft_conv_full, fftn_c64, pad_psf
 
-    blurred = jsig.fftconvolve(impulses, jnp.asarray(psf), mode="same") + 40.0
+    blurred = fft_conv_full(
+        impulses, fftn_c64(pad_psf(jnp.asarray(psf), impulses.shape))
+    ) + 40.0
     blurred = jnp.clip(blurred, 0, 65535)
 
     pad_width = linear_fft_pad_width((NZ, NY, NX), psf.shape, pad_yx=True)
@@ -297,10 +299,10 @@ def bench_registration(jax, jnp, sync) -> float:
         indexing="ij",
     )
     kern = np.exp(-(zz**2) / (2 * 1.2**2) - (yy**2 + xx**2) / (2 * 1.8**2))
-    import jax.scipy.signal as jsig
+    from merfish3d_tpu.ops.fftutils import fft_conv_full, fftn_c64, pad_psf
 
-    fixed = jsig.fftconvolve(
-        impulses, jnp.asarray(kern, jnp.float32), mode="same"
+    fixed = fft_conv_full(
+        impulses, fftn_c64(pad_psf(jnp.asarray(kern, jnp.float32), impulses.shape))
     ) + 40.0
     moving = jnp.roll(fixed, (1, 6, -9), axis=(0, 1, 2))
     fixed.block_until_ready()
@@ -329,7 +331,7 @@ def bench_sofima(jax, jnp, sync) -> float:
     key = jax.random.PRNGKey(5)
     base = jax.random.uniform(key, (NZ, NY, NX), jnp.float32)
     impulses = (base > 0.999).astype(jnp.float32) * 1500.0
-    import jax.scipy.signal as jsig
+    from merfish3d_tpu.ops.fftutils import fft_conv_full, fftn_c64, pad_psf
 
     zz, yy, xx = np.meshgrid(
         np.arange(5) - 2.0, np.arange(9) - 4.0, np.arange(9) - 4.0,
@@ -337,7 +339,10 @@ def bench_sofima(jax, jnp, sync) -> float:
     )
     kern = np.exp(-(zz**2) / (2 * 1.0**2) - (yy**2 + xx**2) / (2 * 1.5**2))
     fixed = np.asarray(
-        jsig.fftconvolve(impulses, jnp.asarray(kern, jnp.float32), mode="same")
+        fft_conv_full(
+            impulses,
+            fftn_c64(pad_psf(jnp.asarray(kern, jnp.float32), impulses.shape)),
+        )
         + 40.0,
         np.float32,
     )

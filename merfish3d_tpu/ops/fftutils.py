@@ -160,6 +160,52 @@ def fft_conv(image: jnp.ndarray, H: jnp.ndarray, shape: tuple[int, int, int]) ->
     return jnp.fft.irfftn(f * H, s=shape).astype(jnp.float32)
 
 
+# ---------------------------------------------------------- FFT dispatch
+# XLA's TPU FFT lowering measured ~310 GFLOP/s at RLGC shapes (53 ms for
+# an rfftn+irfftn pair at (48, 1152, 1152)) — far off both the HBM bound
+# and the MXU — so the TPU path routes complex transforms through the
+# mixed-radix matmul FFT (`ops/mmfft.py`). Override with
+# MERFISH3D_FFT_IMPL=xla|matmul.
+import os as _os
+
+_FFT_IMPL = _os.environ.get("MERFISH3D_FFT_IMPL", "auto")
+
+
+def use_matmul_fft() -> bool:
+    if _FFT_IMPL == "matmul":
+        return True
+    if _FFT_IMPL == "xla":
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - device probing must not fail
+        return False
+
+
+def fftn_c64(x: jnp.ndarray) -> jnp.ndarray:
+    """Full-spectrum complex64 N-D DFT (implementation-dispatched)."""
+    if use_matmul_fft():
+        from . import mmfft
+
+        return mmfft.fftn(x)
+    return jnp.fft.fftn(x.astype(jnp.complex64))
+
+
+def ifftn_c64(x: jnp.ndarray) -> jnp.ndarray:
+    if use_matmul_fft():
+        from . import mmfft
+
+        return mmfft.ifftn(x)
+    return jnp.fft.ifftn(x)
+
+
+def fft_conv_full(image: jnp.ndarray, H_full: jnp.ndarray) -> jnp.ndarray:
+    """Linear convolution via the FULL complex spectrum (dispatched impl);
+    numerically equal to :func:`fft_conv` for real inputs."""
+    f = fftn_c64(image)
+    return jnp.real(ifftn_c64(f * H_full)).astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("image_shape",))
 def psf_otfs(psf: jnp.ndarray, image_shape: tuple[int, int, int]):
     """Precompute (otf, conj(otf), otf*conj(otf)) for the padded image shape

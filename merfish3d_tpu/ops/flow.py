@@ -112,9 +112,11 @@ def _patch_xcorr_flow(
         m = jax.lax.dynamic_slice(moving, start, patch_size)
         f = f - jnp.mean(f)
         m = m - jnp.mean(m)
-        F = jnp.fft.fftn(f)
-        M = jnp.fft.fftn(m)
-        corr = jnp.fft.ifftn(F * jnp.conj(M)).real
+        from .fftutils import fftn_c64, ifftn_c64
+
+        F = fftn_c64(f)
+        M = fftn_c64(m)
+        corr = ifftn_c64(F * jnp.conj(M)).real
         corr_m = jnp.where(disp_ok, corr, -jnp.inf)
         flat = jnp.argmax(corr_m)
         idx = jnp.stack(jnp.unravel_index(flat, corr.shape))

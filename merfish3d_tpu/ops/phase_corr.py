@@ -20,12 +20,14 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from .fftutils import fftn_c64, ifftn_c64
 import numpy as np
 
 
 def _cross_power_spectrum(fixed: jnp.ndarray, moving: jnp.ndarray) -> jnp.ndarray:
-    F = jnp.fft.fftn(fixed.astype(jnp.float32))
-    M = jnp.fft.fftn(moving.astype(jnp.float32))
+    F = fftn_c64(fixed.astype(jnp.float32))
+    M = fftn_c64(moving.astype(jnp.float32))
     R = F * jnp.conj(M)
     mag = jnp.abs(R)
     return R / jnp.maximum(mag, 1e-20)
@@ -118,7 +120,7 @@ def phase_cross_correlation(
     fixed = fixed.astype(jnp.float32)
     moving = moving.astype(jnp.float32)
     R = _cross_power_spectrum(fixed, moving)
-    corr = jnp.fft.ifftn(R)
+    corr = ifftn_c64(R)
     shift = _integer_peak(jnp.abs(corr))
 
     if disambiguate:
@@ -228,12 +230,12 @@ def _dual_normalization_peaks(
     """Integer correlation peaks under phase normalization and plain
     cross-correlation (the reference plugin tries both,
     `multiview_registration.py:701-711`)."""
-    F = jnp.fft.fftn(fixed.astype(jnp.float32))
-    M = jnp.fft.fftn(moving.astype(jnp.float32))
+    F = fftn_c64(fixed.astype(jnp.float32))
+    M = fftn_c64(moving.astype(jnp.float32))
     R = F * jnp.conj(M)
     R_phase = R / jnp.maximum(jnp.abs(R), 1e-20)
-    peak_phase = _integer_peak(jnp.abs(jnp.fft.ifftn(R_phase)))
-    peak_plain = _integer_peak(jnp.abs(jnp.fft.ifftn(R)))
+    peak_phase = _integer_peak(jnp.abs(ifftn_c64(R_phase)))
+    peak_plain = _integer_peak(jnp.abs(ifftn_c64(R)))
     return peak_phase, peak_plain
 
 

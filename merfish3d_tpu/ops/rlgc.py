@@ -30,8 +30,11 @@ import numpy as np
 
 from .fftutils import (
     axis_linear_fft_padding,
+    fft_conv_full,
+    fftn_c64,
+    ifftn_c64,
     enforce_symmetric_boundary,
-    fft_conv,
+
     linear_fft_pad_width,
     observed_region_mask,
     observed_region_mask_device,
@@ -103,16 +106,16 @@ def _rlgc_core(
     num_pixels = float(np.prod([s - b - a for s, (b, a) in zip(shape, pad_width)]))
 
     padded_psf = pad_psf(psf, shape)
-    otf = jnp.fft.rfftn(padded_psf)
-    otf_t = jnp.conj(otf)
-    otf_otf_t = otf * otf_t
-    # full-spectrum conjugate OTF for the complex-packed adjoint pair:
-    # both HT ratio fields ride ONE complex FFT (real kernel ⇒
-    # conv(a+ib, k) = conv(a,k) + i·conv(b,k)); measured 25% faster than
-    # two rfftn/irfftn pairs on v5e (139.6 → 105.4 ms at (48,1152,1152))
-    otf_t_full = jnp.conj(jnp.fft.fftn(padded_psf.astype(jnp.complex64)))
+    # FULL-spectrum OTFs throughout, with the transform implementation
+    # dispatched (`fftutils.fftn_c64`): on TPU the mixed-radix matmul FFT
+    # (`ops/mmfft.py`) replaces XLA's slow FFT lowering; the packed
+    # adjoint pair rides ONE complex FFT (real kernel ⇒
+    # conv(a+ib, k) = conv(a,k) + i·conv(b,k)).
+    otf_full = fftn_c64(padded_psf)
+    otf_t_full = jnp.conj(otf_full)
+    otf2_full = otf_full * otf_t_full
     # Hᵀ·mask normalization, clamped (reference `rlgc.py:598-601`)
-    update_norm = jnp.maximum(fft_conv(mask, otf_t, shape), 1e-6)
+    update_norm = jnp.maximum(fft_conv_full(mask, otf_t_full), 1e-6)
 
     init_recon = jnp.full(
         shape, jnp.sum(observed * mask) / num_pixels, dtype=jnp.float32
@@ -129,7 +132,7 @@ def _rlgc_core(
         split1 = _binomial_half(iter_key, observed_int)
         split2 = observed - split1
 
-        Hu = fft_conv(recon, otf, shape)
+        Hu = fft_conv_full(recon, otf_full)
         kld1 = _kl_div(Hu, split1, mask)
         kld2 = _kl_div(Hu, split2, mask)
         if safe_mode:
@@ -144,11 +147,11 @@ def _rlgc_core(
         # which also evaluates the KLDs before deciding (`rlgc.py:627-660`).
         denom = 0.5 * (Hu + 1e-12)
         packed = (mask * (split1 / denom)) + 1j * (mask * (split2 / denom))
-        g = jnp.fft.ifftn(jnp.fft.fftn(packed) * otf_t_full)
+        g = ifftn_c64(fftn_c64(packed) * otf_t_full)
         ht1 = jnp.real(g).astype(jnp.float32) / update_norm
         ht2 = jnp.imag(g).astype(jnp.float32) / update_norm
         ht = ht1 + ht2
-        consensus = fft_conv((ht1 - 1.0) * (ht2 - 1.0), otf_otf_t, shape)
+        consensus = fft_conv_full((ht1 - 1.0) * (ht2 - 1.0), otf2_full)
         # consensus-gated multiplicative update (`rlgc.py:23-31,693`)
         updated = jnp.where(consensus < 0, recon, recon * ht)
         updated = enforce_symmetric_boundary(updated, pad_width)
@@ -311,29 +314,28 @@ def rlgc_diagnostics(
     mask = jnp.asarray(observed_region_mask(shape, pad_width))
     num_pixels = float(np.prod([s - b - a for s, (b, a) in zip(shape, pad_width)]))
     padded_psf = pad_psf(jnp.asarray(psf), shape)
-    otf = jnp.fft.rfftn(padded_psf)
-    otf_t = jnp.conj(otf)
-    otf_otf_t = otf * otf_t
-    # same complex-packed adjoint pair as `_rlgc_core` so the diagnostics
-    # channel reports production numerics exactly
-    otf_t_full = jnp.conj(jnp.fft.fftn(padded_psf.astype(jnp.complex64)))
-    update_norm = jnp.maximum(fft_conv(mask, otf_t, shape), 1e-6)
+    # same dispatched full-spectrum transforms as `_rlgc_core` so the
+    # diagnostics channel reports production numerics exactly
+    otf_full = fftn_c64(padded_psf)
+    otf_t_full = jnp.conj(otf_full)
+    otf2_full = otf_full * otf_t_full
+    update_norm = jnp.maximum(fft_conv_full(mask, otf_t_full), 1e-6)
     observed_int = padded.astype(jnp.int32)
 
     @jax.jit
     def iteration(recon, key):
         split1 = _binomial_half(key, observed_int)
         split2 = padded - split1
-        Hu = fft_conv(recon, otf, shape)
+        Hu = fft_conv_full(recon, otf_full)
         kld1 = _kl_div(Hu, split1, mask)
         kld2 = _kl_div(Hu, split2, mask)
         denom = 0.5 * (Hu + 1e-12)
         packed = (mask * (split1 / denom)) + 1j * (mask * (split2 / denom))
-        g = jnp.fft.ifftn(jnp.fft.fftn(packed) * otf_t_full)
+        g = ifftn_c64(fftn_c64(packed) * otf_t_full)
         ht1 = jnp.real(g).astype(jnp.float32) / update_norm
         ht2 = jnp.imag(g).astype(jnp.float32) / update_norm
         ht = ht1 + ht2
-        consensus = fft_conv((ht1 - 1.0) * (ht2 - 1.0), otf_otf_t, shape)
+        consensus = fft_conv_full((ht1 - 1.0) * (ht2 - 1.0), otf2_full)
         new_recon = jnp.where(consensus < 0, recon, recon * ht)
         new_recon = enforce_symmetric_boundary(new_recon, pad_width)
         updated_fraction = jnp.sum((consensus >= 0) * mask) / num_pixels
