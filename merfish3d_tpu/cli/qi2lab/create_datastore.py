@@ -424,7 +424,7 @@ def main(argv=None) -> None:
     p.add_argument("--layout", choices=("auto", "generic", "qi2lab"), default="auto")
     p.add_argument("--hotpixel-correction", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--hot-pixel-threshold", type=float, default=375.0)
-    p.add_argument("--psf-model", choices=("gaussian", "born_wolf"), default="gaussian")
+    p.add_argument("--psf-model", choices=("gaussian", "born_wolf", "vectorial"), default="gaussian")
     p.add_argument("--codebook-path", type=Path, default=None)
     p.add_argument("--bit-order-path", type=Path, default=None)
     args = p.parse_args(argv)

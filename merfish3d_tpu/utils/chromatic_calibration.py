@@ -200,26 +200,26 @@ def run_chromatic_calibration(
     *,
     deconvolve: bool = True,
     detection_threshold: float = 0.5,
+    psf_model: str = "vectorial",
 ) -> dict:
     """Full calibration: optional RLGC decon of the bead stacks, affine
     estimation, write-back to the datastore
-    (reference `run_chromatic_calibration`)."""
-    from ..models.psf import gaussian_psf
+    (reference `run_chromatic_calibration`; like the reference, the decon
+    PSFs are VECTORIAL per channel by default, `chromatic.py:468-487`)."""
+    from ..models.psf import make_channel_psfs
     from ..ops.rlgc import rlgc
 
     vols = [np.asarray(v, np.float32) for v in channel_volumes]
     if deconvolve:
-        decon = []
-        for v, wl in zip(vols, emission_wavelengths_um):
-            psf = gaussian_psf(
-                emission_wavelength_um=wl,
-                na=datastore.na or 1.35,
-                ri=datastore.ri or 1.4,
-                voxel_size_zyx_um=datastore.voxel_size_zyx_um,
-                shape_zyx=(15, 15, 15),
-            )
-            decon.append(rlgc(v, psf, max_iters=30))
-        vols = decon
+        psfs = make_channel_psfs(
+            emission_wavelengths_um,
+            na=datastore.na or 1.35,
+            ri=datastore.ri or 1.4,
+            voxel_size_zyx_um=datastore.voxel_size_zyx_um,
+            shape_zyx=(15, 15, 15),
+            model=psf_model,
+        )
+        vols = [rlgc(v, psf, max_iters=30) for v, psf in zip(vols, psfs)]
     calibration = estimate_chromatic_affines(
         vols,
         emission_wavelengths_um,

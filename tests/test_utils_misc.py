@@ -268,3 +268,60 @@ def test_bulkseq_correlation_normalization(tmp_path):
     # without normalization nothing matches
     raw = bulkseq_correlation(decoded, fpkm)
     assert raw["n_genes"] == 0
+
+
+def test_vectorial_psf_properties():
+    """Vectorial (Richards-Wolf + interface) PSF: normalized, centered,
+    lateral width near the diffraction limit, wider axially than laterally,
+    and wider laterally than the scalar Born-Wolf at high NA (the vectorial
+    z-component broadens the focal spot; reference uses psfmodels
+    vectorial, `chromatic.py:468-487`)."""
+    import numpy as np
+
+    from merfish3d_tpu.models.psf import born_wolf_psf, vectorial_psf
+
+    kw = dict(
+        emission_wavelength_um=0.67,
+        na=1.35,
+        ri=1.51,
+        voxel_size_zyx_um=(0.25, 0.065, 0.065),
+        shape_zyx=(25, 41, 41),
+    )
+    psf = vectorial_psf(**kw)
+    assert psf.shape == (25, 41, 41)
+    np.testing.assert_allclose(psf.sum(), 1.0, rtol=1e-5)
+    assert np.unravel_index(np.argmax(psf), psf.shape) == (12, 20, 20)
+    # lateral FWHM ~ 0.5 lambda / NA = 0.25 um ~ 3.8 px @ 65 nm
+    mid = psf[12, 20]
+    half = mid.max() / 2
+    fwhm_px = np.sum(mid >= half)
+    assert 2 <= fwhm_px <= 8, fwhm_px
+    # axial extent exceeds lateral extent
+    zprof = psf[:, 20, 20]
+    fwhm_z_um = np.sum(zprof >= zprof.max() / 2) * 0.25
+    assert fwhm_z_um > fwhm_px * 0.065
+    # vectorial focal spot is broader than scalar Born-Wolf at NA 1.35
+    bw = born_wolf_psf(**kw)
+    second_moment = lambda p: float(
+        np.sum(p[12, 20] * (np.arange(41) - 20.0) ** 2) / np.sum(p[12, 20])
+    )
+    assert second_moment(psf) > second_moment(bw) * 0.9
+
+
+def test_make_channel_psfs_vectorial():
+    from merfish3d_tpu.models.psf import make_channel_psfs
+
+    psfs = make_channel_psfs(
+        [0.52, 0.67],
+        na=1.35,
+        ri=1.51,
+        voxel_size_zyx_um=(0.31, 0.098, 0.098),
+        shape_zyx=(15, 21, 21),
+        model="vectorial",
+    )
+    assert len(psfs) == 2
+    # longer wavelength -> broader PSF
+    import numpy as np
+
+    m = lambda p: float(np.sum(p[7, 10] * (np.arange(21) - 10.0) ** 2))
+    assert m(psfs[1]) > m(psfs[0])
