@@ -52,6 +52,170 @@ def _ome_xml(shape_yx, dtype: np.dtype, spacing_yx_um) -> str:
     )
 
 
+def _ome_xml_stack(shape_czyx, dtype: np.dtype, spacing_zyx_um,
+                   emission_wavelengths_um=None) -> str:
+    ome_types = {"uint8": "uint8", "uint16": "uint16", "float32": "float"}
+    pixel_type = ome_types[np.dtype(dtype).name]
+    nc, nz, ny, nx = shape_czyx
+    channels = ""
+    for c in range(nc):
+        em = ""
+        if emission_wavelengths_um is not None:
+            em = (
+                f' EmissionWavelength="{float(emission_wavelengths_um[c]) * 1000.0}"'
+                ' EmissionWavelengthUnit="nm"'
+            )
+        channels += f'<Channel ID="Channel:0:{c}" Name="ch{c}"{em} SamplesPerPixel="1"/>'
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+        '<Image ID="Image:0" Name="bead stack">'
+        f'<Pixels ID="Pixels:0" DimensionOrder="XYZCT" Type="{pixel_type}" '
+        f'SizeX="{nx}" SizeY="{ny}" SizeC="{nc}" SizeZ="{nz}" SizeT="1" '
+        f'PhysicalSizeX="{float(spacing_zyx_um[2])}" PhysicalSizeXUnit="µm" '
+        f'PhysicalSizeY="{float(spacing_zyx_um[1])}" PhysicalSizeYUnit="µm" '
+        f'PhysicalSizeZ="{float(spacing_zyx_um[0])}" PhysicalSizeZUnit="µm">'
+        f'{channels}<TiffData/></Pixels></Image></OME>'
+    )
+
+
+def write_ome_tiff_stack(
+    path: Union[str, Path],
+    image_czyx: np.ndarray,
+    spacing_zyx_um,
+    emission_wavelengths_um=None,
+) -> Path:
+    """Write a (C, Z, Y, X) stack as a multi-page baseline OME-TIFF with
+    per-channel emission wavelengths in the OME-XML (the bead-acquisition
+    format the reference's chromatic calibration parses,
+    `chromatic.py:100-169`). Pages are emitted Z-fastest (DimensionOrder
+    XYZCT)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    image_czyx = np.ascontiguousarray(image_czyx)
+    if image_czyx.ndim != 4:
+        raise ValueError("expected a (C, Z, Y, X) stack")
+    if image_czyx.dtype not in (np.uint8, np.uint16, np.float32):
+        image_czyx = np.clip(image_czyx, 0, 2**16 - 1).astype(np.uint16)
+    nc, nz, ny, nx = image_czyx.shape
+    bits = image_czyx.dtype.itemsize * 8
+    sample_format = 3 if image_czyx.dtype == np.float32 else 1
+    description = _ome_xml_stack(
+        image_czyx.shape, image_czyx.dtype, spacing_zyx_um,
+        emission_wavelengths_um,
+    ).encode() + b"\x00"
+
+    n_pages = nc * nz
+    page_bytes = ny * nx * image_czyx.dtype.itemsize
+    entries = 10  # per-IFD tag count (description only on page 0: +1 there)
+
+    def entry(tag, ttype, count, value) -> bytes:
+        return struct.pack("<HHII", tag, ttype, count, value)
+
+    # layout: header | IFD0..IFDn | description | pixel pages
+    ifd_sizes = [2 + (entries + (1 if p == 0 else 0)) * 12 + 4
+                 for p in range(n_pages)]
+    ifd_offsets = []
+    pos = 8
+    for s in ifd_sizes:
+        ifd_offsets.append(pos)
+        pos += s
+    desc_offset = pos
+    pixel_base = desc_offset + len(description)
+
+    blobs = []
+    for p in range(n_pages):
+        ifd = struct.pack("<H", entries + (1 if p == 0 else 0))
+        ifd += entry(_TAG_WIDTH, _TYPE_LONG, 1, nx)
+        ifd += entry(_TAG_LENGTH, _TYPE_LONG, 1, ny)
+        ifd += entry(_TAG_BITS, _TYPE_SHORT, 1, bits)
+        ifd += entry(_TAG_COMPRESSION, _TYPE_SHORT, 1, 1)
+        ifd += entry(_TAG_PHOTOMETRIC, _TYPE_SHORT, 1, 1)
+        if p == 0:
+            ifd += entry(_TAG_DESCRIPTION, _TYPE_ASCII, len(description),
+                         desc_offset)
+        ifd += entry(_TAG_STRIP_OFFSETS, _TYPE_LONG, 1,
+                     pixel_base + p * page_bytes)
+        ifd += entry(_TAG_ROWS_PER_STRIP, _TYPE_LONG, 1, ny)
+        ifd += entry(_TAG_STRIP_BYTES, _TYPE_LONG, 1, page_bytes)
+        ifd += entry(_TAG_RESUNIT, _TYPE_SHORT, 1, 1)
+        ifd += entry(_TAG_SAMPLEFORMAT, _TYPE_SHORT, 1, sample_format)
+        next_off = ifd_offsets[p + 1] if p + 1 < n_pages else 0
+        ifd += struct.pack("<I", next_off)
+        blobs.append(ifd)
+
+    # pages Z-fastest within each channel: reorder (C, Z) → page index
+    pages = image_czyx.reshape(nc * nz, ny, nx)
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", 8))
+        for b in blobs:
+            f.write(b)
+        f.write(description)
+        f.write(pages.astype(pages.dtype.newbyteorder("<")).tobytes())
+    return path
+
+
+def read_ome_tiff_stack(path: Union[str, Path]):
+    """Read a multi-page OME-TIFF into (C, Z, Y, X) plus metadata parsed
+    from the OME-XML ImageDescription: (array, spacing_zyx_um or None,
+    emission_wavelengths_um or None). Pages are interpreted per the
+    DimensionOrder (Z-fastest for XYZCT, C-fastest for XYCZT)."""
+    import xml.etree.ElementTree as ET
+
+    from PIL import Image
+
+    path = Path(path)
+    img = Image.open(path)
+    # the OME-XML lives on page 0 only; grab it before seeking (tag_v2
+    # reflects the CURRENT frame)
+    desc = img.tag_v2.get(270) if hasattr(img, "tag_v2") else None
+    frames = []
+    for i in range(getattr(img, "n_frames", 1)):
+        img.seek(i)
+        frames.append(np.asarray(img))
+    stack = np.stack(frames)
+    if isinstance(desc, tuple):
+        desc = desc[0] if desc else None
+    nc = nz = None
+    order = "XYZCT"
+    spacing = None
+    wavelengths = None
+    if desc and "<OME" in str(desc):
+        root = ET.fromstring(str(desc))
+        ns = root.tag.split("}")[0] + "}" if root.tag.startswith("{") else ""
+        pixels = root.find(f"{ns}Image/{ns}Pixels")
+        if pixels is not None:
+            nc = int(pixels.attrib.get("SizeC", 1))
+            nz = int(pixels.attrib.get("SizeZ", 1))
+            order = pixels.attrib.get("DimensionOrder", order)
+            try:
+                spacing = (
+                    float(pixels.attrib["PhysicalSizeZ"]),
+                    float(pixels.attrib["PhysicalSizeY"]),
+                    float(pixels.attrib["PhysicalSizeX"]),
+                )
+            except KeyError:
+                spacing = None
+            wl = []
+            for ch in pixels.findall(f"{ns}Channel"):
+                v = ch.attrib.get("EmissionWavelength")
+                if v is None:
+                    wl = None
+                    break
+                v = float(v)
+                # nm vs µm: OME defaults to nm; anything > 10 is nm
+                wl.append(v / 1000.0 if v > 10.0 else v)
+            wavelengths = wl or None
+    if nc is None or nz is None or nc * nz != len(stack):
+        nc, nz = 1, len(stack)
+    ny, nx = stack.shape[1:]
+    if order.upper().startswith("XYC"):  # C-fastest pages
+        arr = stack.reshape(nz, nc, ny, nx).transpose(1, 0, 2, 3)
+    else:  # Z-fastest (XYZCT)
+        arr = stack.reshape(nc, nz, ny, nx)
+    return arr, spacing, wavelengths
+
+
 def write_ome_tiff_2d(
     path: Union[str, Path],
     image_yx: np.ndarray,

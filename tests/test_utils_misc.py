@@ -325,3 +325,94 @@ def test_make_channel_psfs_vectorial():
 
     m = lambda p: float(np.sum(p[7, 10] * (np.arange(21) - 10.0) ** 2))
     assert m(psfs[1]) > m(psfs[0])
+
+
+def test_ome_tiff_stack_roundtrip(tmp_path):
+    """Multi-channel (C,Z,Y,X) OME-TIFF round-trip with spacing + per-channel
+    emission wavelengths in the OME-XML (the reference bead-acquisition
+    format, `chromatic.py:100-169`)."""
+    import numpy as np
+
+    from merfish3d_tpu.utils.ometiff import (
+        read_ome_tiff_stack,
+        write_ome_tiff_stack,
+    )
+
+    rng = np.random.default_rng(0)
+    stack = (rng.random((3, 4, 16, 20)) * 1000).astype(np.uint16)
+    path = tmp_path / "beads.ome.tiff"
+    write_ome_tiff_stack(
+        path, stack, spacing_zyx_um=(0.31, 0.098, 0.098),
+        emission_wavelengths_um=[0.52, 0.59, 0.67],
+    )
+    arr, spacing, wavelengths = read_ome_tiff_stack(path)
+    np.testing.assert_array_equal(arr, stack)
+    np.testing.assert_allclose(spacing, (0.31, 0.098, 0.098))
+    np.testing.assert_allclose(wavelengths, [0.52, 0.59, 0.67])
+
+
+def test_bead_calibration_from_ome_tiff_cli(tmp_path):
+    """Full bead-acquisition parse path: write a 2-channel OME-TIFF with a
+    known chromatic shift, run the CLI with --bead-image (metadata-driven
+    wavelengths), assert the recovered affine (reference
+    `run_chromatic_calibration` ingests a multi-channel OME-TIFF,
+    `chromatic.py:752-830,100-169`)."""
+    import json
+
+    import numpy as np
+
+    from merfish3d_tpu.cli.qi2lab import chromatic_calibration as cli
+    from merfish3d_tpu.datastore import qi2labDataStore
+    from merfish3d_tpu.utils.ometiff import write_ome_tiff_stack
+
+    rng = np.random.default_rng(9)
+    spacing = np.array([0.31, 0.098, 0.098])
+    shape = (16, 96, 96)
+    beads_um = np.column_stack(
+        [
+            rng.uniform(2, 14, 40) * spacing[0],
+            rng.uniform(10, 86, 40) * spacing[1],
+            rng.uniform(10, 86, 40) * spacing[2],
+        ]
+    )
+    shift_um = np.array([0.0, 0.25, -0.2])
+
+    def render(points_um):
+        vol = np.zeros(shape, np.float32)
+        zz, yy, xx = np.meshgrid(
+            *[np.arange(s, dtype=np.float64) for s in shape], indexing="ij"
+        )
+        for p in points_um:
+            c = p / spacing
+            vol += 800 * np.exp(
+                -((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2)
+                / (2 * 1.2**2)
+            )
+        return np.clip(vol + 40, 0, 65535).astype(np.uint16)
+
+    stack = np.stack([render(beads_um), render(beads_um - shift_um)])
+    bead_path = tmp_path / "beads.ome.tiff"
+    write_ome_tiff_stack(
+        bead_path, stack, spacing_zyx_um=spacing,
+        emission_wavelengths_um=[0.52, 0.67],
+    )
+
+    ds = qi2labDataStore(tmp_path / "qi2labdatastore")
+    ds.voxel_size_zyx_um = list(spacing)
+    ds.na = 1.35
+    ds.ri = 1.51
+    cli.main(
+        [
+            "--datastore-path", str(ds.datastore_path),
+            "--bead-image", str(bead_path),
+            "--no-deconvolve",
+        ]
+    )
+    attrs = json.loads(
+        (ds.datastore_path / "calibrations" / "attributes.json").read_text()
+    )
+    cal = attrs["chromatic_affine_transforms_zyx_um"]
+    ch = cal["channels"]["wavelength_0.670000"]
+    assert ch["status"] == "affine_estimated"
+    est = np.asarray(ch["affine_zyx_um"])
+    np.testing.assert_allclose(est[:3, 3], shift_um, atol=0.08)
