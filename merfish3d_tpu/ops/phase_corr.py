@@ -188,6 +188,24 @@ def ssim(
 
 
 @partial(jax.jit, static_argnames=("win",))
+def _score_candidates_batch(
+    fixed: jnp.ndarray,
+    moving: jnp.ndarray,
+    shifts: jnp.ndarray,  # (K, ndim) f32
+    win: int = 7,
+):
+    """(ssim, overlap_fraction) for a BATCH of integer translation
+    candidates in one program (sequential lax.map — K rolled volumes never
+    coexist in HBM)."""
+
+    def one(shift):
+        s, frac, _ = _rolled_candidate_score(fixed, moving, shift, win)
+        return s, frac
+
+    return jax.lax.map(one, shifts)
+
+
+@partial(jax.jit, static_argnames=("win",))
 def _rolled_candidate_score(
     fixed: jnp.ndarray,
     moving: jnp.ndarray,
@@ -337,15 +355,22 @@ def register_translation_with_quality(
     min_shape = int(min(fixed.shape))
     win = min(7, min_shape - ((min_shape - 1) % 2))
 
-    best_idx, best_ssim = 0, -np.inf
-    scores = []
-    for cand in candidates:
-        sv = jnp.asarray(cand, jnp.float32)
-        s_val, frac, _ = _rolled_candidate_score(fixed, moving, sv, win)
-        s_val = float(s_val) if float(frac) >= 0.1 else -1.0
-        scores.append(s_val)
-        if s_val > best_ssim:
-            best_ssim, best_idx = s_val, len(scores) - 1
+    # ONE batched device program scores every candidate (the r2 host loop
+    # dispatched each of up to ~128 candidates separately — per tile pair,
+    # per round-trip; at the reference's 42-tile pairwise scale the
+    # dispatch latency dominated). Candidates pad to power-of-two buckets
+    # so shape buckets stay few across pairs.
+    k = len(candidates)
+    bucket = 1 << (k - 1).bit_length()
+    cand_arr = np.zeros((bucket, ndim), np.float32)
+    cand_arr[:k] = np.asarray(candidates, np.float32)
+    scores_j, fracs_j = _score_candidates_batch(
+        fixed, moving, jnp.asarray(cand_arr), win
+    )
+    scores_np = np.asarray(scores_j)[:k]
+    fracs_np = np.asarray(fracs_j)[:k]
+    scores_np = np.where(fracs_np >= 0.1, scores_np, -1.0)
+    best_idx = int(np.argmax(scores_np))
 
     winner = np.asarray(candidates[best_idx], np.float64)
 
