@@ -189,29 +189,62 @@ def bench_decode(jax, jnp, sync) -> float:
     return TILE_VOXELS * n_iters / elapsed
 
 
+def _mmfft_axis_cost(n: int, complex_input: bool) -> tuple[float, float]:
+    """(MACs/element, HBM pass sweeps of one f32 channel) for one axis of
+    the scrambled-spectrum pair transform (`ops/mmfft.py`).
+
+    Dense (n <= 96): one n×n matmul per output channel — 2 matmuls for
+    real input, 4 for complex. CT split n = n1·n2: (n1 + n2)
+    MACs/element per matmul chain; twiddle multiply fuses into the
+    adjacent einsum epilogue. Each matmul stage is >= one read + one
+    write sweep per live channel."""
+    from merfish3d_tpu.ops.mmfft import _DENSE_MAX, _balanced_split
+
+    n1, n2 = _balanced_split(n)
+    chans = 4 if complex_input else 2
+    if n <= _DENSE_MAX or n1 == 1:
+        return n * chans, 2.0 * (2 if complex_input else 1.5)
+    # two matmul stages per output channel; inner stage real-in is 2
+    macs = (n1 + n2) * chans
+    sweeps = 4.0 * (2 if complex_input else 1.5)
+    return macs, sweeps
+
+
 def _rlgc_roofline(padded_shape, elapsed_per_iter: float) -> dict:
-    """FLOP + HBM-byte account for one RLGC iteration at the padded shape.
+    """FLOP + HBM-byte account for one RLGC iteration at the padded shape,
+    modeling the ACTUAL kernel: the scrambled-spectrum matmul FFT
+    (`ops/mmfft.py`), not an idealized 5NlogN FFT.
 
-    Per iteration (`ops/rlgc.py:_rlgc_core` body):
-    - fft_conv(recon, otf):            rfftn + irfftn  (r2c pair)
-    - packed adjoint pair:             fftn + ifftn    (c64 pair)
-    - fft_conv(consensus, otf*otf_t):  rfftn + irfftn  (r2c pair)
-    FLOPs: c64 3D FFT ~ 5 N log2 N, r2c ~ 2.5 N log2 N → per iter
-    2*(2*2.5) + 2*5 = 20 N log2 N, + ~30 N elementwise (split, KLDs,
-    ratios, consensus product, select, boundary, reductions).
-
-    HBM bytes (lower bound): XLA lowers each 3D FFT to per-axis passes —
-    >= 3 read+write sweeps of the complex array (8N c64, 4N+8N r2c mix;
-    counted as 3*16N per c64 FFT, 3*12N per r2c FFT) + ~15 elementwise
-    sweeps of the 4N f32 array.  True traffic is higher (twiddle/bitrev
-    layouts), so mfu/hbm_fraction are LOWER bounds on utilization.
+    Per iteration (`ops/rlgc.py:_rlgc_core` body), 6 N-D pair transforms:
+    - fft_conv(recon, otf):            fwd (real in) + inv (complex)
+    - packed adjoint pair:             fwd (complex) + inv (complex)
+    - fft_conv(consensus, otf2):       fwd (real in) + inv (complex)
+    plus ~30 N elementwise FLOPs (split, KLD reductions, ratios,
+    consensus product, select, boundary) and ~15 elementwise sweeps.
+    `ideal_ms_per_iteration` is the max of the FLOP and HBM bounds —
+    the speed-of-light for this algorithm on this chip.
     """
     n = float(np.prod(padded_shape))
-    log2n = math.log2(n)
-    flops = 20.0 * n * log2n + 30.0 * n
-    fft_bytes = 4 * (3 * 12 * n) + 2 * (3 * 16 * n)  # 4 r2c + 2 c64 passes
-    ew_bytes = 15 * 2 * 4 * n
-    bytes_total = fft_bytes + ew_bytes
+    fft_macs = 0.0
+    fft_sweeps = 0.0
+    for ax in padded_shape:
+        m_real, s_real = _mmfft_axis_cost(int(ax), complex_input=False)
+        m_cplx, s_cplx = _mmfft_axis_cost(int(ax), complex_input=True)
+        # per transform set: 2 real-input forwards have ONE real axis
+        # each (the largest-first axis), everything else complex — model
+        # conservatively as all-complex except two single axes:
+        fft_macs += 6 * m_cplx
+        fft_sweeps += 6 * s_cplx
+    largest = max(padded_shape)
+    m_real, s_real = _mmfft_axis_cost(int(largest), complex_input=False)
+    m_cplx, s_cplx = _mmfft_axis_cost(int(largest), complex_input=True)
+    fft_macs -= 2 * (m_cplx - m_real)
+    fft_sweeps -= 2 * (s_cplx - s_real)
+
+    flops = 2.0 * fft_macs * n + 30.0 * n
+    bytes_total = (fft_sweeps + 15.0) * 4 * n
+    flop_bound = flops / PEAK_F32_FLOPS
+    hbm_bound = bytes_total / PEAK_HBM_BYTES_PER_S
     return {
         "padded_shape": list(padded_shape),
         "gflops_per_iteration": round(flops / 1e9, 1),
@@ -219,6 +252,9 @@ def _rlgc_roofline(padded_shape, elapsed_per_iter: float) -> dict:
         "mfu": round(flops / elapsed_per_iter / PEAK_F32_FLOPS, 4),
         "hbm_fraction": round(
             bytes_total / elapsed_per_iter / PEAK_HBM_BYTES_PER_S, 3
+        ),
+        "ideal_ms_per_iteration": round(
+            max(flop_bound, hbm_bound) * 1e3, 2
         ),
     }
 
@@ -251,10 +287,10 @@ def bench_rlgc(jax, jnp, sync) -> tuple[float, float, int, dict]:
     impulses = (
         jax.random.uniform(key, (NZ, NY, NX), jnp.float32) > 0.9995
     ).astype(jnp.float32) * 2000.0
-    from merfish3d_tpu.ops.fftutils import fft_conv_full, fftn_c64, pad_psf
+    from merfish3d_tpu.ops.fftutils import fft_conv_full, fftn_spec, pad_psf
 
     blurred = fft_conv_full(
-        impulses, fftn_c64(pad_psf(jnp.asarray(psf), impulses.shape))
+        impulses, fftn_spec(pad_psf(jnp.asarray(psf), impulses.shape))
     ) + 40.0
     blurred = jnp.clip(blurred, 0, 65535)
 
@@ -299,10 +335,10 @@ def bench_registration(jax, jnp, sync) -> float:
         indexing="ij",
     )
     kern = np.exp(-(zz**2) / (2 * 1.2**2) - (yy**2 + xx**2) / (2 * 1.8**2))
-    from merfish3d_tpu.ops.fftutils import fft_conv_full, fftn_c64, pad_psf
+    from merfish3d_tpu.ops.fftutils import fft_conv_full, fftn_spec, pad_psf
 
     fixed = fft_conv_full(
-        impulses, fftn_c64(pad_psf(jnp.asarray(kern, jnp.float32), impulses.shape))
+        impulses, fftn_spec(pad_psf(jnp.asarray(kern, jnp.float32), impulses.shape))
     ) + 40.0
     moving = jnp.roll(fixed, (1, 6, -9), axis=(0, 1, 2))
     fixed.block_until_ready()
@@ -331,7 +367,7 @@ def bench_sofima(jax, jnp, sync) -> float:
     key = jax.random.PRNGKey(5)
     base = jax.random.uniform(key, (NZ, NY, NX), jnp.float32)
     impulses = (base > 0.999).astype(jnp.float32) * 1500.0
-    from merfish3d_tpu.ops.fftutils import fft_conv_full, fftn_c64, pad_psf
+    from merfish3d_tpu.ops.fftutils import fft_conv_full, fftn_spec, pad_psf
 
     zz, yy, xx = np.meshgrid(
         np.arange(5) - 2.0, np.arange(9) - 4.0, np.arange(9) - 4.0,
@@ -341,7 +377,7 @@ def bench_sofima(jax, jnp, sync) -> float:
     fixed = np.asarray(
         fft_conv_full(
             impulses,
-            fftn_c64(pad_psf(jnp.asarray(kern, jnp.float32), impulses.shape)),
+            fftn_spec(pad_psf(jnp.asarray(kern, jnp.float32), impulses.shape)),
         )
         + 40.0,
         np.float32,

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def next_smooth_fft_size(x: int) -> int:
+def _next_23_smooth(x: int) -> int:
     """Smallest 2,3-smooth integer >= x with at most 3^3 in the factor 3
     (reference `rlgc.py:73-103` uses plain 2,3-smooth sizes for cuFFT).
 
@@ -44,6 +44,39 @@ def next_smooth_fft_size(x: int) -> int:
         if m == 1 and threes <= 3:
             return n
         n += 1
+
+
+def _matmul_line_cost(n: int) -> int:
+    """MACs per element of a length-n line under the matmul FFT
+    (`ops/mmfft.py`): dense n below the dense cutoff, n1+n2 for the
+    balanced Cooley-Tukey split."""
+    from .mmfft import _DENSE_MAX, _balanced_split
+
+    n1, n2 = _balanced_split(n)
+    if n <= _DENSE_MAX or n1 == 1:
+        return n
+    return n1 + n2
+
+
+def next_smooth_fft_size(x: int) -> int:
+    """Best FFT-padded axis length >= x for the active implementation.
+
+    XLA FFT path: 2,3-smooth cover (:func:`_next_23_smooth`). Matmul FFT
+    path: ANY composite with a balanced split works, so choose the length
+    in [x, 2,3-smooth cover] minimizing total line cost n·(MACs/element)
+    — a camera axis of 1024+14 halo pads to 1044 = 29·36 instead of 1152,
+    a ~10% smaller volume for every downstream sweep AND fewer MACs
+    (measured as part of the RLGC roofline work, docs/kernels.md).
+    """
+    if x <= 1:
+        return 1
+    cover = _next_23_smooth(x)
+    if not use_matmul_fft():
+        return cover
+    return min(
+        range(int(x), cover + 1),
+        key=lambda n: (n * _matmul_line_cost(n), n),
+    )
 
 
 def axis_linear_fft_padding(
@@ -182,28 +215,94 @@ def use_matmul_fft() -> bool:
         return False
 
 
-def fftn_c64(x: jnp.ndarray) -> jnp.ndarray:
-    """Full-spectrum complex64 N-D DFT (implementation-dispatched)."""
+def fftn_pair(xr: jnp.ndarray, xi=None):
+    """Full-spectrum N-D DFT on a (real, imag) float32 pair → (real, imag).
+
+    Complex values travel as float32 pairs because the tunneled v5e
+    backend intermittently cannot execute ANY complex64 op at runtime;
+    the matmul implementation expands complex arithmetic into real MXU
+    matmuls (``ops/mmfft.py``), the CPU implementation round-trips
+    through ``jnp.fft``."""
     if use_matmul_fft():
         from . import mmfft
 
-        return mmfft.fftn(x)
-    return jnp.fft.fftn(x.astype(jnp.complex64))
+        return mmfft.fftn_pair(xr, xi)
+    z = xr.astype(jnp.complex64)
+    if xi is not None:
+        z = z + 1j * xi.astype(jnp.complex64)
+    f = jnp.fft.fftn(z)
+    return jnp.real(f).astype(jnp.float32), jnp.imag(f).astype(jnp.float32)
 
 
-def ifftn_c64(x: jnp.ndarray) -> jnp.ndarray:
+def ifftn_pair(xr: jnp.ndarray, xi: jnp.ndarray):
     if use_matmul_fft():
         from . import mmfft
 
-        return mmfft.ifftn(x)
-    return jnp.fft.ifftn(x)
+        return mmfft.ifftn_pair(xr, xi)
+    z = xr.astype(jnp.complex64) + 1j * xi.astype(jnp.complex64)
+    f = jnp.fft.ifftn(z)
+    return jnp.real(f).astype(jnp.float32), jnp.imag(f).astype(jnp.float32)
 
 
-def fft_conv_full(image: jnp.ndarray, H_full: jnp.ndarray) -> jnp.ndarray:
-    """Linear convolution via the FULL complex spectrum (dispatched impl);
-    numerically equal to :func:`fft_conv` for real inputs."""
-    f = fftn_c64(image)
-    return jnp.real(ifftn_c64(f * H_full)).astype(jnp.float32)
+def c_mul(a, b):
+    """(ar, ai) * (br, bi) elementwise complex product on pairs."""
+    ar, ai = a
+    br, bi = b
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def c_conj(a):
+    ar, ai = a
+    return ar, -ai
+
+
+# Spectrum-order-opaque transforms for convolution/correlation: the
+# per-axis frequency ORDER is implementation-defined (the matmul FFT
+# keeps the Cooley-Tukey (k1, k2) layout — zero transposes; `mmfft`
+# module docs) but consistent between `fftn_spec`, `ifftn_spec`, and
+# `spectrum_freqs`, which is all the convolution theorem needs.
+
+
+def fftn_spec(xr: jnp.ndarray, xi=None):
+    """Forward N-D DFT pair in implementation-defined spectrum order."""
+    if use_matmul_fft():
+        from . import mmfft
+
+        return mmfft.fftn_pair_s(xr, xi)
+    return fftn_pair(xr, xi)
+
+
+def ifftn_spec(xr: jnp.ndarray, xi: jnp.ndarray, real_output: bool = False):
+    """Inverse of :func:`fftn_spec` (natural-order spatial output).
+
+    ``real_output=True`` tells the matmul implementation the caller keeps
+    only the real channel (a real→real convolution) — it skips the final
+    axis's imaginary matmuls and returns ``(real, None)``."""
+    if use_matmul_fft():
+        from . import mmfft
+
+        return mmfft.ifftn_pair_s(xr, xi, real_output=real_output)
+    return ifftn_pair(xr, xi)
+
+
+def spectrum_freqs(n: int) -> np.ndarray:
+    """1-D frequency values (cycles/sample) in :func:`fftn_spec`'s
+    per-axis spectrum order for an axis of length n."""
+    f = np.fft.fftfreq(n).astype(np.float32)
+    if use_matmul_fft():
+        from . import mmfft
+
+        return f[mmfft.scramble_perm(n)]
+    return f
+
+
+def fft_conv_full(image: jnp.ndarray, H_pair) -> jnp.ndarray:
+    """Linear convolution via the FULL spectrum carried as real pairs in
+    :func:`fftn_spec` order; numerically equal to :func:`fft_conv` for
+    real inputs."""
+    f = fftn_spec(image)
+    yr, _yi = ifftn_spec(*c_mul(f, H_pair), real_output=True)
+    return yr.astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("image_shape",))

@@ -112,11 +112,11 @@ def _patch_xcorr_flow(
         m = jax.lax.dynamic_slice(moving, start, patch_size)
         f = f - jnp.mean(f)
         m = m - jnp.mean(m)
-        from .fftutils import fftn_c64, ifftn_c64
+        from .fftutils import c_conj, c_mul, fftn_spec, ifftn_spec
 
-        F = fftn_c64(f)
-        M = fftn_c64(m)
-        corr = ifftn_c64(F * jnp.conj(M)).real
+        F = fftn_spec(f)
+        M = fftn_spec(m)
+        corr, _ = ifftn_spec(*c_mul(F, c_conj(M)))
         corr_m = jnp.where(disp_ok, corr, -jnp.inf)
         flat = jnp.argmax(corr_m)
         idx = jnp.stack(jnp.unravel_index(flat, corr.shape))

@@ -21,16 +21,19 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .fftutils import fftn_c64, ifftn_c64
+from .fftutils import c_conj, c_mul, fftn_spec, ifftn_spec, spectrum_freqs
 import numpy as np
 
 
-def _cross_power_spectrum(fixed: jnp.ndarray, moving: jnp.ndarray) -> jnp.ndarray:
-    F = fftn_c64(fixed.astype(jnp.float32))
-    M = fftn_c64(moving.astype(jnp.float32))
-    R = F * jnp.conj(M)
-    mag = jnp.abs(R)
-    return R / jnp.maximum(mag, 1e-20)
+def _cross_power_spectrum(fixed: jnp.ndarray, moving: jnp.ndarray):
+    """Phase-normalized cross-power spectrum as a (real, imag) pair —
+    complex values travel as float32 pairs in implementation-defined
+    spectrum order (see ``fftutils.fftn_spec``)."""
+    F = fftn_spec(fixed.astype(jnp.float32))
+    M = fftn_spec(moving.astype(jnp.float32))
+    rr, ri = c_mul(F, c_conj(M))
+    mag = jnp.maximum(jnp.sqrt(rr * rr + ri * ri), 1e-20)
+    return rr / mag, ri / mag
 
 
 def _integer_peak(corr_abs: jnp.ndarray) -> jnp.ndarray:
@@ -43,38 +46,45 @@ def _integer_peak(corr_abs: jnp.ndarray) -> jnp.ndarray:
 
 
 def _upsampled_dft(
-    cross_power: jnp.ndarray,
+    cross_power_pair,
     shifts: jnp.ndarray,
     upsample_factor: int,
 ) -> jnp.ndarray:
     """Refine the peak on an upsampled local DFT grid (Guizar-Sicairos).
 
     The local inverse DFT around the coarse peak is a chain of small dense
-    matmuls over the frequency axes — ideal MXU work.
+    matmuls over the frequency axes — ideal MXU work; the complex kernel
+    expands into cos/sin real matmuls on the (real, imag) pair.
     """
     up = float(upsample_factor)
     region = int(np.ceil(up * 1.5))
     dftshift = region // 2
 
-    data = cross_power
-    ndim = data.ndim
+    dr, di = cross_power_pair
+    ndim = dr.ndim
     # Contract one frequency axis at a time: result[r, ...] over region samples
     for axis in range(ndim):
-        n = data.shape[0]  # current leading axis (we roll axes as we go)
-        freqs = jnp.fft.fftfreq(n)  # cycles/sample
+        n = dr.shape[0]  # current leading axis (we roll axes as we go)
+        freqs = jnp.asarray(spectrum_freqs(n))  # cycles/sample, impl order
         sample_pos = (
             jnp.arange(region, dtype=jnp.float32) - dftshift
         ) / up + shifts[axis]
         # kernel[r, f] = exp(2πi * freqs[f] * sample_pos[r]) — evaluates the
         # inverse DFT at arbitrary fractional sample positions
-        kernel = jnp.exp(
-            2j * jnp.pi * sample_pos[:, None] * freqs[None, :]
-        ).astype(jnp.complex64)
-        data = jnp.tensordot(kernel, data, axes=([1], [0]))
+        angle = 2.0 * jnp.pi * sample_pos[:, None] * freqs[None, :]
+        kr = jnp.cos(angle).astype(jnp.float32)
+        ki = jnp.sin(angle).astype(jnp.float32)
+        nr = jnp.tensordot(kr, dr, axes=([1], [0])) - jnp.tensordot(
+            ki, di, axes=([1], [0])
+        )
+        ni = jnp.tensordot(kr, di, axes=([1], [0])) + jnp.tensordot(
+            ki, dr, axes=([1], [0])
+        )
         # move the new region axis to the back so axis 0 is the next freq axis
-        data = jnp.moveaxis(data, 0, -1)
-    # data now has shape (region,)*ndim in axis order matching input
-    local = jnp.abs(data)
+        dr = jnp.moveaxis(nr, 0, -1)
+        di = jnp.moveaxis(ni, 0, -1)
+    # pair now has shape (region,)*ndim in axis order matching input
+    local = jnp.sqrt(dr * dr + di * di)
     flat = jnp.argmax(local)
     loc = jnp.stack(jnp.unravel_index(flat, local.shape)).astype(jnp.float32)
     return shifts + (loc - dftshift) / up
@@ -120,8 +130,8 @@ def phase_cross_correlation(
     fixed = fixed.astype(jnp.float32)
     moving = moving.astype(jnp.float32)
     R = _cross_power_spectrum(fixed, moving)
-    corr = ifftn_c64(R)
-    shift = _integer_peak(jnp.abs(corr))
+    cr, ci = ifftn_spec(*R)
+    shift = _integer_peak(jnp.sqrt(cr * cr + ci * ci))
 
     if disambiguate:
         # all 2^d sign-wrap candidates: shift or shift -/+ size
@@ -248,12 +258,14 @@ def _dual_normalization_peaks(
     """Integer correlation peaks under phase normalization and plain
     cross-correlation (the reference plugin tries both,
     `multiview_registration.py:701-711`)."""
-    F = fftn_c64(fixed.astype(jnp.float32))
-    M = fftn_c64(moving.astype(jnp.float32))
-    R = F * jnp.conj(M)
-    R_phase = R / jnp.maximum(jnp.abs(R), 1e-20)
-    peak_phase = _integer_peak(jnp.abs(ifftn_c64(R_phase)))
-    peak_plain = _integer_peak(jnp.abs(ifftn_c64(R)))
+    F = fftn_spec(fixed.astype(jnp.float32))
+    M = fftn_spec(moving.astype(jnp.float32))
+    rr, ri = c_mul(F, c_conj(M))
+    mag = jnp.maximum(jnp.sqrt(rr * rr + ri * ri), 1e-20)
+    pr, pi = ifftn_spec(rr / mag, ri / mag)
+    peak_phase = _integer_peak(jnp.sqrt(pr * pr + pi * pi))
+    qr, qi = ifftn_spec(rr, ri)
+    peak_plain = _integer_peak(jnp.sqrt(qr * qr + qi * qi))
     return peak_phase, peak_plain
 
 

@@ -30,9 +30,11 @@ import numpy as np
 
 from .fftutils import (
     axis_linear_fft_padding,
+    c_conj,
+    c_mul,
     fft_conv_full,
-    fftn_c64,
-    ifftn_c64,
+    fftn_spec,
+    ifftn_spec,
     enforce_symmetric_boundary,
 
     linear_fft_pad_width,
@@ -106,14 +108,15 @@ def _rlgc_core(
     num_pixels = float(np.prod([s - b - a for s, (b, a) in zip(shape, pad_width)]))
 
     padded_psf = pad_psf(psf, shape)
-    # FULL-spectrum OTFs throughout, with the transform implementation
-    # dispatched (`fftutils.fftn_c64`): on TPU the mixed-radix matmul FFT
-    # (`ops/mmfft.py`) replaces XLA's slow FFT lowering; the packed
-    # adjoint pair rides ONE complex FFT (real kernel ⇒
-    # conv(a+ib, k) = conv(a,k) + i·conv(b,k)).
-    otf_full = fftn_c64(padded_psf)
-    otf_t_full = jnp.conj(otf_full)
-    otf2_full = otf_full * otf_t_full
+    # FULL-spectrum OTFs as (real, imag) float32 pairs in
+    # implementation-defined spectrum order (`fftutils.fftn_spec`): on TPU
+    # the scrambled-spectrum matmul FFT (`ops/mmfft.py`) runs zero
+    # transposes and no complex64 ops (the tunneled v5e backend is
+    # intermittently complex-incapable); the packed adjoint pair rides ONE
+    # transform (real kernel ⇒ conv(a+ib, k) = conv(a,k) + i·conv(b,k)).
+    otf_full = fftn_spec(padded_psf)
+    otf_t_full = c_conj(otf_full)
+    otf2_full = c_mul(otf_full, otf_t_full)
     # Hᵀ·mask normalization, clamped (reference `rlgc.py:598-601`)
     update_norm = jnp.maximum(fft_conv_full(mask, otf_t_full), 1e-6)
 
@@ -146,10 +149,11 @@ def _rlgc_core(
         # an elementwise select — the same cost profile as the reference,
         # which also evaluates the KLDs before deciding (`rlgc.py:627-660`).
         denom = 0.5 * (Hu + 1e-12)
-        packed = (mask * (split1 / denom)) + 1j * (mask * (split2 / denom))
-        g = ifftn_c64(fftn_c64(packed) * otf_t_full)
-        ht1 = jnp.real(g).astype(jnp.float32) / update_norm
-        ht2 = jnp.imag(g).astype(jnp.float32) / update_norm
+        ratio1 = mask * (split1 / denom)
+        ratio2 = mask * (split2 / denom)
+        gr, gi = ifftn_spec(*c_mul(fftn_spec(ratio1, ratio2), otf_t_full))
+        ht1 = gr / update_norm
+        ht2 = gi / update_norm
         ht = ht1 + ht2
         consensus = fft_conv_full((ht1 - 1.0) * (ht2 - 1.0), otf2_full)
         # consensus-gated multiplicative update (`rlgc.py:23-31,693`)
@@ -314,11 +318,11 @@ def rlgc_diagnostics(
     mask = jnp.asarray(observed_region_mask(shape, pad_width))
     num_pixels = float(np.prod([s - b - a for s, (b, a) in zip(shape, pad_width)]))
     padded_psf = pad_psf(jnp.asarray(psf), shape)
-    # same dispatched full-spectrum transforms as `_rlgc_core` so the
+    # same dispatched full-spectrum pair transforms as `_rlgc_core` so the
     # diagnostics channel reports production numerics exactly
-    otf_full = fftn_c64(padded_psf)
-    otf_t_full = jnp.conj(otf_full)
-    otf2_full = otf_full * otf_t_full
+    otf_full = fftn_spec(padded_psf)
+    otf_t_full = c_conj(otf_full)
+    otf2_full = c_mul(otf_full, otf_t_full)
     update_norm = jnp.maximum(fft_conv_full(mask, otf_t_full), 1e-6)
     observed_int = padded.astype(jnp.int32)
 
@@ -330,10 +334,11 @@ def rlgc_diagnostics(
         kld1 = _kl_div(Hu, split1, mask)
         kld2 = _kl_div(Hu, split2, mask)
         denom = 0.5 * (Hu + 1e-12)
-        packed = (mask * (split1 / denom)) + 1j * (mask * (split2 / denom))
-        g = ifftn_c64(fftn_c64(packed) * otf_t_full)
-        ht1 = jnp.real(g).astype(jnp.float32) / update_norm
-        ht2 = jnp.imag(g).astype(jnp.float32) / update_norm
+        ratio1 = mask * (split1 / denom)
+        ratio2 = mask * (split2 / denom)
+        gr, gi = ifftn_spec(*c_mul(fftn_spec(ratio1, ratio2), otf_t_full))
+        ht1 = gr / update_norm
+        ht2 = gi / update_norm
         ht = ht1 + ht2
         consensus = fft_conv_full((ht1 - 1.0) * (ht2 - 1.0), otf2_full)
         new_recon = jnp.where(consensus < 0, recon, recon * ht)

@@ -44,3 +44,65 @@ def test_fft_conv_equivalence():
         )
     )
     np.testing.assert_allclose(got, ref, atol=3e-3 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("shape", [(6, 24, 36), (12, 36, 100), (4, 128, 144)])
+def test_scrambled_pair_roundtrip_and_order(shape):
+    """fftn_pair_s output == natural spectrum permuted by scramble_perm;
+    ifftn_pair_s inverts it exactly (real + imaginary channels)."""
+    rng = np.random.default_rng(sum(shape))
+    x = rng.standard_normal(shape).astype(np.float32)
+    fr, fi = mmfft.fftn_pair_s(jnp.asarray(x))
+    ref = np.fft.fftn(x)
+    perms = [mmfft.scramble_perm(n) for n in shape]
+    ref_s = ref[np.ix_(*perms)]
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(fr), ref_s.real, atol=3e-4 * scale)
+    np.testing.assert_allclose(np.asarray(fi), ref_s.imag, atol=3e-4 * scale)
+    yr, yi = mmfft.ifftn_pair_s(fr, fi)
+    np.testing.assert_allclose(np.asarray(yr), x, atol=2e-4 * scale)
+    np.testing.assert_allclose(np.asarray(yi), 0.0, atol=2e-4 * scale)
+
+
+def test_scrambled_pair_conv_matches_numpy():
+    """conv through scrambled spectra == numpy FFT conv (order-opaque
+    pointwise multiply is exact under any consistent permutation)."""
+    rng = np.random.default_rng(7)
+    vol = rng.standard_normal((8, 48, 60)).astype(np.float32)
+    kern = rng.standard_normal((8, 48, 60)).astype(np.float32)
+    Hr, Hi = mmfft.fftn_pair_s(jnp.asarray(kern))
+    fr, fi = mmfft.fftn_pair_s(jnp.asarray(vol))
+    gr = fr * Hr - fi * Hi
+    gi = fr * Hi + fi * Hr
+    cr, _ci = mmfft.ifftn_pair_s(gr, gi)
+    ref = np.real(np.fft.ifftn(np.fft.fftn(vol) * np.fft.fftn(kern)))
+    np.testing.assert_allclose(np.asarray(cr), ref, atol=3e-3 * np.abs(ref).max())
+
+
+def test_scramble_perm_is_permutation():
+    for n in [2, 7, 48, 96, 100, 144, 1152]:
+        p = mmfft.scramble_perm(n)
+        assert sorted(p.tolist()) == list(range(n))
+
+
+def test_spectrum_freqs_matches_impl_order(monkeypatch):
+    """fftutils.spectrum_freqs must expose exactly the per-axis frequency
+    ordering fftn_spec produces, for both implementations."""
+    from merfish3d_tpu.ops import fftutils
+
+    n = 144
+    for impl in ("matmul", "xla"):
+        monkeypatch.setattr(fftutils, "_FFT_IMPL", impl)
+        freqs = fftutils.spectrum_freqs(n)
+        # delta at position d has spectrum exp(-2πi f d): recover f from
+        # the first nontrivial phase and compare
+        x = np.zeros(n, np.float32)
+        d = 3
+        x[d] = 1.0
+        if impl == "matmul":
+            fr, fi = mmfft.fftn_pair_s(jnp.asarray(x)[None, :], axes=(1,))
+            spec = np.asarray(fr)[0] + 1j * np.asarray(fi)[0]
+        else:
+            spec = np.fft.fft(x)
+        expect = np.exp(-2j * np.pi * freqs * d)
+        np.testing.assert_allclose(spec, expect, atol=1e-4)

@@ -32,12 +32,24 @@ def _blob_volume(shape=(12, 48, 48), n=6, seed=0):
     return vol
 
 
-def test_next_smooth_fft_size():
+def test_next_smooth_fft_size(monkeypatch):
+    monkeypatch.setattr(fftutils, "_FFT_IMPL", "xla")
     assert fftutils.next_smooth_fft_size(1) == 1
     assert fftutils.next_smooth_fft_size(5) == 6
     assert fftutils.next_smooth_fft_size(17) == 18
     assert fftutils.next_smooth_fft_size(65) == 72
     assert fftutils.next_smooth_fft_size(96) == 96
+    # matmul impl: any composite with a cheap split is allowed; the pick
+    # must lie within the 2,3-smooth cover and never cost more per line
+    monkeypatch.setattr(fftutils, "_FFT_IMPL", "matmul")
+    for x in (5, 17, 65, 96, 1038, 2062):
+        n = fftutils.next_smooth_fft_size(x)
+        cover = fftutils._next_23_smooth(x)
+        assert x <= n <= cover
+        assert (
+            n * fftutils._matmul_line_cost(n)
+            <= cover * fftutils._matmul_line_cost(cover)
+        )
 
 
 def test_fft_conv_matches_scipy():
@@ -151,11 +163,13 @@ def test_auto_crop_yx_budget():
     )
 
 
-def test_next_smooth_size_avoids_radix3_dominated():
-    """FFT sizes cap the 3-exponent (pure 3^k sizes fail to compile on
-    TPU: 2062 must pick 2304 = 2^8*3^2, not 2187 = 3^7)."""
+def test_next_smooth_size_avoids_radix3_dominated(monkeypatch):
+    """XLA-FFT sizes cap the 3-exponent (pure 3^k sizes fail to compile
+    on TPU: 2062 must pick 2304 = 2^8*3^2, not 2187 = 3^7)."""
+    from merfish3d_tpu.ops import fftutils
     from merfish3d_tpu.ops.fftutils import next_smooth_fft_size
 
+    monkeypatch.setattr(fftutils, "_FFT_IMPL", "xla")
     assert next_smooth_fft_size(2062) == 2304
     assert next_smooth_fft_size(1038) == 1152
     assert next_smooth_fft_size(40) == 48
@@ -175,9 +189,18 @@ def test_max_vmap_batch_budget():
     """The vmap-width budget: full 1024-px frames cap at ~2 per batch
     (B=4 measured failing to compile on v5e); tiny test volumes allow
     wide batches."""
-    from merfish3d_tpu.ops.rlgc import max_vmap_batch
+    from merfish3d_tpu.ops.rlgc import VMAP_BUDGET_PADDED_VOXELS, max_vmap_batch
+    from merfish3d_tpu.ops.fftutils import linear_fft_pad_width
 
     psf_shape = (9, 15, 15)
     cap = max_vmap_batch((32, 1024, 1024), psf_shape)
-    assert 1 <= cap <= 2
+    # the cap must exactly exhaust the padded-voxel budget (the padded
+    # size itself is implementation-dependent: the matmul FFT picks
+    # tighter composite sizes than the 2,3-smooth XLA path)
+    pads = linear_fft_pad_width((32, 1024, 1024), psf_shape)
+    padded = 1
+    for n, (b, a) in zip((32, 1024, 1024), pads):
+        padded *= n + b + a
+    assert cap == max(1, int(VMAP_BUDGET_PADDED_VOXELS // padded))
+    assert 1 <= cap <= 3
     assert max_vmap_batch((12, 128, 128), psf_shape) >= 8
