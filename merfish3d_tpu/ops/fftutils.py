@@ -49,10 +49,10 @@ def _next_23_smooth(x: int) -> int:
 def _matmul_line_cost(n: int) -> int:
     """MACs per element of a length-n line under the matmul FFT
     (`ops/mmfft.py`): dense n below the dense cutoff, n1+n2 for the
-    balanced Cooley-Tukey split."""
-    from .mmfft import _DENSE_MAX, _balanced_split
+    Cooley-Tukey split (`mmfft.fft_axis_split` policy)."""
+    from .mmfft import _DENSE_MAX, fft_axis_split
 
-    n1, n2 = _balanced_split(n)
+    n1, n2 = fft_axis_split(n)
     if n <= _DENSE_MAX or n1 == 1:
         return n
     return n1 + n2
@@ -62,17 +62,26 @@ def next_smooth_fft_size(x: int) -> int:
     """Best FFT-padded axis length >= x for the active implementation.
 
     XLA FFT path: 2,3-smooth cover (:func:`_next_23_smooth`). Matmul FFT
-    path: ANY composite with a balanced split works, so choose the length
-    in [x, 2,3-smooth cover] minimizing total line cost n·(MACs/element)
-    — a camera axis of 1024+14 halo pads to 1044 = 29·36 instead of 1152,
-    a ~10% smaller volume for every downstream sweep AND fewer MACs
-    (measured as part of the RLGC roofline work, docs/kernels.md).
+    path: small axes round to a multiple of 8 (sublane-friendly dense
+    MXU matmul); large axes prefer the smallest n1·128 length the fused
+    single-pass Pallas kernels accept (`ops/pfft.py`) when it is within
+    ~15% of the 2,3-smooth cover — one HBM sweep per axis beats a
+    slightly smaller volume at 2-3 sweeps — otherwise the cheapest
+    balanced composite in [x, cover].
     """
     if x <= 1:
         return 1
     cover = _next_23_smooth(x)
     if not use_matmul_fft():
         return cover
+    from .mmfft import _DENSE_MAX
+    from . import pfft
+
+    if x <= _DENSE_MAX:
+        return min(((int(x) + 7) // 8) * 8, cover)
+    lane = ((int(x) + 127) // 128) * 128
+    if pfft.supported_ct_axis(lane) and lane <= max(cover, int(x * 1.15)):
+        return lane
     return min(
         range(int(x), cover + 1),
         key=lambda n: (n * _matmul_line_cost(n), n),

@@ -247,11 +247,25 @@ def ifftn_pair(xr: jnp.ndarray, xi, axes=None):
 # that needs frequency values (phase-correlation's upsampled DFT).
 
 
+def fft_axis_split(n: int) -> tuple[int, int]:
+    """THE split policy for scrambled-spectrum axes — shared by the
+    einsum CT, the fused Pallas kernels (`ops/pfft.py`), and
+    :func:`scramble_perm` so every implementation emits the same
+    spectrum ordering for a given length. Lengths of the form n1·128
+    split as (n1, 128): the fused kernel's stage 2 is then a native
+    (·,128)@(128,128) MXU matmul; everything else splits balanced."""
+    from . import pfft
+
+    if pfft.supported_ct_axis(n):
+        return n // 128, 128
+    return _balanced_split(n)
+
+
 @lru_cache(maxsize=None)
 def scramble_perm(n: int) -> np.ndarray:
     """perm[s] = natural frequency index stored at position s of a
     scrambled-spectrum axis of length n (identity for dense lengths)."""
-    n1, n2 = _balanced_split(n)
+    n1, n2 = fft_axis_split(n)
     if n <= _DENSE_MAX or n1 == 1:
         return np.arange(n)
     s = np.arange(n)
@@ -274,7 +288,7 @@ def _last_axis_ct_pair_s(xr, xi, sign: float, scale: float = 1.0,
     stage (the caller only keeps the real part — the last inverse axis of
     a real→real convolution)."""
     n = xr.shape[-1]
-    n1, n2 = _balanced_split(n)
+    n1, n2 = fft_axis_split(n)
 
     def mm(sub, a, w):
         return _einsum(sub, a, w)
@@ -348,28 +362,69 @@ def _last_axis_ct_pair_s(xr, xi, sign: float, scale: float = 1.0,
     return yr.reshape(*b, n), yi.reshape(*b, n)
 
 
+# Fused Pallas kernels replace the einsum path per axis on real TPUs
+# (one HBM pass per axis instead of 2-3); MERFISH3D_PFFT=0|1 overrides.
+_PFFT_ENV = _os.environ.get("MERFISH3D_PFFT", "auto")
+
+
+def use_pfft() -> bool:
+    if _PFFT_ENV == "1":
+        return True
+    if _PFFT_ENV == "0":
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - device probing must not fail
+        return False
+
+
+def _einsum_axis_fwd(xr, xi, ax):
+    xr = jnp.moveaxis(xr, ax, -1)
+    xi = jnp.moveaxis(xi, ax, -1) if xi is not None else None
+    xr, xi = _last_axis_ct_pair_s(xr, xi, -1.0)
+    return jnp.moveaxis(xr, -1, ax), jnp.moveaxis(xi, -1, ax)
+
+
+def _einsum_axis_inv(xr, xi, ax, real_output=False):
+    xr = jnp.moveaxis(xr, ax, -1)
+    xi = jnp.moveaxis(xi, ax, -1) if xi is not None else None
+    xr, xi = _last_axis_ct_pair_s(
+        xr, xi, +1.0, scale=1.0 / xr.shape[-1], real_output=real_output
+    )
+    xr = jnp.moveaxis(xr, -1, ax)
+    xi = jnp.moveaxis(xi, -1, ax) if xi is not None else None
+    return xr, xi
+
+
 def fftn_pair_s(xr: jnp.ndarray, xi=None, axes=None):
     """Forward N-D DFT on a pair, scrambled per-axis spectrum order.
 
-    Processes axes as a moveaxis CYCLE — each step rotates the current
-    leading axis to trailing and transforms it there, so every matmul
-    contracts a trailing dim (after ndim steps the axis order is
-    restored). Pointwise-compatible with any spectrum produced by this
-    function; invert with :func:`ifftn_pair_s`. Frequency values at
-    position s along an axis of length n are
-    ``fftfreq(n)[scramble_perm(n)[s]]``."""
+    On TPU, 3D volumes route each qualifying axis through the fused
+    single-pass Pallas kernels (`ops/pfft.py`); other axes/platforms use
+    the einsum Cooley-Tukey as a moveaxis CYCLE — each step rotates the
+    current leading axis to trailing and transforms it there, so every
+    matmul contracts a trailing dim. Pointwise-compatible with any
+    spectrum produced by this function; invert with
+    :func:`ifftn_pair_s`. Frequency values at position s along an axis
+    of length n are ``fftfreq(n)[scramble_perm(n)[s]]``."""
     xr = xr.astype(jnp.float32)
     if xi is not None:
         xi = xi.astype(jnp.float32)
     nd = xr.ndim
     if axes is not None and tuple(axes) != tuple(range(nd)):
-        # subset: explicit moveaxis there and back per axis
         for ax in axes:
-            xr = jnp.moveaxis(xr, ax, -1)
-            xi = jnp.moveaxis(xi, ax, -1) if xi is not None else None
-            xr, xi = _last_axis_ct_pair_s(xr, xi, -1.0)
-            xr = jnp.moveaxis(xr, -1, ax)
-            xi = jnp.moveaxis(xi, -1, ax)
+            xr, xi = _einsum_axis_fwd(xr, xi, ax)
+        return xr, xi
+    if nd == 3 and use_pfft():
+        from . import pfft
+
+        # trailing (largest) axis first: transformed while the input may
+        # still be real — half the channel work on that axis
+        for ax in (2, 1, 0):
+            if pfft.axis_supported(xr.shape, ax):
+                xr, xi = pfft.dft_axis_3d(xr, xi, ax)
+            else:
+                xr, xi = _einsum_axis_fwd(xr, xi, ax)
         return xr, xi
     for _ in range(nd):
         xr = jnp.moveaxis(xr, 0, -1)
@@ -379,22 +434,29 @@ def fftn_pair_s(xr: jnp.ndarray, xi=None, axes=None):
 
 
 def ifftn_pair_s(xr: jnp.ndarray, xi, axes=None, real_output: bool = False):
-    """Inverse N-D DFT consuming :func:`fftn_pair_s` ordering (moveaxis
-    cycle, trailing-dim contractions). ``real_output`` skips the
-    imaginary channel of the final axis — callers that keep only the
-    real part (real→real convolution) save 2 of its 4 matmuls."""
+    """Inverse N-D DFT consuming :func:`fftn_pair_s` ordering.
+    ``real_output`` skips the imaginary channel of the final axis —
+    callers that keep only the real part (real→real convolution) save
+    half its work."""
     xr = xr.astype(jnp.float32)
     xi = xi.astype(jnp.float32) if xi is not None else None
     nd = xr.ndim
     if axes is not None and tuple(axes) != tuple(range(nd)):
         for ax in axes:
-            xr = jnp.moveaxis(xr, ax, -1)
-            xi = jnp.moveaxis(xi, ax, -1) if xi is not None else None
-            xr, xi = _last_axis_ct_pair_s(
-                xr, xi, +1.0, scale=1.0 / xr.shape[-1]
-            )
-            xr = jnp.moveaxis(xr, -1, ax)
-            xi = jnp.moveaxis(xi, -1, ax)
+            xr, xi = _einsum_axis_inv(xr, xi, ax)
+        return xr, xi
+    if nd == 3 and use_pfft():
+        from . import pfft
+
+        # trailing (largest) axis LAST so real_output halves its work
+        for ax in (1, 0, 2):
+            ro = real_output and ax == 2
+            if pfft.axis_supported(xr.shape, ax):
+                xr, xi = pfft.dft_axis_3d(
+                    xr, xi, ax, inverse=True, real_output=ro
+                )
+            else:
+                xr, xi = _einsum_axis_inv(xr, xi, ax, real_output=ro)
         return xr, xi
     for step in range(nd):
         last = step == nd - 1

@@ -1,0 +1,453 @@
+"""Fused single-pass Pallas DFT-axis kernels (TPU).
+
+The einsum matmul FFT (`ops/mmfft.py`) lowers each Cooley-Tukey stage to
+a separate XLA pass, so every axis transform costs 2-3 full HBM sweeps;
+measured 9-11 ms per axis at RLGC shapes — 30-45% of the v5e HBM bound
+— with the stage matmuls' small trailing dims wasting vector lanes.
+These kernels fuse BOTH stages plus the twiddle into one VMEM-resident
+pass per axis (one HBM read + one write), requiring split sizes
+n = n1·128 so:
+
+- stage 1 (the n1-point DFT) runs as n1² scalar×vector FMAs on full
+  (·, 128) lane tiles — n1 is small (≤ ~20 for MERFISH frame sizes),
+- stage 2 (the 128-point DFT) is a (·, 128) @ (128, 128) MXU matmul —
+  the systolic array's native shape.
+
+Spectrum ordering matches `mmfft.scramble_perm` with the (n1, 128)
+split (the shared `mmfft.fft_axis_split` policy): position s holds
+natural frequency n1·(s % 128) + s//128. Complex values travel as
+(real, imag) float32 pairs throughout (the tunneled v5e backend
+intermittently cannot execute complex64 ops).
+
+Replaces the device FFT under `fftutils.fftn_spec` dispatch when shapes
+qualify (3D, axis length n1·128 with 2 <= n1 <= 24, or a dense leading
+axis); per-axis fallback is the einsum path. Interpret-mode tested on
+CPU against numpy FFTs (`tests/test_pfft.py`).
+
+Reference parity: these transforms back `ops/rlgc.py` (reference
+`rlgc.py:322-356,593-601`) and `ops/phase_corr.py`.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+# largest n1 for the scalar-FMA first stage (compile size + VPU cost
+# grow with n1²; MERFISH camera frames pad to n1 <= 18)
+_MAX_N1 = 24
+_VMEM_BUDGET = 8 * 1024 * 1024  # per-buffer-set budget for block sizing
+
+
+def supported_ct_axis(n: int) -> bool:
+    """Trailing/middle axis lengths the fused CT kernels accept."""
+    return n % _LANE == 0 and 2 <= n // _LANE <= _MAX_N1
+
+
+def supported_dense_axis(n: int) -> bool:
+    """Leading (z) dense lengths: one MXU matmul, any n that tiles
+    sublanes reasonably."""
+    return 2 <= n <= 96
+
+
+@lru_cache(maxsize=None)
+def _consts_ct(n: int, inverse: bool):
+    """(w1 complex (n1,n1) numpy [baked as scalars], twiddle (n1,128),
+    w2 (128,128)) for the fused CT kernels. Inverse constants are
+    conjugated with the full 1/n scale folded into the twiddle (no
+    separate scaling pass)."""
+    n1 = n // _LANE
+    sign = +1.0 if inverse else -1.0
+    k = np.arange(n1)
+    w1 = np.exp(sign * 2j * np.pi * np.outer(k, k) / n1)
+    q = np.arange(_LANE)
+    tw = np.exp(sign * 2j * np.pi * np.outer(k, q) / n)
+    if inverse:
+        tw = tw / n
+    m = np.arange(_LANE)
+    w2 = np.exp(sign * 2j * np.pi * np.outer(q, m) / _LANE)
+    return (
+        w1.astype(np.complex64),
+        tw.astype(np.complex64),
+        w2.astype(np.complex64),
+    )
+
+
+_DOT = partial(
+    jax.lax.dot_general,
+    dimension_numbers=(((1,), (0,)), ((), ())),
+    precision=jax.lax.Precision.HIGHEST,
+    preferred_element_type=jnp.float32,
+)
+
+
+# --------------------------------------------------------- trailing axis
+def _dft_last_fwd_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref,
+                         w2i_ref, or_ref, oi_ref, *, n, w1, real_in):
+    n1 = n // _LANE
+    xs_r = [xr_ref[:, p * _LANE:(p + 1) * _LANE] for p in range(n1)]
+    xs_i = (
+        None if real_in
+        else [xi_ref[:, p * _LANE:(p + 1) * _LANE] for p in range(n1)]
+    )
+    w2r = w2r_ref[:]
+    w2i = w2i_ref[:]
+    for k in range(n1):
+        # stage 1: n1-point DFT as scalar FMAs on full-lane tiles
+        br = xs_r[0] * float(w1[k, 0].real)
+        bi = xs_r[0] * float(w1[k, 0].imag)
+        for p in range(1, n1):
+            br = br + xs_r[p] * float(w1[k, p].real)
+            bi = bi + xs_r[p] * float(w1[k, p].imag)
+        if xs_i is not None:
+            for p in range(n1):
+                br = br - xs_i[p] * float(w1[k, p].imag)
+                bi = bi + xs_i[p] * float(w1[k, p].real)
+        # twiddle row k (1, 128) broadcast
+        twr = twr_ref[k:k + 1, :]
+        twi = twi_ref[k:k + 1, :]
+        cr = br * twr - bi * twi
+        ci = br * twi + bi * twr
+        # stage 2: 128-point DFT on the MXU
+        or_ref[:, k * _LANE:(k + 1) * _LANE] = (
+            _DOT(cr, w2r) - _DOT(ci, w2i)
+        )
+        oi_ref[:, k * _LANE:(k + 1) * _LANE] = (
+            _DOT(cr, w2i) + _DOT(ci, w2r)
+        )
+
+
+def _dft_last_inv_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref,
+                         w2i_ref, or_ref, oi_ref, *, n, w1, real_out):
+    """Inverse consuming the scrambled (k1, k2) layout: MXU stage first,
+    conj-twiddle (scale folded), then the n1-point synthesis as scalar
+    FMAs writing natural order."""
+    n1 = n // _LANE
+    w2r = w2r_ref[:]
+    w2i = w2i_ref[:]
+    es_r, es_i = [], []
+    for k in range(n1):
+        cr = xr_ref[:, k * _LANE:(k + 1) * _LANE]
+        ci = xi_ref[:, k * _LANE:(k + 1) * _LANE]
+        dr = _DOT(cr, w2r) - _DOT(ci, w2i)
+        di = _DOT(cr, w2i) + _DOT(ci, w2r)
+        twr = twr_ref[k:k + 1, :]
+        twi = twi_ref[k:k + 1, :]
+        es_r.append(dr * twr - di * twi)
+        es_i.append(dr * twi + di * twr)
+    for p in range(n1):
+        yr = es_r[0] * float(w1[0, p].real) - es_i[0] * float(w1[0, p].imag)
+        for k in range(1, n1):
+            yr = yr + es_r[k] * float(w1[k, p].real)
+            yr = yr - es_i[k] * float(w1[k, p].imag)
+        or_ref[:, p * _LANE:(p + 1) * _LANE] = yr
+        if not real_out:
+            yi = es_r[0] * float(w1[0, p].imag) + es_i[0] * float(w1[0, p].real)
+            for k in range(1, n1):
+                yi = yi + es_r[k] * float(w1[k, p].imag)
+                yi = yi + es_i[k] * float(w1[k, p].real)
+            oi_ref[:, p * _LANE:(p + 1) * _LANE] = yi
+
+
+def _rows_block(b_rows: int, n: int) -> int:
+    """Largest row-block (multiple of 8, dividing b_rows) fitting VMEM.
+
+    Live VMEM ≈ 10 channel-blocks of (tb, n) f32: double-buffered in/out
+    pairs plus the stage-1/twiddle temporaries."""
+    cap = max(_VMEM_BUDGET // (n * 4 * 10), 8)
+    for cand in (512, 384, 256, 128, 64, 32, 16, 8):
+        if cand <= cap and b_rows % cand == 0:
+            return cand
+    return b_rows  # caller guarantees divisibility via axis_supported
+
+
+def _const_specs(n1):
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    return [
+        full((n1, _LANE)), full((n1, _LANE)),
+        full((_LANE, _LANE)), full((_LANE, _LANE)),
+    ]
+
+
+def _ct_const_args(n, inverse):
+    w1, tw, w2 = _consts_ct(n, inverse)
+    return w1, (
+        jnp.asarray(tw.real.copy()), jnp.asarray(tw.imag.copy()),
+        jnp.asarray(w2.real.copy()), jnp.asarray(w2.imag.copy()),
+    )
+
+
+def dft_trailing(xr, xi, *, inverse=False, real_output=False):
+    """Fused DFT along the LAST axis of a 2D (rows, n) pair."""
+    rows, n = xr.shape
+    n1 = n // _LANE
+    w1, consts = _ct_const_args(n, inverse)
+    tb = _rows_block(rows, n)
+    grid = (rows // tb,)
+    spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    real_in = xi is None
+    if real_in:
+        xi = jnp.zeros((8, n), jnp.float32)  # placeholder, never read
+        xi_spec = pl.BlockSpec((8, n), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        xi_spec = spec
+    if inverse:
+        kern = partial(_dft_last_inv_kernel, n=n, w1=w1,
+                       real_out=real_output)
+    else:
+        kern = partial(_dft_last_fwd_kernel, n=n, w1=w1, real_in=real_in)
+    yr, yi = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[spec, xi_spec] + _const_specs(n1),
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, n), jnp.float32),
+            jax.ShapeDtypeStruct((rows, n), jnp.float32),
+        ),
+    )(xr, xi, *consts)
+    return yr, (None if (inverse and real_output) else yi)
+
+
+# ---------------------------------------------------------- middle axis
+def _dft_mid_fwd_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref,
+                        w2i_ref, or_ref, oi_ref, *, n, w1, real_in):
+    n1 = n // _LANE
+    xs_r = [xr_ref[0, p * _LANE:(p + 1) * _LANE, :] for p in range(n1)]
+    xs_i = (
+        None if real_in
+        else [xi_ref[0, p * _LANE:(p + 1) * _LANE, :] for p in range(n1)]
+    )
+    # stage-2 contraction is over the SUBLANE dim (W2 is symmetric)
+    w2r = w2r_ref[:]
+    w2i = w2i_ref[:]
+    for k in range(n1):
+        br = xs_r[0] * float(w1[k, 0].real)
+        bi = xs_r[0] * float(w1[k, 0].imag)
+        for p in range(1, n1):
+            br = br + xs_r[p] * float(w1[k, p].real)
+            bi = bi + xs_r[p] * float(w1[k, p].imag)
+        if xs_i is not None:
+            for p in range(n1):
+                br = br - xs_i[p] * float(w1[k, p].imag)
+                bi = bi + xs_i[p] * float(w1[k, p].real)
+        twr = twr_ref[:, k:k + 1]  # (128, 1) column, transposed store
+        twi = twi_ref[:, k:k + 1]
+        cr = br * twr - bi * twi
+        ci = br * twi + bi * twr
+        or_ref[0, k * _LANE:(k + 1) * _LANE, :] = (
+            _DOT(w2r, cr) - _DOT(w2i, ci)
+        )
+        oi_ref[0, k * _LANE:(k + 1) * _LANE, :] = (
+            _DOT(w2r, ci) + _DOT(w2i, cr)
+        )
+
+
+def _dft_mid_inv_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref,
+                        w2i_ref, or_ref, oi_ref, *, n, w1, real_out):
+    n1 = n // _LANE
+    w2r = w2r_ref[:]
+    w2i = w2i_ref[:]
+    es_r, es_i = [], []
+    for k in range(n1):
+        cr = xr_ref[0, k * _LANE:(k + 1) * _LANE, :]
+        ci = xi_ref[0, k * _LANE:(k + 1) * _LANE, :]
+        dr = _DOT(w2r, cr) - _DOT(w2i, ci)
+        di = _DOT(w2r, ci) + _DOT(w2i, cr)
+        twr = twr_ref[:, k:k + 1]
+        twi = twi_ref[:, k:k + 1]
+        es_r.append(dr * twr - di * twi)
+        es_i.append(dr * twi + di * twr)
+    for p in range(n1):
+        yr = es_r[0] * float(w1[0, p].real) - es_i[0] * float(w1[0, p].imag)
+        for k in range(1, n1):
+            yr = yr + es_r[k] * float(w1[k, p].real)
+            yr = yr - es_i[k] * float(w1[k, p].imag)
+        or_ref[0, p * _LANE:(p + 1) * _LANE, :] = yr
+        if not real_out:
+            yi = es_r[0] * float(w1[0, p].imag) + es_i[0] * float(w1[0, p].real)
+            for k in range(1, n1):
+                yi = yi + es_r[k] * float(w1[k, p].imag)
+                yi = yi + es_i[k] * float(w1[k, p].real)
+            oi_ref[0, p * _LANE:(p + 1) * _LANE, :] = yi
+
+
+def _mid_const_args(n, inverse):
+    """Twiddle stored TRANSPOSED (128, n1) so per-k slices are (128, 1)
+    columns broadcasting over lanes."""
+    w1, tw, w2 = _consts_ct(n, inverse)
+    twT = tw.T.copy()
+    return w1, (
+        jnp.asarray(twT.real.copy()), jnp.asarray(twT.imag.copy()),
+        jnp.asarray(w2.real.copy()), jnp.asarray(w2.imag.copy()),
+    )
+
+
+def _mid_const_specs(n1):
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    return [
+        full((_LANE, n1)), full((_LANE, n1)),
+        full((_LANE, _LANE)), full((_LANE, _LANE)),
+    ]
+
+
+def dft_middle(xr, xi, *, inverse=False, real_output=False):
+    """Fused DFT along axis -2 of a 3D (z, n, x) pair (x stays lanes)."""
+    nz, n, nx = xr.shape
+    n1 = n // _LANE
+    w1, consts = _mid_const_args(n, inverse)
+    cap = max(_VMEM_BUDGET // (n * 4 * 10), _LANE)
+    tx = None
+    for cand in (512, 384, 256, 128):
+        if cand <= cap and nx % cand == 0:
+            tx = cand
+            break
+    if tx is None:
+        tx = _LANE if nx % _LANE == 0 else nx
+    grid = (nz, nx // tx)
+    spec = pl.BlockSpec((1, n, tx), lambda z, j: (z, 0, j),
+                        memory_space=pltpu.VMEM)
+    real_in = xi is None
+    if real_in:
+        xi = jnp.zeros((1, n, tx), jnp.float32)
+        xi_spec = pl.BlockSpec((1, n, tx), lambda z, j: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        xi_spec = spec
+    if inverse:
+        kern = partial(_dft_mid_inv_kernel, n=n, w1=w1,
+                       real_out=real_output)
+    else:
+        kern = partial(_dft_mid_fwd_kernel, n=n, w1=w1, real_in=real_in)
+    yr, yi = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[spec, xi_spec] + _mid_const_specs(n1),
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((nz, n, nx), jnp.float32),
+            jax.ShapeDtypeStruct((nz, n, nx), jnp.float32),
+        ),
+    )(xr, xi, *consts)
+    return yr, (None if (inverse and real_output) else yi)
+
+
+# --------------------------------------------------------- leading dense
+@lru_cache(maxsize=None)
+def _consts_dense(n: int, inverse: bool):
+    k = np.arange(n)
+    sign = +1.0 if inverse else -1.0
+    w = np.exp(sign * 2j * np.pi * np.outer(k, k) / n)
+    if inverse:
+        w = w / n
+    return w.astype(np.complex64)
+
+
+def _dft_lead_kernel(xr_ref, xi_ref, wr_ref, wi_ref, or_ref, oi_ref, *,
+                     real_in, real_out):
+    nz, ty, nx = xr_ref.shape
+    wr = wr_ref[:]
+    wi = wi_ref[:]
+    a = xr_ref[:].reshape(nz, ty * nx)
+    yr = _DOT(wr, a)
+    yi = None if (real_out and real_in) else _DOT(wi, a)
+    if not real_in:
+        b = xi_ref[:].reshape(nz, ty * nx)
+        yr = yr - _DOT(wi, b)
+        if yi is not None:
+            yi = yi + _DOT(wr, b)
+    or_ref[:] = yr.reshape(nz, ty, nx)
+    if not real_out:
+        oi_ref[:] = yi.reshape(nz, ty, nx)
+
+
+def dft_leading(xr, xi, *, inverse=False, real_output=False):
+    """Fused dense DFT along axis 0 of a 3D (n, y, x) pair — one MXU
+    matmul per block (natural frequency order; dense axes have identity
+    scramble). Blocks tile (y, x) with Mosaic-legal (8k, 128k) shapes."""
+    n, ny, nx = xr.shape
+    w = _consts_dense(n, inverse)
+    wr = jnp.asarray(w.real.copy())
+    wi = jnp.asarray(w.imag.copy())
+    # pick (ty, tx): sublane dim multiple of 8, lane dim multiple of 128,
+    # block bytes (n*ty*tx*4) within the live-buffer budget
+    tx = nx
+    for cand in (512, 384, 256, 128):
+        if nx % cand == 0:
+            tx = cand
+            break
+    ty = 8
+    for cand in (64, 32, 16, 8):
+        if ny % cand == 0 and n * cand * tx * 4 * 10 <= _VMEM_BUDGET:
+            ty = cand
+            break
+    grid = (ny // ty, nx // tx)
+    spec = pl.BlockSpec((n, ty, tx), lambda j, i: (0, j, i),
+                        memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((n, n), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    real_in = xi is None
+    if real_in:
+        xi = jnp.zeros((1, ty, tx), jnp.float32)
+        xi_spec = pl.BlockSpec((1, ty, tx), lambda j, i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        xi_spec = spec
+    real_out = real_output and inverse
+    kern = partial(_dft_lead_kernel, real_in=real_in, real_out=real_out)
+    yr, yi = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[spec, xi_spec, wspec, wspec],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((n, ny, nx), jnp.float32),
+        ),
+    )(xr, xi, wr, wi)
+    return yr, (None if real_out else yi)
+
+
+# ------------------------------------------------------------- dispatch
+def axis_supported(shape, axis: int) -> bool:
+    """Can the fused kernels transform this axis of a 3D array?"""
+    if len(shape) != 3:
+        return False
+    n = shape[axis]
+    axis = axis % 3
+    if axis == 0:
+        return supported_dense_axis(n) and shape[2] % _LANE == 0
+    if axis == 1:
+        return supported_ct_axis(n) and shape[2] % _LANE == 0
+    return supported_ct_axis(n) and (shape[0] * shape[1]) % 8 == 0
+
+
+def dft_axis_3d(xr, xi, axis: int, *, inverse=False, real_output=False):
+    """Fused DFT along ``axis`` of a 3D pair; caller checked
+    :func:`axis_supported`."""
+    axis = axis % 3
+    if axis == 2:
+        z, y, n = xr.shape
+        yr, yi = dft_trailing(
+            xr.reshape(z * y, n),
+            None if xi is None else xi.reshape(z * y, n),
+            inverse=inverse, real_output=real_output,
+        )
+        return (
+            yr.reshape(z, y, n),
+            None if yi is None else yi.reshape(z, y, n),
+        )
+    if axis == 1:
+        return dft_middle(xr, xi, inverse=inverse, real_output=real_output)
+    return dft_leading(xr, xi, inverse=inverse, real_output=real_output)

@@ -1,0 +1,96 @@
+"""Fused Pallas DFT kernels vs numpy FFT (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from merfish3d_tpu.ops import mmfft, pfft
+
+SHAPE = (8, 256, 384)  # z dense, y = 2*128, x = 3*128
+
+
+def _perm(n):
+    return mmfft.scramble_perm(n)
+
+
+@pytest.fixture()
+def vol():
+    rng = np.random.default_rng(0)
+    return (
+        rng.standard_normal(SHAPE).astype(np.float32),
+        rng.standard_normal(SHAPE).astype(np.float32),
+    )
+
+
+def test_axis_supported_policy():
+    assert pfft.supported_ct_axis(256)
+    assert pfft.supported_ct_axis(1152)
+    assert not pfft.supported_ct_axis(128)  # n1 == 1
+    assert not pfft.supported_ct_axis(1044)
+    assert pfft.supported_dense_axis(40)
+    assert not pfft.supported_dense_axis(128)
+    assert pfft.axis_supported(SHAPE, 0)
+    assert pfft.axis_supported(SHAPE, 1)
+    assert pfft.axis_supported(SHAPE, 2)
+    assert not pfft.axis_supported((8, 256, 100), 1)  # lanes not 128k
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+@pytest.mark.parametrize("complex_in", [False, True])
+def test_forward_matches_numpy(vol, axis, complex_in):
+    xr, xi = vol
+    with pltpu.force_tpu_interpret_mode():
+        yr, yi = pfft.dft_axis_3d(
+            jnp.asarray(xr), jnp.asarray(xi) if complex_in else None, axis
+        )
+    x = xr + 1j * xi if complex_in else xr
+    ref = np.fft.fft(x, axis=axis)
+    p = _perm(SHAPE[axis])
+    ref = np.take(ref, p, axis=axis)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(yr), ref.real, atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(yi), ref.imag, atol=3e-5 * scale)
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_inverse_roundtrip(vol, axis):
+    xr, xi = vol
+    with pltpu.force_tpu_interpret_mode():
+        fr, fi = pfft.dft_axis_3d(jnp.asarray(xr), jnp.asarray(xi), axis)
+        yr, yi = pfft.dft_axis_3d(fr, fi, axis, inverse=True)
+    scale = np.abs(xr).max()
+    np.testing.assert_allclose(np.asarray(yr), xr, atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(yi), xi, atol=2e-5 * scale)
+
+
+def test_inverse_real_output_trailing(vol):
+    xr, xi = vol
+    with pltpu.force_tpu_interpret_mode():
+        fr, fi = pfft.dft_axis_3d(jnp.asarray(xr), None, 2)
+        yr, yi = pfft.dft_axis_3d(fr, fi, 2, inverse=True, real_output=True)
+    assert yi is None
+    np.testing.assert_allclose(
+        np.asarray(yr), xr, atol=2e-5 * np.abs(xr).max()
+    )
+
+
+def test_full_conv_through_pfft_dispatch(vol, monkeypatch):
+    """fftn_pair_s/ifftn_pair_s with the pfft dispatch forced on must
+    reproduce a numpy FFT convolution end to end."""
+    monkeypatch.setattr(mmfft, "_PFFT_ENV", "1")
+    xr, _ = vol
+    rng = np.random.default_rng(1)
+    kern = rng.standard_normal(SHAPE).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        Hr, Hi = mmfft.fftn_pair_s(jnp.asarray(kern))
+        fr, fi = mmfft.fftn_pair_s(jnp.asarray(xr))
+        gr = fr * Hr - fi * Hi
+        gi = fr * Hi + fi * Hr
+        yr, yi = mmfft.ifftn_pair_s(gr, gi, real_output=True)
+    assert yi is None
+    ref = np.real(np.fft.ifftn(np.fft.fftn(xr) * np.fft.fftn(kern)))
+    np.testing.assert_allclose(
+        np.asarray(yr), ref, atol=3e-3 * np.abs(ref).max()
+    )
