@@ -191,29 +191,39 @@ def bench_decode(jax, jnp, sync) -> float:
 
 def _mmfft_axis_cost(n: int, complex_input: bool) -> tuple[float, float]:
     """(MACs/element, HBM pass sweeps of one f32 channel) for one axis of
-    the scrambled-spectrum pair transform (`ops/mmfft.py`).
+    the scrambled-spectrum pair transform, modeling whichever
+    implementation actually runs the axis.
 
-    Dense (n <= 96): one n×n matmul per output channel — 2 matmuls for
-    real input, 4 for complex. CT split n = n1·n2: (n1 + n2)
-    MACs/element per matmul chain; twiddle multiply fuses into the
-    adjacent einsum epilogue. Each matmul stage is >= one read + one
-    write sweep per live channel."""
-    from merfish3d_tpu.ops.mmfft import _DENSE_MAX, _balanced_split
+    Fused Pallas kernels (`ops/pfft.py`, active on TPU for qualifying
+    axes): BOTH CT stages run in one VMEM-resident pass — one read +
+    one write per live channel (complex: 4 sweeps; real input: 3).
+    Einsum fallback (`ops/mmfft.py`): each CT stage is a separate XLA
+    pass, >= one read + one write sweep per live channel per stage.
+    MACs/element: dense n below the cutoff, n1 + n2 for the split."""
+    from merfish3d_tpu.ops import pfft
+    from merfish3d_tpu.ops.mmfft import _DENSE_MAX, fft_axis_split, use_pfft
 
-    n1, n2 = _balanced_split(n)
+    n1, n2 = fft_axis_split(n)
     chans = 4 if complex_input else 2
+    fused = use_pfft() and (
+        pfft.supported_ct_axis(n) or pfft.supported_dense_axis(n)
+    )
     if n <= _DENSE_MAX or n1 == 1:
-        return n * chans, 2.0 * (2 if complex_input else 1.5)
-    # two matmul stages per output channel; inner stage real-in is 2
+        macs = n * chans
+        sweeps = (4.0 if complex_input else 3.0) if fused \
+            else 2.0 * (2 if complex_input else 1.5)
+        return macs, sweeps
     macs = (n1 + n2) * chans
-    sweeps = 4.0 * (2 if complex_input else 1.5)
+    sweeps = (4.0 if complex_input else 3.0) if fused \
+        else 4.0 * (2 if complex_input else 1.5)
     return macs, sweeps
 
 
 def _rlgc_roofline(padded_shape, elapsed_per_iter: float) -> dict:
     """FLOP + HBM-byte account for one RLGC iteration at the padded shape,
-    modeling the ACTUAL kernel: the scrambled-spectrum matmul FFT
-    (`ops/mmfft.py`), not an idealized 5NlogN FFT.
+    modeling the ACTUAL kernels: the fused single-pass Pallas DFTs
+    (`ops/pfft.py`) / einsum matmul FFT (`ops/mmfft.py`) per axis, not
+    an idealized 5NlogN FFT.
 
     Per iteration (`ops/rlgc.py:_rlgc_core` body), 6 N-D pair transforms:
     - fft_conv(recon, otf):            fwd (real in) + inv (complex)
