@@ -29,6 +29,12 @@ def main(argv=None) -> None:
     )
     p.add_argument("--deconvolve", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--detection-threshold", type=float, default=0.5)
+    p.add_argument(
+        "--ufish-model", type=str, default="simfish",
+        help="U-FISH model alias for bead detection (DoG fallback when no "
+             "checkpoint is resolvable)",
+    )
+    p.add_argument("--ufish-checkpoint", type=Path, default=None)
     args = p.parse_args(argv)
     if (args.bead_stacks is None) == (args.bead_image is None):
         raise SystemExit("pass exactly one of --bead-stacks / --bead-image")

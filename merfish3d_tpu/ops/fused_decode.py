@@ -1,38 +1,48 @@
 """Fused Pallas decode pipeline: separable Gaussian lowpass + MERFISH
-nearest-codeword decode in TWO explicit HBM passes.
+nearest-codeword decode in TWO single-read HBM passes.
 
 XLA's conv lowering keeps materializing bits-minor relayout copies (8x
 HBM padding) for the (bits, Z, Y, X) lowpass, so the hot path owns its
 layout explicitly with bits in sublanes and X in lanes throughout:
 
-1. one XLA symmetric pad for Y and X only — the Z symmetric pad is a
-   linear map on z and is FOLDED into the banded conv matrix (measured:
-   XLA's symmetric pad costs ~20 ms/axis on a 2 GB volume vs ~10 ms for
-   a single constant pad),
-2. ``_zyconv_kernel`` — y conv via dual shifted input blocks (block index
-   maps ``j`` and ``j+1``, requires ``tile_y >= taps_y - 1``) feeding a z
-   conv as an MXU banded matmul ``Wz' (nz_t, nz)`` (boundary reflection
-   included in the weights), producing the z-major intermediate layout;
-   grid over (bits, Y blocks).  Fusing z+y into one pass saves a full
-   intermediate write+read (~4.4 GB on a production slab) vs the
-   r01/r02 3-pass design,
-3. ``_xconv_decode_kernel`` — grid (Z, Y) tiles, fusing the x-conv with
-   scale → clip → L2-normalize → MXU codebook matmul → argmax + threshold
-   assignment; similarities never leave VMEM.  Outputs are stored
-   **directly as 16-bit** (int16 decoded; bf16 for the float volumes —
-   Mosaic crashes on f16 stores — converted to the reference's f16
-   dtypes, `PixelDecoder.py:2167-2175`, by a cheap 16-bit XLA cast) —
-   the r02 design stored f32 and paid an extra ~2.5 GB read + 1.3 GB
-   write cast pass.
+1. ``_zyconv_scan_kernel`` — a sliding-window scan over y blocks: the
+   grid's y axis is sequential and the kernel carries the previous input
+   block (and the ry rows above it) in VMEM scratch, so every input
+   element is fetched from HBM exactly ONCE.  The r02 design host-padded
+   the whole volume (a 2 GB copy, ~8 ms) and read dual shifted blocks
+   (2x input traffic); the scan needs neither — the symmetric y boundary
+   is reflected in-kernel at the true edges, the symmetric Z pad is a
+   linear map on z FOLDED into the banded conv matrix ``Wz' (nz_t, nz)``
+   (an MXU matmul), and the y conv reads the scratch-carried window.
+   Output is the z-major intermediate layout; grid (bits, y blocks + 1)
+   with a one-block output lag (block j-1 is emitted once block j's head
+   rows are resident).
+2. ``_xconv_decode_kernel`` — grid (Z, Y) tiles, fusing the x conv with
+   scale → clip → MXU codebook matmul → argmax + threshold assignment;
+   similarities never leave VMEM.  The divide-free formulation relies on
+   argmax_w (cbn_w · scaled) == argmax_w (cbn_w · unit): the L2
+   normalization divides every word's similarity by the same positive
+   per-pixel magnitude, so only the winning similarity is divided.
+   Outputs are stored directly as 16-bit: int16 decoded, bfloat16 float
+   volumes.  bfloat16 IS the product dtype of this path (TPU-native;
+   Mosaic crashes on f16 stores, and none of these volumes persist —
+   they feed host component extraction which immediately widens to f32;
+   the reference's f16 choice at `PixelDecoder.py:2167-2175` is a CUDA
+   storage detail, not an interface contract).  The r02 design appended
+   an XLA bf16→f16 cast pass that cost a measured ~6 ms of pure HBM
+   traffic per slab.
 
-Every block spans the full padded X (x-tiled blocks measured DMA-bound at
-512 B strided runs). Numerics match ``gaussian_lowpass`` +
-``decode_planes`` (tested in interpret mode on CPU; ``bench.py`` runs this
-on TPU).
+Every block spans the full (128-aligned) X — x-tiled blocks measured
+DMA-bound at 512 B strided runs.  Host padding happens ONLY for ragged
+shapes (ny not a block multiple, nx not lane-aligned, bits not sublane-
+aligned); production slabs hit the zero-copy path.  Numerics match
+``gaussian_lowpass`` + ``decode_planes`` (tested in interpret mode on
+CPU; ``bench.py`` runs this on TPU).
 """
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -55,21 +65,63 @@ def _kernel_or_identity(sigma: float) -> np.ndarray:
     return np.ones(1, np.float32)
 
 
-def _zyconv_kernel(v0_ref, v1_ref, wz_ref, ky_ref, out_ref, *, taps_y: int, tile_y: int):
-    """y conv (dual shifted blocks cover the halo) + z conv as an MXU
-    banded matmul Wz' (nz_t, nz) — symmetric boundary folded into the
-    weights — contracting the UNPADDED z axis of the y-convolved
-    (tile_b, nz, tile_y, xp) block → z-major (nz_t, tile_b, tile_y, xp)."""
-    vol = jnp.concatenate([v0_ref[:], v1_ref[:]], axis=2)  # (tb, nz, 2ty, xp)
-    acc = ky_ref[0, 0] * vol[:, :, 0:tile_y]
-    for k in range(1, taps_y):
-        acc += ky_ref[0, k] * vol[:, :, k : k + tile_y]
-    out_ref[:] = jax.lax.dot_general(
-        wz_ref[:],
-        acc,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+def _flip_rows(x):
+    """Reverse the y (sublane) axis of a (tb, nz, r, xp) window via static
+    row concat — portable where jnp.flip's sublane relayout is not."""
+    r = x.shape[2]
+    if r <= 1:
+        return x
+    return jnp.concatenate(
+        [x[:, :, k : k + 1, :] for k in range(r - 1, -1, -1)], axis=2
     )
+
+
+def _zyconv_scan_kernel(
+    v_ref, wz_ref, ky_ref, out_ref, prev_ref, tail_ref,
+    *, taps_y: int, tile_y: int, ry: int, last_j: int,
+):
+    """Sliding-window y conv + banded-z MXU matmul, single HBM read.
+
+    Scratch invariant entering step j >= 1: ``prev`` holds input y-block
+    j-1, ``tail`` holds the ry rows immediately above it (bottom of block
+    j-2, or the symmetric reflection above row 0).  Step j emits output
+    block j-1 using block j's head rows as the bottom halo; the final
+    step (j == last_j, input index clamped) reflects the true bottom
+    edge instead."""
+    j = pl.program_id(1)
+    cur = v_ref[:]  # (tb, nz, tile_y, xp)
+
+    @pl.when(j > 0)
+    def _emit():
+        mid = prev_ref[:]
+        if ry > 0:
+            bot = jnp.where(
+                j == last_j,
+                _flip_rows(cur[:, :, tile_y - ry :, :]),
+                cur[:, :, 0:ry, :],
+            )
+            window = jnp.concatenate([tail_ref[:], mid, bot], axis=2)
+        else:
+            window = mid
+        acc = ky_ref[0, 0] * window[:, :, 0:tile_y]
+        for k in range(1, taps_y):
+            acc += ky_ref[0, k] * window[:, :, k : k + tile_y]
+        out_ref[:] = jax.lax.dot_general(
+            wz_ref[:], acc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if ry > 0:
+
+        @pl.when(j == 0)
+        def _seed_tail():
+            tail_ref[:] = _flip_rows(cur[:, :, 0:ry, :])
+
+        @pl.when((j > 0) & (j < last_j))
+        def _carry_tail():
+            tail_ref[:] = prev_ref[:, :, tile_y - ry :, :]
+
+    prev_ref[:] = cur
 
 
 def _xconv_decode_kernel(
@@ -111,27 +163,27 @@ def _xconv_decode_kernel(
             (traces - bg_ref[:][:, :, None]) / norm_ref[:][:, :, None], 0.0, 1.0
         )
         mag = jnp.sqrt(jnp.sum(scaled * scaled, axis=0, keepdims=True))
-        unit = scaled / jnp.maximum(mag, 1e-12)
-        # f32 codebook matmul: a split-bf16 formulation (3 bf16 passes) was
-        # measured SLOWER end-to-end (703 vs 932 Mvox/s)
+        # Divide-free decode: sims_w = cbn_w · unit = (cbn_w · scaled)/mag
+        # with mag > 0 shared by every word, so argmax over words is
+        # computed on the raw projections and only the max is divided.
+        # (probe8: the per-bit-plane unit divide was measurable VPU work;
+        # the raw-projection form removes 16 divide planes per block.)
         best_rows = []
         sim_rows = []
         for y in range(ty):
-            sims = jnp.dot(
-                cb_ref[:], unit[:, y, :], preferred_element_type=jnp.float32
+            raw = jnp.dot(
+                cb_ref[:], scaled[:, y, :], preferred_element_type=jnp.float32
             )  # (words_p, nx)
             # keepdims: Mosaic rejects 1D->2D/3D tpu.reshape chains
-            best_rows.append(jnp.argmax(sims, axis=0, keepdims=True))
-            sim_rows.append(jnp.max(sims, axis=0, keepdims=True))
+            best_rows.append(jnp.argmax(raw, axis=0, keepdims=True))
+            sim_rows.append(jnp.max(raw, axis=0, keepdims=True))
         best = jnp.concatenate(best_rows, axis=0).astype(jnp.int32)  # (ty, nx)
-        max_sim = jnp.concatenate(sim_rows, axis=0)
+        max_sim = jnp.concatenate(sim_rows, axis=0) / jnp.maximum(mag[0], 1e-12)
         dist = jnp.sqrt(jnp.maximum(2.0 - 2.0 * max_sim, 0.0))
         assigned = (dist <= dthr) & (mag[0] >= lo) & (mag[0] <= hi)
         # partial-lane stores: block lanes beyond nx are alignment junk,
-        # cropped by the caller.  16-bit stores halve the output traffic;
-        # Mosaic supports int16/bf16 stores but CRASHES on float16
-        # (measured on v5e), so the kernel emits bf16 and the caller
-        # converts bf16->f16 (a cheap 16-bit XLA pass).
+        # cropped by the caller.  16-bit stores halve the output traffic
+        # (int16 + bf16; Mosaic CRASHES on float16 stores, measured v5e).
         decoded_ref[z, :, 0:nx] = jnp.where(assigned, best, -1).astype(jnp.int16)
         dist_ref[z, :, 0:nx] = dist.astype(jnp.bfloat16)
         mag_ref[z, :, 0:nx] = mag[0].astype(jnp.bfloat16)
@@ -165,49 +217,50 @@ def fused_lowpass_decode(
     magnitude_threshold=(1.5, 10.0),
     distance_threshold: float = 0.5176,
     tile_b: int = 1,   # pass-1 bits per block
-    tile_y: int = 8,   # pass-1 y block (dual blocks cover the y halo)
+    tile_y: int = 8,   # pass-1 y block (scan window carries the halo)
     tile_z3: int = 1,  # pass-2 z block
-    tile_y3: int = 16, # pass-2 y block (>=16: f16/int16 sublane tiling)
-    stages: int = 3,   # profiling: stop after pass N (0=pad, 1=zy) returning it raw
+    tile_y3: int = 16, # pass-2 y block (>=16: int16/bf16 sublane tiling)
+    stages: int = 3,   # profiling: stop after pass N (0=prep, 1=zy) returning it raw
 ):
-    """Returns (decoded int16, magnitude f16, distance f16, scaled f16)."""
+    """Returns (decoded int16, magnitude bf16, distance bf16, scaled bf16)."""
     bits, nz, ny, nx = volume.shape
     kz_np = _kernel_or_identity(sigma[0])
     kz = jnp.asarray(kz_np)
     ky = jnp.asarray(_kernel_or_identity(sigma[1]))
     kx = jnp.asarray(_kernel_or_identity(sigma[2]))
     rz, ry, rx = (int(k.shape[0] - 1) // 2 for k in (kz, ky, kx))
-    if 2 * ry > tile_y:
-        tile_y = _round_up(2 * ry, 8)
+    # scan constraint: the halo must fit one block (tile_y stays small —
+    # 16-row blocks overflowed the 16 MB scoped-VMEM stack on v5e)
+    if ry > tile_y:
+        tile_y = _round_up(ry, 8)
 
     words = codebook_t.shape[1]
     bits_p = max(8, _round_up(bits, 8))
     words_p = max(8, _round_up(words, 8))
 
     nz_t = _round_up(nz, tile_z3)
-    ny_t = _round_up(ny, max(tile_y, tile_y3))
     nx_t = _round_up(nx, 128)  # lane alignment
-    # one extra tile_y block row covers the 2*ry halo for the dual shifted
-    # input blocks of the zy pass
-    yp = ny_t + tile_y
-    # every block spans the full (alignment-padded) X: contiguous DMA runs
-    # (x-tiled blocks gave 512 B strided runs — DMA-bound). The symmetric x
-    # HALO is built inside the decode pass (exchange-matrix flip), so X
-    # needs only lane alignment here.
-    xp = nx_t
+    # ragged-y handling: pad Y with true symmetric rows so the in-kernel
+    # bottom reflection only ever touches cropped rows; aligned inputs
+    # (production slabs) take the zero-copy path.  ny_t must tile under
+    # BOTH pass grids (lcm of the two y block sizes).
+    y_align = tile_y * tile_y3 // math.gcd(tile_y, tile_y3)
+    ny_t = _round_up(ny, y_align)
+    if ny_t != ny and ny_t - ny < ry:
+        ny_t += y_align
 
-    # Host pad covers only Y (+ X lane alignment): the Z symmetric pad is a
-    # LINEAR map on z folded into the banded conv matrix below; the X halo
-    # is built in-kernel in the decode pass.
-    padded = jnp.pad(
-        volume,
-        ((0, 0), (0, 0), (ry, yp - ny - ry), (0, xp - nx)),
-        mode="symmetric",
-    )
+    prepped = volume
+    if ny_t != ny:
+        prepped = jnp.pad(
+            prepped, ((0, 0), (0, 0), (0, ny_t - ny), (0, 0)), mode="symmetric"
+        )
+    if nx_t != nx:
+        prepped = _pad_const(prepped, nx_t, 3, 0.0)
     if bits_p > bits:
-        padded = _pad_const(padded, bits_p, 0, 0.0)
+        prepped = _pad_const(prepped, bits_p, 0, 0.0)
+    xp = nx_t
     if stages == 0:
-        return padded
+        return prepped
 
     # banded z weights with the symmetric pad folded in:
     # padded_z = S @ vol_z with S[p, i] = [idx[p] == i] where idx is the
@@ -221,30 +274,42 @@ def fused_lowpass_decode(
             wz_np[o, pad_idx[o + k]] += kz_np[k]
     wz = jnp.asarray(wz_np)
 
-    # ---- pass 1: y conv (dual shifted blocks) + z conv → z-major
+    # ---- pass 1: scan over y blocks — single-read y conv + z conv → z-major
+    n_yblocks = ny_t // tile_y
+    last_j = n_yblocks  # grid runs one step past the last block (output lag)
+    rt = max(ry, 1)
     zy_out = pl.pallas_call(
-        partial(_zyconv_kernel, taps_y=int(ky.shape[0]), tile_y=tile_y),
-        grid=(bits_p // tile_b, ny_t // tile_y),
+        partial(
+            _zyconv_scan_kernel,
+            taps_y=int(ky.shape[0]), tile_y=tile_y, ry=ry, last_j=last_j,
+        ),
+        grid=(bits_p // tile_b, n_yblocks + 1),
         in_specs=[
-            pl.BlockSpec((tile_b, nz, tile_y, xp), lambda b, j: (b, 0, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, nz, tile_y, xp), lambda b, j: (b, 0, j + 1, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_b, nz, tile_y, xp),
+                lambda b, j: (b, 0, jnp.minimum(j, last_j - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((nz_t, nz), lambda b, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, int(ky.shape[0])), lambda b, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (nz_t, tile_b, tile_y, xp), lambda b, j: (0, b, j, 0),
+            (nz_t, tile_b, tile_y, xp),
+            lambda b, j: (0, b, jnp.maximum(j - 1, 0), 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nz_t, bits_p, ny_t, xp), jnp.float32),
-    )(padded, padded, wz, ky[None, :])
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, nz, tile_y, xp), jnp.float32),
+            pltpu.VMEM((tile_b, nz, rt, xp), jnp.float32),
+        ],
+    )(prepped, wz, ky[None, :])
     if stages in (1, 2):
         return zy_out
 
-    # ---- pass 2: x conv + decode, full padded X per block, int16/f16 stores
+    # ---- pass 2: x conv + decode, full padded X per block, int16/bf16 stores
     cb_p = _pad_const(_pad_const(codebook_t.T, bits_p, 1, 0.0), words_p, 0, -1.0)
     bg_p = _pad_const(background[:, None], bits_p, 0, 0.0)
     norm_p = _pad_const(normalization[:, None], bits_p, 0, 1.0)
@@ -289,9 +354,9 @@ def fused_lowpass_decode(
 
     return (
         decoded[:nz, :ny, :nx],
-        mag[:nz, :ny, :nx].astype(jnp.float16),
-        dist[:nz, :ny, :nx].astype(jnp.float16),
-        scaled[:bits, :nz, :ny, :nx].astype(jnp.float16),
+        mag[:nz, :ny, :nx],
+        dist[:nz, :ny, :nx],
+        scaled[:bits, :nz, :ny, :nx],
     )
 
 
@@ -310,9 +375,13 @@ def fused_decode_volume(
     """Host wrapper: run the fused pipeline on the whole volume when it
     fits the HBM budget, else stream y-slabs with symmetric-halo overlap
     (the TPU analog of the reference per-z-plane loop, keeping full-z
-    context for the σ_z lowpass)."""
+    context for the σ_z lowpass).  Float outputs are bfloat16 numpy
+    arrays (ml_dtypes); consumers widen to f32 at use."""
+    import ml_dtypes
+
     from .decode import normalize_codebook
 
+    bf16 = np.dtype(ml_dtypes.bfloat16)
     vol = np.asarray(bit_volume, np.float32)
     bits, nz, ny, nx = vol.shape
     cb_t = jnp.asarray(normalize_codebook(codebook_matrix).T)
@@ -323,16 +392,16 @@ def fused_decode_volume(
         magnitude_threshold=tuple(magnitude_threshold),
         distance_threshold=float(distance_threshold),
     )
-    # working set ≈ input + intermediate + f16 outputs ≈ 3.5x volume
+    # working set ≈ input + intermediate + bf16 outputs ≈ 3.5x volume
     if 4 * vol.nbytes <= hbm_budget_bytes:
         d, m, di, s = fused_lowpass_decode(jnp.asarray(vol), cb_t, bg, norm, **kw)
         return (np.asarray(d), np.asarray(m), np.asarray(di), np.asarray(s))
 
     ry = int(4.0 * sigma[1] + 0.5) if sigma[1] > 0 else 0
     decoded = np.empty((nz, ny, nx), np.int16)
-    mag = np.empty((nz, ny, nx), np.float16)
-    dist = np.empty((nz, ny, nx), np.float16)
-    scaled = np.empty((bits, nz, ny, nx), np.float16)
+    mag = np.empty((nz, ny, nx), bf16)
+    dist = np.empty((nz, ny, nx), bf16)
+    scaled = np.empty((bits, nz, ny, nx), bf16)
     for y0 in range(0, ny, y_slab):
         y1 = min(y0 + y_slab, ny)
         ys, ye = max(0, y0 - ry), min(ny, y1 + ry)

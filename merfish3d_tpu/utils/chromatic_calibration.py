@@ -23,16 +23,24 @@ def detect_beads(
     threshold: float = 0.5,
     max_beads: int = 5000,
     intensity_mad_multiplier: float = 10.0,
+    predictor=None,
 ) -> np.ndarray:
-    """Bead centroids (z, y, x in px) via the DoG spot predictor + 3D local
-    maxima + a robust absolute-intensity gate (median + k·MAD, rejecting
-    noise peaks) + intensity-weighted 3x3x3 refinement."""
+    """Bead centroids (z, y, x in px) via a spot-probability predictor +
+    3D local maxima + a robust absolute-intensity gate (median + k·MAD,
+    rejecting noise peaks) + intensity-weighted 3x3x3 refinement.
+
+    ``predictor`` is any object with ``predict(volume) -> probability``
+    (the reference runs U-FISH on the bead stacks, `chromatic.py:468-487`;
+    pass :func:`merfish3d_tpu.models.ufish.get_predictor` output — default
+    is the deterministic DoG fallback)."""
     import scipy.ndimage
 
     from ..models.ufish import DoGSpotPredictor
 
     vol = np.asarray(volume, np.float32)
-    prob = DoGSpotPredictor().predict(vol)
+    if predictor is None:
+        predictor = DoGSpotPredictor()
+    prob = predictor.predict(vol)
     med = float(np.median(vol))
     mad = float(np.median(np.abs(vol - med))) * 1.4826
     intensity_floor = med + intensity_mad_multiplier * max(mad, 1e-6)
@@ -133,6 +141,7 @@ def estimate_chromatic_affines(
     voxel_size_zyx_um,
     max_match_distance_um: float = 1.0,
     detection_threshold: float = 0.5,
+    predictor=None,
 ) -> dict:
     """Bead calibration across channels: detect beads per channel, match
     mutual NNs to the reference (lowest wavelength), fit one affine per
@@ -144,7 +153,8 @@ def estimate_chromatic_affines(
     ref_idx = int(order[0])
     ref_wl = wavelengths[ref_idx]
     centers = [
-        detect_beads(v, threshold=detection_threshold) * spacing
+        detect_beads(v, threshold=detection_threshold, predictor=predictor)
+        * spacing
         for v in channel_volumes
     ]
     channels = {}
@@ -201,12 +211,17 @@ def run_chromatic_calibration(
     deconvolve: bool = True,
     detection_threshold: float = 0.5,
     psf_model: str = "vectorial",
+    ufish_model: str = "simfish",
+    ufish_checkpoint=None,
 ) -> dict:
     """Full calibration: optional RLGC decon of the bead stacks, affine
     estimation, write-back to the datastore
     (reference `run_chromatic_calibration`; like the reference, the decon
-    PSFs are VECTORIAL per channel by default, `chromatic.py:468-487`)."""
+    PSFs are VECTORIAL per channel by default and bead detection runs the
+    U-FISH predictor when a checkpoint is available, `chromatic.py:468-487`
+    — the DoG fallback otherwise)."""
     from ..models.psf import make_channel_psfs
+    from ..models.ufish import get_predictor
     from ..ops.rlgc import rlgc
 
     vols = [np.asarray(v, np.float32) for v in channel_volumes]
@@ -225,6 +240,7 @@ def run_chromatic_calibration(
         emission_wavelengths_um,
         voxel_size_zyx_um=datastore.voxel_size_zyx_um,
         detection_threshold=detection_threshold,
+        predictor=get_predictor(ufish_model, ufish_checkpoint),
     )
     datastore.save_chromatic_affine_transforms_zyx_um(calibration)
     return calibration

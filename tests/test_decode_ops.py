@@ -267,6 +267,39 @@ def test_fused_lowpass_decode_matches_reference_path():
     )
 
 
+def test_fused_lowpass_decode_ragged_ny():
+    """Non-block-multiple Y (ragged path: host symmetric pad) must match
+    the reference path too — exercises the pad-≥-halo bump."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from merfish3d_tpu.ops.filters import gaussian_lowpass
+    from merfish3d_tpu.ops.fused_decode import fused_lowpass_decode
+
+    rng = np.random.default_rng(3)
+    cb = _mhd4_codebook()
+    cbt = jnp.asarray(dec.normalize_codebook(cb).T)
+    # ny=40: 40 % 16 != 0 and round_up(40,16)=48 leaves pad 8 >= ry=4
+    vol = jnp.asarray((rng.random((16, 5, 40, 128)) * 100).astype(np.float32))
+    bg = jnp.asarray(rng.random(16).astype(np.float32))
+    nm = jnp.asarray(((rng.random(16) + 0.5) * 40).astype(np.float32))
+    kw = dict(magnitude_threshold=(0.9, 10.0), distance_threshold=0.5176)
+    lp = gaussian_lowpass(vol, sigma=(3.0, 1.0, 1.0))
+    d0, m0, di0, s0 = dec.decode_planes(lp, cbt, bg, nm, use_pallas=False, **kw)
+    with pltpu.force_tpu_interpret_mode():
+        d1, m1, di1, s1 = fused_lowpass_decode(
+            vol, cbt, bg, nm, sigma=(3.0, 1.0, 1.0), **kw
+        )
+    assert (np.asarray(d0) == np.asarray(d1)).mean() == 1.0
+    np.testing.assert_allclose(
+        np.asarray(m0, np.float32), np.asarray(m1, np.float32),
+        rtol=4e-3, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(di0, np.float32), np.asarray(di1, np.float32),
+        rtol=4e-3, atol=2e-3,
+    )
+
+
 def test_fused_decode_volume_slab_streaming():
     """y-slab streaming must agree with the whole-volume fused pipeline."""
     from jax.experimental.pallas import tpu as pltpu
