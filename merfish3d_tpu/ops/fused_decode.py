@@ -1,41 +1,53 @@
 """Fused Pallas decode pipeline: separable Gaussian lowpass + MERFISH
-nearest-codeword decode in TWO single-read HBM passes.
+nearest-codeword decode in TWO single-read HBM passes, with every conv
+on the MXU.
 
 XLA's conv lowering keeps materializing bits-minor relayout copies (8x
 HBM padding) for the (bits, Z, Y, X) lowpass, so the hot path owns its
-layout explicitly with bits in sublanes and X in lanes throughout:
+layout explicitly.  Probing on v5e showed the VPU — not HBM and not the
+MXU — was the bottleneck of the r02/r03a designs: sublane- and
+lane-shifted 9-tap conv chains cost ~9 ms (y) and ~6 ms (x) per
+production slab while every matmul was essentially free.  This design
+therefore expresses ALL THREE separable convolutions as banded-matrix
+matmuls:
 
 1. ``_zyconv_scan_kernel`` — a sliding-window scan over y blocks: the
    grid's y axis is sequential and the kernel carries the previous input
    block (and the ry rows above it) in VMEM scratch, so every input
-   element is fetched from HBM exactly ONCE.  The r02 design host-padded
-   the whole volume (a 2 GB copy, ~8 ms) and read dual shifted blocks
-   (2x input traffic); the scan needs neither — the symmetric y boundary
-   is reflected in-kernel at the true edges, the symmetric Z pad is a
-   linear map on z FOLDED into the banded conv matrix ``Wz' (nz_t, nz)``
-   (an MXU matmul), and the y conv reads the scratch-carried window.
-   Output is the z-major intermediate layout; grid (bits, y blocks + 1)
-   with a one-block output lag (block j-1 is emitted once block j's head
-   rows are resident).
-2. ``_xconv_decode_kernel`` — grid (Z, Y) tiles, fusing the x conv with
-   scale → clip → MXU codebook matmul → argmax + threshold assignment;
-   similarities never leave VMEM.  The divide-free formulation relies on
-   argmax_w (cbn_w · scaled) == argmax_w (cbn_w · unit): the L2
+   element is fetched from HBM exactly ONCE (the r02 design host-padded
+   the whole volume — a 2 GB copy — and read dual shifted blocks, 2x
+   traffic).  The symmetric y boundary is reflected in-kernel at the
+   true edges; the symmetric Z pad is a linear map on z FOLDED into the
+   banded conv matrix ``Wz' (nz_t, nz)``.  The y conv is a banded
+   ``Wy (ty, ty+2ry)`` matmul whose output-dimension order doubles as
+   the layout rotation into the z-major intermediate
+   ``(nz_t, ny_t, bits, xp)`` — bits land in sublanes for pass 2 at
+   zero extra cost.  Grid (bits/8, y blocks + 1) with a one-block output
+   lag (block j-1 is emitted once block j's head rows are resident).
+2. ``_xconv_decode_kernel`` — grid (Z, Y) tiles over the z-major
+   intermediate: x conv as PER-SEGMENT banded matmuls (128 output lanes
+   per segment, ``W (128+2rx, 128)``; lane-aligned segment slices replace
+   the lane-shift chain: measured 12.3 → 6.6 ms for the conv section),
+   fused with scale → clip → MXU codebook matmul → argmax + threshold
+   assignment; similarities never leave VMEM.  The divide-free decode
+   relies on argmax_w (cbn_w · scaled) == argmax_w (cbn_w · unit): L2
    normalization divides every word's similarity by the same positive
    per-pixel magnitude, so only the winning similarity is divided.
-   Outputs are stored directly as 16-bit: int16 decoded, bfloat16 float
-   volumes.  bfloat16 IS the product dtype of this path (TPU-native;
-   Mosaic crashes on f16 stores, and none of these volumes persist —
-   they feed host component extraction which immediately widens to f32;
-   the reference's f16 choice at `PixelDecoder.py:2167-2175` is a CUDA
-   storage detail, not an interface contract).  The r02 design appended
-   an XLA bf16→f16 cast pass that cost a measured ~6 ms of pure HBM
-   traffic per slab.
+   Outputs store directly as 16-bit: int16 decoded, bfloat16 floats.
+   bfloat16 IS the product dtype of this path (TPU-native; Mosaic
+   crashes on f16 stores, and none of these volumes persist — they feed
+   host component extraction which immediately widens to f32; the
+   reference's f16 choice at `PixelDecoder.py:2167-2175` is a CUDA
+   storage detail, not an interface contract).  The bits-major
+   ``scaled`` store is a free in-kernel transpose (measured: 4.27 ms
+   either way).
 
+MXU matmuls run at DEFAULT precision (bf16 multiplicands, f32
+accumulate) — the same envelope the accepted r02 decode kernel used for
+its codebook contraction; the E2E simulation F1 is the acceptance gate.
 Every block spans the full (128-aligned) X — x-tiled blocks measured
 DMA-bound at 512 B strided runs.  Host padding happens ONLY for ragged
-shapes (ny not a block multiple, nx not lane-aligned, bits not sublane-
-aligned); production slabs hit the zero-copy path.  Numerics match
+shapes; production slabs hit the zero-copy path.  Numerics match
 ``gaussian_lowpass`` + ``decode_planes`` (tested in interpret mode on
 CPU; ``bench.py`` runs this on TPU).
 """
@@ -53,6 +65,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .filters import _gaussian_kernel1d
+
+_PASS1_TILE_B = 8  # sublane granule: out blocks need their 2nd-minor dim % 8 == 0
 
 
 def _round_up(x: int, m: int) -> int:
@@ -76,18 +90,31 @@ def _flip_rows(x):
     )
 
 
+def _banded_conv_matrix(kernel: np.ndarray, n_out: int) -> np.ndarray:
+    """W (n_out + taps - 1, n_out) with W[o + k, o] = kernel[k]: contracting
+    a window of n_out + 2r rows against W yields the valid conv rows."""
+    taps = len(kernel)
+    w = np.zeros((n_out + taps - 1, n_out), np.float32)
+    for o in range(n_out):
+        for k in range(taps):
+            w[o + k, o] += kernel[k]
+    return w
+
+
 def _zyconv_scan_kernel(
-    v_ref, wz_ref, ky_ref, out_ref, prev_ref, tail_ref,
-    *, taps_y: int, tile_y: int, ry: int, last_j: int,
+    v_ref, wz_ref, wy_ref, out_ref, prev_ref, tail_ref,
+    *, tile_y: int, ry: int, last_j: int,
 ):
-    """Sliding-window y conv + banded-z MXU matmul, single HBM read.
+    """Sliding-window y+z conv, single HBM read, both convs on the MXU.
 
     Scratch invariant entering step j >= 1: ``prev`` holds input y-block
     j-1, ``tail`` holds the ry rows immediately above it (bottom of block
     j-2, or the symmetric reflection above row 0).  Step j emits output
     block j-1 using block j's head rows as the bottom halo; the final
     step (j == last_j, input index clamped) reflects the true bottom
-    edge instead."""
+    edge instead.  The Wy dot's output order (ty, tb, nz, xp) feeds the
+    Wz dot to produce (nz_t, ty, tb, xp) — the z-major, bits-in-sublanes
+    intermediate layout — with no explicit transpose."""
     j = pl.program_id(1)
     cur = v_ref[:]  # (tb, nz, tile_y, xp)
 
@@ -103,11 +130,12 @@ def _zyconv_scan_kernel(
             window = jnp.concatenate([tail_ref[:], mid, bot], axis=2)
         else:
             window = mid
-        acc = ky_ref[0, 0] * window[:, :, 0:tile_y]
-        for k in range(1, taps_y):
-            acc += ky_ref[0, k] * window[:, :, k : k + tile_y]
-        out_ref[:] = jax.lax.dot_general(
-            wz_ref[:], acc, (((1,), (1,)), ((), ())),
+        a = jax.lax.dot_general(  # y conv: (ty, tb, nz, xp)
+            wy_ref[:], window, (((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[:] = jax.lax.dot_general(  # z conv: (nz_t, ty, tb, xp)
+            wz_ref[:], a, (((1,), (2,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -125,70 +153,83 @@ def _zyconv_scan_kernel(
 
 
 def _xconv_decode_kernel(
-    vol_ref, kern_ref, exch_ref, cb_ref, bg_ref, norm_ref, thr_ref,
+    vol_ref, wseg_ref, wtail_ref, exch_ref, cb_ref, bg_ref, norm_ref, thr_ref,
     decoded_ref, dist_ref, mag_ref, scaled_ref,
-    *, taps: int, nx: int, rx: int,
+    *, nx: int, rx: int,
 ):
-    # z-major block: (tz, bits, ty, nx_t); actual data in lanes [0, nx).
+    # z-major block: (tz, ty, bits, nx_t); actual data in lanes [0, nx).
     # The symmetric x halo is built in VMEM: flip == matmul with the
     # (rx, rx) exchange matrix (lane-axis flips lower poorly on TPU).
-    vol = vol_ref[:, :, :, 0:nx]
-    if rx > 0:
-        left = jax.lax.dot_general(
-            vol_ref[:, :, :, 0:rx], exch_ref[:],
-            (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        right = jax.lax.dot_general(
-            vol_ref[:, :, :, nx - rx : nx], exch_ref[:],
-            (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        xped = jnp.concatenate([left, vol, right], axis=-1)
-    else:
-        xped = vol
-    acc = kern_ref[0, 0] * xped[:, :, :, 0:nx]
-    for k in range(1, taps):
-        acc += kern_ref[0, k] * xped[:, :, :, k : k + nx]
-    tz, bits_p, ty, _ = acc.shape
-    # All elementwise/reduction work stays in the NATIVE (bits, ty, nx)
-    # layout — the r02 design flattened to (bits, tz*ty*nx), and that
-    # sublane→lane reshape was a measured multi-ms vector shuffle per
-    # block.  Only the codebook matmul (Mosaic dot_general is 2D-only)
-    # loops per (z, y) row; K=16 keeps each matmul cheap either way.
+    tz = vol_ref.shape[0]
+    n_seg = -(-nx // 128)
+    w_tail = nx - 128 * (n_seg - 1)
     lo = thr_ref[0, 0]
     hi = thr_ref[0, 1]
     dthr = thr_ref[0, 2]
     for z in range(tz):
-        traces = acc[z]  # (bits_p, ty, nx)
+        volb = vol_ref[z]  # (ty, bits, nx_t)
+        vol = volb[:, :, 0:nx]
+        if rx > 0:
+            left = jax.lax.dot_general(
+                volb[:, :, 0:rx], exch_ref[:],
+                (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            right = jax.lax.dot_general(
+                volb[:, :, nx - rx : nx], exch_ref[:],
+                (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            xped = jnp.concatenate([left, vol, right], axis=-1)
+            # x conv as lane-aligned per-segment banded matmuls (128 output
+            # lanes each; the tail segment has its own (w+2rx, w) matrix)
+            segs = []
+            for s in range(n_seg):
+                w = 128 if s < n_seg - 1 else w_tail
+                seg = xped[:, :, 128 * s : 128 * s + w + 2 * rx]
+                wm = wseg_ref[:] if s < n_seg - 1 else wtail_ref[:]
+                segs.append(
+                    jax.lax.dot_general(
+                        seg, wm[0 : w + 2 * rx, 0:w],
+                        (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            acc = segs[0] if n_seg == 1 else jnp.concatenate(segs, axis=-1)
+        else:
+            acc = vol
+        # (ty, bits, nx) layout: bits in sublanes — broadcasts, the bit
+        # reduction, and the codebook matmul's (bits, nx) row slices are
+        # all native here (no mid-sublane slicing)
         scaled = jnp.clip(
-            (traces - bg_ref[:][:, :, None]) / norm_ref[:][:, :, None], 0.0, 1.0
+            (acc - bg_ref[:][:, :, None]) / norm_ref[:][:, :, None], 0.0, 1.0
         )
-        mag = jnp.sqrt(jnp.sum(scaled * scaled, axis=0, keepdims=True))
+        mag = jnp.sqrt(jnp.sum(scaled * scaled, axis=1))  # (ty, nx)
         # Divide-free decode: sims_w = cbn_w · unit = (cbn_w · scaled)/mag
         # with mag > 0 shared by every word, so argmax over words is
         # computed on the raw projections and only the max is divided.
-        # (probe8: the per-bit-plane unit divide was measurable VPU work;
-        # the raw-projection form removes 16 divide planes per block.)
+        ty = scaled.shape[0]
         best_rows = []
         sim_rows = []
         for y in range(ty):
             raw = jnp.dot(
-                cb_ref[:], scaled[:, y, :], preferred_element_type=jnp.float32
+                cb_ref[:], scaled[y], preferred_element_type=jnp.float32
             )  # (words_p, nx)
             # keepdims: Mosaic rejects 1D->2D/3D tpu.reshape chains
             best_rows.append(jnp.argmax(raw, axis=0, keepdims=True))
             sim_rows.append(jnp.max(raw, axis=0, keepdims=True))
         best = jnp.concatenate(best_rows, axis=0).astype(jnp.int32)  # (ty, nx)
-        max_sim = jnp.concatenate(sim_rows, axis=0) / jnp.maximum(mag[0], 1e-12)
+        max_sim = jnp.concatenate(sim_rows, axis=0) / jnp.maximum(mag, 1e-12)
         dist = jnp.sqrt(jnp.maximum(2.0 - 2.0 * max_sim, 0.0))
-        assigned = (dist <= dthr) & (mag[0] >= lo) & (mag[0] <= hi)
+        assigned = (dist <= dthr) & (mag >= lo) & (mag <= hi)
         # partial-lane stores: block lanes beyond nx are alignment junk,
         # cropped by the caller.  16-bit stores halve the output traffic
         # (int16 + bf16; Mosaic CRASHES on float16 stores, measured v5e).
         decoded_ref[z, :, 0:nx] = jnp.where(assigned, best, -1).astype(jnp.int16)
         dist_ref[z, :, 0:nx] = dist.astype(jnp.bfloat16)
-        mag_ref[z, :, 0:nx] = mag[0].astype(jnp.bfloat16)
-        # scaled is already bits-major out of the normalize step
-        scaled_ref[:, z, :, 0:nx] = scaled.astype(jnp.bfloat16)
+        mag_ref[z, :, 0:nx] = mag.astype(jnp.bfloat16)
+        # bits-major transposed store (measured free vs the direct store)
+        scaled_ref[:, z, :, 0:nx] = jnp.transpose(scaled, (1, 0, 2)).astype(
+            jnp.bfloat16
+        )
 
 
 def _pad_const(x, size, axis, value):
@@ -204,7 +245,7 @@ def _pad_const(x, size, axis, value):
     jax.jit,
     static_argnames=(
         "sigma", "magnitude_threshold", "distance_threshold",
-        "tile_b", "tile_y", "tile_z3", "tile_y3", "stages",
+        "tile_y", "tile_z3", "tile_y3", "stages",
     ),
 )
 def fused_lowpass_decode(
@@ -216,7 +257,6 @@ def fused_lowpass_decode(
     sigma=(3.0, 1.0, 1.0),
     magnitude_threshold=(1.5, 10.0),
     distance_threshold: float = 0.5176,
-    tile_b: int = 1,   # pass-1 bits per block
     tile_y: int = 8,   # pass-1 y block (scan window carries the halo)
     tile_z3: int = 1,  # pass-2 z block
     tile_y3: int = 16, # pass-2 y block (>=16: int16/bf16 sublane tiling)
@@ -225,17 +265,17 @@ def fused_lowpass_decode(
     """Returns (decoded int16, magnitude bf16, distance bf16, scaled bf16)."""
     bits, nz, ny, nx = volume.shape
     kz_np = _kernel_or_identity(sigma[0])
-    kz = jnp.asarray(kz_np)
-    ky = jnp.asarray(_kernel_or_identity(sigma[1]))
-    kx = jnp.asarray(_kernel_or_identity(sigma[2]))
-    rz, ry, rx = (int(k.shape[0] - 1) // 2 for k in (kz, ky, kx))
+    ky_np = _kernel_or_identity(sigma[1])
+    kx_np = _kernel_or_identity(sigma[2])
+    rz, ry, rx = (int(len(k) - 1) // 2 for k in (kz_np, ky_np, kx_np))
     # scan constraint: the halo must fit one block (tile_y stays small —
-    # 16-row blocks overflowed the 16 MB scoped-VMEM stack on v5e)
+    # 16-row blocks overflowed the 16 MB scoped-VMEM stack on v5e even
+    # before the MXU rewrite; 8 rows + the 100 MB cap below are safe)
     if ry > tile_y:
         tile_y = _round_up(ry, 8)
 
     words = codebook_t.shape[1]
-    bits_p = max(8, _round_up(bits, 8))
+    bits_p = max(_PASS1_TILE_B, _round_up(bits, _PASS1_TILE_B))
     words_p = max(8, _round_up(words, 8))
 
     nz_t = _round_up(nz, tile_z3)
@@ -265,7 +305,7 @@ def fused_lowpass_decode(
     # banded z weights with the symmetric pad folded in:
     # padded_z = S @ vol_z with S[p, i] = [idx[p] == i] where idx is the
     # np.pad symmetric index map; Wz' = Wz_banded @ S has shape (nz_t, nz)
-    taps_z = int(kz_np.shape[0])
+    taps_z = len(kz_np)
     zp = nz_t + 2 * rz
     pad_idx = np.pad(np.arange(nz), (rz, zp - nz - rz), mode="symmetric")
     wz_np = np.zeros((nz_t, nz), np.float32)
@@ -273,65 +313,73 @@ def fused_lowpass_decode(
         for k in range(taps_z):
             wz_np[o, pad_idx[o + k]] += kz_np[k]
     wz = jnp.asarray(wz_np)
+    # banded y weights (boundary handled by the in-kernel window reflection);
+    # transposed so the kernel's lhs contraction sees (ty, ty + 2ry)
+    wy = jnp.asarray(_banded_conv_matrix(ky_np, tile_y).T.copy())
 
-    # ---- pass 1: scan over y blocks — single-read y conv + z conv → z-major
+    # ---- pass 1: scan over y blocks — single-read y+z MXU conv → z-major
+    tb = _PASS1_TILE_B
     n_yblocks = ny_t // tile_y
     last_j = n_yblocks  # grid runs one step past the last block (output lag)
     rt = max(ry, 1)
     zy_out = pl.pallas_call(
-        partial(
-            _zyconv_scan_kernel,
-            taps_y=int(ky.shape[0]), tile_y=tile_y, ry=ry, last_j=last_j,
-        ),
-        grid=(bits_p // tile_b, n_yblocks + 1),
+        partial(_zyconv_scan_kernel, tile_y=tile_y, ry=ry, last_j=last_j),
+        grid=(bits_p // tb, n_yblocks + 1),
         in_specs=[
             pl.BlockSpec(
-                (tile_b, nz, tile_y, xp),
+                (tb, nz, tile_y, xp),
                 lambda b, j: (b, 0, jnp.minimum(j, last_j - 1), 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((nz_t, nz), lambda b, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, int(ky.shape[0])), lambda b, j: (0, 0),
+            pl.BlockSpec((tile_y, tile_y + 2 * ry), lambda b, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (nz_t, tile_b, tile_y, xp),
-            lambda b, j: (0, b, jnp.maximum(j - 1, 0), 0),
+            (nz_t, tile_y, tb, xp),
+            lambda b, j: (0, jnp.maximum(j - 1, 0), b, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((nz_t, bits_p, ny_t, xp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nz_t, ny_t, bits_p, xp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tile_b, nz, tile_y, xp), jnp.float32),
-            pltpu.VMEM((tile_b, nz, rt, xp), jnp.float32),
+            pltpu.VMEM((tb, nz, tile_y, xp), jnp.float32),
+            pltpu.VMEM((tb, nz, rt, xp), jnp.float32),
         ],
-    )(prepped, wz, ky[None, :])
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+    )(prepped, wz, wy)
     if stages in (1, 2):
         return zy_out
 
-    # ---- pass 2: x conv + decode, full padded X per block, int16/bf16 stores
+    # ---- pass 2: segmented-matmul x conv + decode, int16/bf16 stores
     cb_p = _pad_const(_pad_const(codebook_t.T, bits_p, 1, 0.0), words_p, 0, -1.0)
-    bg_p = _pad_const(background[:, None], bits_p, 0, 0.0)
-    norm_p = _pad_const(normalization[:, None], bits_p, 0, 1.0)
+    bg_p = _pad_const(background[None, :], bits_p, 1, 0.0)
+    norm_p = _pad_const(normalization[None, :], bits_p, 1, 1.0)
     thr = jnp.asarray(
         [[magnitude_threshold[0], magnitude_threshold[1], distance_threshold, 0.0]],
         jnp.float32,
     )
     exch = jnp.asarray(np.eye(max(rx, 1), dtype=np.float32)[::-1].copy())
+    n_seg = -(-nx // 128)
+    w_tail = nx - 128 * (n_seg - 1)
+    wseg = jnp.asarray(_banded_conv_matrix(kx_np, 128))
+    wtail = jnp.asarray(_banded_conv_matrix(kx_np, w_tail))
     decoded, dist, mag, scaled = pl.pallas_call(
-        partial(_xconv_decode_kernel, taps=int(kx.shape[0]), nx=nx, rx=rx),
+        partial(_xconv_decode_kernel, nx=nx, rx=rx),
         grid=(nz_t // tile_z3, ny_t // tile_y3),
         in_specs=[
-            pl.BlockSpec((tile_z3, bits_p, tile_y3, xp),
-                         lambda z, j: (z, 0, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, int(kx.shape[0])), lambda z, j: (0, 0),
+            pl.BlockSpec((tile_z3, tile_y3, bits_p, xp),
+                         lambda z, j: (z, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wseg.shape, lambda z, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wtail.shape, lambda z, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((max(rx, 1), max(rx, 1)), lambda z, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((words_p, bits_p), lambda z, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bits_p, 1), lambda z, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bits_p, 1), lambda z, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bits_p), lambda z, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bits_p), lambda z, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4), lambda z, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -350,7 +398,7 @@ def fused_lowpass_decode(
             jax.ShapeDtypeStruct((nz_t, ny_t, nx_t), jnp.bfloat16),
             jax.ShapeDtypeStruct((bits_p, nz_t, ny_t, nx_t), jnp.bfloat16),
         ),
-    )(zy_out, kx[None, :], exch, cb_p, bg_p, norm_p, thr)
+    )(zy_out, wseg, wtail, exch, cb_p, bg_p, norm_p, thr)
 
     return (
         decoded[:nz, :ny, :nx],
