@@ -17,6 +17,8 @@ chip for decon+register+decode per 3D tile) on production-shaped volumes:
   (`register_pair_to_fixed`) on a device-resident (32, 1024, 1024) pair,
 - sofima: deformable-flow patch cross-correlation + relaxation on the
   same pair (the r02 bench omitted the deformable path entirely),
+- ufish: U-FISH c32 U-Net inference on a device-resident tile, batch-8
+  z planes (the CNN the reference runs once per readout bit),
 - e2e_tile: one REAL tile through the pipeline — datastore zarr reads,
   RLGC decon, registration, spot prediction, fused decode, component
   extraction, parquet write — reporting out-voxels/s INCLUDING host I/O
@@ -24,7 +26,8 @@ chip for decon+register+decode per 3D tile) on production-shaped volumes:
   comparable to),
 - pipeline: the combined per-tile DEVICE rate under the reference's
   per-tile work composition (9 fiducial-round decons + 16 readout-bit
-  decons + 8 pairwise round registrations + one full decode;
+  decons + 8 pairwise round registrations + 16 U-FISH predictions + one
+  full decode;
   `DataRegistration._generate_registrations`, `_apply_registration_to_bits`,
   `PixelDecoder.decode_one_tile`).
 
@@ -68,6 +71,7 @@ REFERENCE_DECODE_VOXELS_PER_SEC = 1.0e8  # RTX 3090-class kernel ESTIMATE
 # one decode pass over the tile
 N_DECON_VOLUMES = 9 + 16
 N_REGISTRATION_PAIRS = 8
+N_PREDICT_VOLUMES = 16  # U-FISH runs once per readout bit
 
 # MOp-scale accounting (docstring above)
 _MOP_TILES = 42
@@ -403,6 +407,24 @@ def bench_sofima(jax, jnp, sync) -> float:
     return TILE_VOXELS / elapsed
 
 
+def bench_ufish(jax, jnp, sync) -> float:
+    """U-FISH CNN inference rate (probability voxels/s) on a
+    device-resident tile — the c32 double-conv U-Net the reference runs
+    per readout bit (`DataRegistration.py:886-899`), batch-8 z planes
+    (the r02 bench omitted CNN inference entirely — VERDICT r2 item 7)."""
+    from merfish3d_tpu.models.ufish import UFishPredictor
+
+    pred = UFishPredictor()
+    vol = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(9), (NZ, NY, NX), jnp.float32) * 200.0
+    )
+    pred.predict(vol)  # compile + warm
+    t0 = time.perf_counter()
+    pred.predict(vol)
+    elapsed = time.perf_counter() - t0
+    return TILE_VOXELS / elapsed
+
+
 def bench_e2e_tile(platform: str) -> tuple[float, dict]:
     """One real tile end-to-end: datastore reads → decon → registration →
     prediction → decode → extraction → parquet, INCLUDING host I/O.
@@ -515,6 +537,15 @@ def main() -> None:
         baseline_kind="vs_whole_reference_pipeline_rate",
     )
 
+    ufish_vps = bench_ufish(jax, jnp, sync)
+    _emit(
+        "ufish_voxels_per_sec_per_chip",
+        ufish_vps,
+        "voxel/s",
+        REFERENCE_PIPELINE_VOXELS_PER_SEC,
+        baseline_kind="vs_whole_reference_pipeline_rate",
+    )
+
     e2e_vps, e2e_detail = bench_e2e_tile(platform)
     _emit(
         "e2e_tile_voxels_per_sec_per_chip",
@@ -529,6 +560,7 @@ def main() -> None:
     seconds_per_tile = (
         N_DECON_VOLUMES * TILE_VOXELS / rlgc_vps
         + N_REGISTRATION_PAIRS * TILE_VOXELS / reg_vps
+        + N_PREDICT_VOLUMES * TILE_VOXELS / ufish_vps
         + TILE_VOXELS / decode_vps
     )
     pipeline_vps = TILE_VOXELS / seconds_per_tile
@@ -538,7 +570,10 @@ def main() -> None:
         "voxel/s",
         REFERENCE_PIPELINE_VOXELS_PER_SEC,
         baseline_kind="mop_wallclock_derived",
-        composition=f"{N_DECON_VOLUMES}x rlgc + {N_REGISTRATION_PAIRS}x register + 1x decode per tile",
+        composition=(
+            f"{N_DECON_VOLUMES}x rlgc + {N_REGISTRATION_PAIRS}x register + "
+            f"{N_PREDICT_VOLUMES}x ufish + 1x decode per tile"
+        ),
     )
 
 

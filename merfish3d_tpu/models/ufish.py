@@ -178,15 +178,30 @@ class UFishPredictor:
         )
 
     def predict(self, volume: np.ndarray, batch_size: int = 8) -> np.ndarray:
-        """Per-plane prediction over a (Z, Y, X) volume → probabilities."""
+        """Per-plane prediction over a (Z, Y, X) volume → probabilities.
+
+        Planes run through the net in fixed-size z batches (the final
+        batch zero-padded so jit compiles exactly one shape): a one-shot
+        apply at production shapes keeps every skip tensor live at once
+        (a 50×2048²×32-channel level-1 activation alone is 26 GB) while
+        a batch of 8 stays comfortably under the 16 GB v5e HBM.
+        """
         vol = jnp.asarray(volume, jnp.float32)
         nz, ny, nx = vol.shape
         py = -(-ny // self.pad_to) * self.pad_to
         px = -(-nx // self.pad_to) * self.pad_to
         planes = jax.vmap(_percentile_normalize)(vol)
         planes = jnp.pad(planes, ((0, 0), (0, py - ny), (0, px - nx)), mode="reflect")
-        out = self._apply(self.params, planes[..., None])[..., 0]
-        return np.asarray(out[:, :ny, :nx], np.float32)
+        bs = max(1, int(batch_size))
+        chunks = []
+        for s in range(0, nz, bs):
+            chunk = planes[s : s + bs]
+            n = chunk.shape[0]
+            if n < bs:
+                chunk = jnp.pad(chunk, ((0, bs - n), (0, 0), (0, 0)))
+            res = self._apply(self.params, chunk[..., None])[..., 0]
+            chunks.append(np.asarray(res[:n, :ny, :nx], np.float32))
+        return np.concatenate(chunks, axis=0)
 
 
 class DoGSpotPredictor:
