@@ -398,7 +398,7 @@ def bench_sofima(jax, jnp, sync) -> float:
     )
     moving = np.roll(fixed, (0, 3, -2), axis=(0, 1, 2))
 
-    cfg = SofimaRegistrationConfig(num_residual_iterations=1)
+    cfg = SofimaRegistrationConfig(residual_iterations=1)
     flow, meta = estimate_sofima_flow_field_xyz_px(fixed, moving, cfg)  # warm
 
     t0 = time.perf_counter()
@@ -449,26 +449,34 @@ def bench_e2e_tile(platform: str) -> tuple[float, dict]:
             n_spots=300 if platform == "tpu" else 40,
             seed=3,
         )
-        t0 = time.perf_counter()
-        reg = DataRegistration(
-            ds,
-            decon_fiducial=False,
-            decon_readout=True,
-            decon_max_iters=10,
-            global_registration=True,
-            overwrite=True,
-            verbose=0,
-        )
-        reg.register_all_tiles()
-        t_reg = time.perf_counter() - t0
+        def one_pass():
+            t0 = time.perf_counter()
+            reg = DataRegistration(
+                ds,
+                decon_fiducial=False,
+                decon_readout=True,
+                decon_max_iters=10,
+                global_registration=True,
+                overwrite=True,
+                verbose=0,
+            )
+            reg.register_all_tiles()
+            t_reg = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        decoder = PixelDecoder(
-            ds, minimum_pixels=4, magnitude_threshold=(0.9, 10.0), verbose=0
-        )
-        decoder._load_global_normalization_vectors(recalculate=True)
-        decoder.decode_one_tile(0, save=True)
-        t_dec = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            decoder = PixelDecoder(
+                ds, minimum_pixels=4, magnitude_threshold=(0.9, 10.0), verbose=0
+            )
+            decoder._load_global_normalization_vectors(recalculate=True)
+            decoder.decode_one_tile(0, save=True)
+            return t_reg, time.perf_counter() - t0
+
+        # pass 1 compiles every program in the path (profiled at >80% of
+        # its wall-clock through the tunneled compiler); pass 2 is the
+        # per-tile rate a production run sustains once the first tile has
+        # warmed the jit caches (42+ tiles amortize pass 1's compiles).
+        cold_reg, cold_dec = one_pass()
+        t_reg, t_dec = one_pass()
 
         out_voxels = int(np.prod(shape))
         total = t_reg + t_dec
@@ -476,6 +484,9 @@ def bench_e2e_tile(platform: str) -> tuple[float, dict]:
             "tile_shape": list(shape),
             "register_seconds": round(t_reg, 2),
             "decode_seconds": round(t_dec, 2),
+            "first_tile_compile_overhead_seconds": round(
+                cold_reg + cold_dec - total, 2
+            ),
         }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -40,14 +40,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--global-registration-only", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--registration-diagnostics", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--decon-max-iters", type=int, default=40)
-    # SOFIMA config (reference SofimaRegistrationConfig fields)
+    # SOFIMA config (reference flag set, `preprocess.py:50-65`; the
+    # subpixel_*/mesh_* integrator flags are superseded — see
+    # SofimaRegistrationConfig's docstring for the mapping)
+    p.add_argument("--sofima-residual-iterations", type=int, default=2)
     p.add_argument("--sofima-patch-size-zyx", type=int, nargs=3, default=(10, 32, 32))
-    p.add_argument("--sofima-stride-zyx", type=int, nargs=3, default=(5, 16, 16))
-    p.add_argument("--sofima-max-magnitude-px", type=float, default=8.0)
-    p.add_argument("--sofima-min-peak-ratio", type=float, default=1.4)
-    p.add_argument("--sofima-max-deviation-px", type=float, default=5.0)
-    p.add_argument("--sofima-axial-clip-px", type=float, default=5.0)
-    p.add_argument("--sofima-num-residual-iterations", type=int, default=2)
+    p.add_argument("--sofima-minimum-patch-size-px", type=int, default=4)
+    p.add_argument("--sofima-step-divisor", type=int, default=2)
+    p.add_argument("--sofima-stride-zyx", type=int, nargs=3, default=None,
+                   help="explicit stride override of patch // step-divisor")
+    p.add_argument("--sofima-peak-min-distance", type=int, default=2)
+    p.add_argument("--sofima-peak-radius", type=int, default=8)
+    p.add_argument("--sofima-batch-size", type=int, default=512)
+    p.add_argument("--sofima-max-masked", type=float, default=0.75)
+    p.add_argument("--sofima-min-peak-ratio", type=float, default=1.2)
+    p.add_argument("--sofima-min-peak-sharpness", type=float, default=1.2)
+    p.add_argument("--sofima-max-magnitude", type=float, default=30.0)
+    p.add_argument("--sofima-max-deviation", type=float, default=5.0)
+    p.add_argument("--sofima-max-local-z-displacement-px", type=float, default=5.0)
+    p.add_argument("--sofima-normalization-epsilon", type=float, default=1e-6)
     # Global registration / fusion configs
     p.add_argument("--global-binning-zyx", type=int, nargs=3, default=(3, 6, 6))
     p.add_argument("--global-transform-type", type=str, default="translation")
@@ -80,13 +91,24 @@ def local_register_data(args) -> None:
         ufish_checkpoint=args.ufish_checkpoint,
         global_registration=args.global_registration,
         sofima_config=SofimaRegistrationConfig(
+            residual_iterations=args.sofima_residual_iterations,
             patch_size_zyx=tuple(args.sofima_patch_size_zyx),
-            stride_zyx=tuple(args.sofima_stride_zyx),
-            max_magnitude_px=args.sofima_max_magnitude_px,
+            minimum_patch_size_px=args.sofima_minimum_patch_size_px,
+            step_divisor=args.sofima_step_divisor,
+            stride_zyx=(
+                tuple(args.sofima_stride_zyx)
+                if args.sofima_stride_zyx is not None else None
+            ),
+            peak_min_distance=args.sofima_peak_min_distance,
+            peak_radius=args.sofima_peak_radius,
+            batch_size=args.sofima_batch_size,
+            max_masked=args.sofima_max_masked,
             min_peak_ratio=args.sofima_min_peak_ratio,
-            max_deviation_px=args.sofima_max_deviation_px,
-            axial_clip_px=args.sofima_axial_clip_px,
-            num_residual_iterations=args.sofima_num_residual_iterations,
+            min_peak_sharpness=args.sofima_min_peak_sharpness,
+            max_magnitude=args.sofima_max_magnitude,
+            max_deviation=args.sofima_max_deviation,
+            max_local_z_displacement_px=args.sofima_max_local_z_displacement_px,
+            normalization_epsilon=args.sofima_normalization_epsilon,
         ),
         global_registration_config=GlobalRegistrationConfig(
             binning_zyx=tuple(args.global_binning_zyx),

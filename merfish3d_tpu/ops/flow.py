@@ -29,8 +29,9 @@ moving image), lattice origin at the patch centers.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import asdict, dataclass
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,19 +40,72 @@ import numpy as np
 
 @dataclass(frozen=True)
 class SofimaRegistrationConfig:
-    """Deformable-registration knobs (reference
-    `SofimaRegistrationConfig:9-46`; fields kept to the used subset)."""
+    """Deformable-registration knobs, field-compatible with the reference
+    `SofimaRegistrationConfig` (`utils/sofima_registration.py:9-46`).
 
+    Two reference field groups have a different TPU-side mechanism and
+    therefore different knobs:
+
+    - ``subpixel_offsets`` / ``subpixel_batch_size`` (the reference's
+      offset-resampled refinement pass) are superseded by the
+      closed-form 3-point parabolic peak fit inside the x-corr kernel —
+      no resampling pass exists to parameterize;
+    - ``mesh_*`` (the elastic-mesh explicit integrator) map onto the
+      Jacobi relaxation's ``relax_smoothness`` (≈ mesh_k/mesh_k0),
+      ``relax_iterations`` (≈ mesh_num_iters) and ``relax_tolerance``
+      (≈ mesh_stop_v_max).
+
+    ``batch_size`` defaults TPU-sized (512 patches per vmapped FFT
+    batch; the reference's 32 suits smaller GPU launches) — it affects
+    memory/speed only, never results.
+    """
+
+    residual_iterations: int = 2
     patch_size_zyx: tuple[int, int, int] = (10, 32, 32)
-    stride_zyx: tuple[int, int, int] = (5, 16, 16)
-    max_magnitude_px: float = 8.0
-    min_peak_ratio: float = 1.4
-    max_deviation_px: float = 5.0
-    axial_clip_px: float = 5.0
-    num_residual_iterations: int = 2
+    minimum_patch_size_px: int = 4
+    step_divisor: int = 2
+    stride_zyx: Optional[tuple[int, int, int]] = None  # override patch//divisor
+    peak_min_distance: int = 2
+    peak_radius: int = 8
+    batch_size: int = 512
+    max_masked: float = 0.75
+    min_peak_ratio: float = 1.2
+    min_peak_sharpness: float = 1.2
+    max_magnitude: float = 30.0
+    max_deviation: float = 5.0
+    max_local_z_displacement_px: float = 5.0
+    normalization_epsilon: float = 1e-6
     relax_smoothness: float = 0.25
     relax_iterations: int = 200
     relax_tolerance: float = 1e-4
+
+    def as_metadata(self) -> dict:
+        """JSON-compatible config metadata (reference `as_metadata:40-46`)."""
+        md = asdict(self)
+        md["patch_size_zyx"] = [int(v) for v in self.patch_size_zyx]
+        if self.stride_zyx is not None:
+            md["stride_zyx"] = [int(v) for v in self.stride_zyx]
+        return md
+
+    def resolve_patch_and_stride(
+        self, shape_zyx: tuple[int, int, int]
+    ) -> tuple[tuple[int, int, int], tuple[int, int, int]]:
+        """Patch clipped to the volume with the minimum-size floor; stride
+        = patch // step_divisor unless explicitly overridden
+        (reference `_resolve_patch_and_step:50-80`)."""
+        patch = tuple(
+            int(max(self.minimum_patch_size_px, min(s, p)))
+            for s, p in zip(shape_zyx, self.patch_size_zyx)
+        )
+        if self.stride_zyx is not None:
+            stride = tuple(
+                int(max(1, min(st, p))) for st, p in zip(self.stride_zyx, patch)
+            )
+        else:
+            stride = tuple(
+                max(1, p // max(1, int(self.step_divisor))) for p in patch
+            )
+        return patch, stride
 
 
 def _lattice_starts(size: int, patch: int, stride: int) -> np.ndarray:
@@ -59,7 +113,14 @@ def _lattice_starts(size: int, patch: int, stride: int) -> np.ndarray:
     return np.arange(n) * stride
 
 
-@partial(jax.jit, static_argnames=("patch_size", "strides", "batch_size"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "patch_size", "strides", "batch_size",
+        "peak_min_distance", "peak_radius", "max_masked",
+        "normalization_epsilon",
+    ),
+)
 def _patch_xcorr_flow(
     fixed: jnp.ndarray,
     moving: jnp.ndarray,
@@ -67,6 +128,10 @@ def _patch_xcorr_flow(
     patch_size: tuple[int, int, int],
     strides: tuple[int, int, int],
     batch_size: int = 512,
+    peak_min_distance: int = 2,
+    peak_radius: int = 8,
+    max_masked: float = 0.75,
+    normalization_epsilon: float = 1e-6,
 ):
     """Integer + subpixel flow per lattice patch via BATCHED FFT x-corr:
     lattice patches are gathered and cross-correlated ``batch_size`` at a
@@ -75,8 +140,18 @@ def _patch_xcorr_flow(
     `utils/sofima_registration.py:625`), bounding memory at
     O(batch_size · patch voxels) while keeping the FFTs batched on device.
 
-    Returns (flow_zyx (P, 3), peak_ratio (P,)) with flow = displacement of
-    moving content relative to the reference patch."""
+    Per-patch statistics mirror the SOFIMA calculator's knobs:
+
+    - ``peak_min_distance`` — periodic Chebyshev exclusion radius around
+      the best peak when finding the second-best (peak ratio),
+    - ``peak_radius`` — neighborhood radius whose mean correlation
+      defines peak sharpness (best / neighborhood mean),
+    - ``max_masked`` — patches whose fraction of exactly-zero voxels
+      (warped-in border fill) exceeds this are invalidated,
+    - ``normalization_epsilon`` — guard in the per-patch standardization.
+
+    Returns (flow_zyx (P, 3), peak_ratio (P,), peak_sharpness (P,)) with
+    flow = displacement of moving content relative to the reference patch."""
     pz, py, px = patch_size
     starts = [
         _lattice_starts(s, p, st)
@@ -110,8 +185,13 @@ def _patch_xcorr_flow(
     def one_patch(start):
         f = jax.lax.dynamic_slice(fixed, start, patch_size)
         m = jax.lax.dynamic_slice(moving, start, patch_size)
+        masked_frac = jnp.mean(
+            ((f == 0.0) | (m == 0.0)).astype(jnp.float32)
+        )
         f = f - jnp.mean(f)
         m = m - jnp.mean(m)
+        f = f / (jnp.std(f) + normalization_epsilon)
+        m = m / (jnp.std(m) + normalization_epsilon)
         from .fftutils import c_conj, c_mul, fftn_spec, ifftn_spec
 
         F = fftn_spec(f)
@@ -122,17 +202,31 @@ def _patch_xcorr_flow(
         idx = jnp.stack(jnp.unravel_index(flat, corr.shape))
         peak = jnp.stack([signed[a][idx[a]] for a in range(3)])
 
-        # peak ratio: best / second-best outside a periodic 1-px
-        # neighborhood of the best (gather-free: coordinate-ramp compare)
+        # peak ratio: best / second-best outside a periodic
+        # peak_min_distance Chebyshev neighborhood of the best
+        # (gather-free: coordinate-ramp compare)
         best = corr_m.reshape(-1)[flat]
         neigh = jnp.ones(patch_size, bool)
+        ring = jnp.ones(patch_size, bool)
         for ax in range(3):
             n = patch_size[ax]
             d = jnp.abs(ramps[ax] - idx[ax])
-            neigh = neigh & (jnp.minimum(d, n - d) <= 1)
+            d = jnp.minimum(d, n - d)
+            neigh = neigh & (d <= peak_min_distance)
+            ring = ring & (d <= peak_radius)
         second = jnp.max(jnp.where(neigh, -jnp.inf, corr_m))
         ratio = best / jnp.maximum(second, 1e-12)
         ratio = jnp.where(second <= 0, jnp.inf, ratio)
+        ratio = jnp.where(masked_frac > max_masked, 0.0, ratio)
+
+        # peak sharpness: best / mean correlation magnitude in the
+        # peak_radius neighborhood (excluding the peak itself)
+        ring_n = ring & ~neigh
+        ring_sum = jnp.sum(jnp.where(ring_n, jnp.abs(corr), 0.0))
+        ring_cnt = jnp.sum(ring_n.astype(jnp.float32))
+        sharpness = best / jnp.maximum(
+            ring_sum / jnp.maximum(ring_cnt, 1.0), 1e-12
+        )
 
         # 3-point parabolic subpixel refinement per axis
         sub = []
@@ -152,27 +246,38 @@ def _patch_xcorr_flow(
             sub.append(jnp.clip(delta, -0.5, 0.5))
         # x-corr peak is the "push"; flow (content displacement) = -push
         flow = -(peak + jnp.stack(sub))
-        return flow, ratio
+        return flow, ratio, sharpness
 
-    flows, ratios = jax.lax.map(one_patch, grid, batch_size=batch_size)
+    flows, ratios, sharps = jax.lax.map(
+        one_patch, grid, batch_size=batch_size
+    )
     lattice_shape = tuple(len(s) for s in starts)
     return (
         flows.reshape(*lattice_shape, 3),
         ratios.reshape(lattice_shape),
+        sharps.reshape(lattice_shape),
     )
 
 
 def _clean_flow(
-    flow_zyx: np.ndarray, ratios: np.ndarray, cfg: SofimaRegistrationConfig
+    flow_zyx: np.ndarray,
+    ratios: np.ndarray,
+    sharps: np.ndarray,
+    cfg: SofimaRegistrationConfig,
 ) -> np.ndarray:
-    """Validity mask: peak ratio, magnitude, per-channel deviation from the
-    median of surviving vectors (reference ``clean_flow`` semantics)."""
+    """Validity mask: peak ratio, peak sharpness, magnitude, per-channel
+    deviation from the median of surviving vectors (reference
+    ``flow_utils.clean_flow`` semantics, `sofima_registration.py:651-657`)."""
     mag = np.linalg.norm(flow_zyx, axis=-1)
-    valid = (ratios >= cfg.min_peak_ratio) & (mag <= cfg.max_magnitude_px)
+    valid = (
+        (ratios >= cfg.min_peak_ratio)
+        & (sharps >= cfg.min_peak_sharpness)
+        & (mag <= cfg.max_magnitude)
+    )
     if valid.any():
         med = np.median(flow_zyx[valid], axis=0)
         dev = np.abs(flow_zyx - med).max(axis=-1)
-        valid = valid & (dev <= cfg.max_deviation_px)
+        valid = valid & (dev <= cfg.max_deviation)
     return valid
 
 
@@ -265,8 +370,7 @@ def estimate_sofima_flow_field_xyz_px(
     from ..ops.warp import _affine_flow_warp_core
 
     cfg = config
-    patch = tuple(min(p, s) for p, s in zip(cfg.patch_size_zyx, reference.shape))
-    stride = tuple(min(st, p) for st, p in zip(cfg.stride_zyx, patch))
+    patch, stride = cfg.resolve_patch_and_stride(reference.shape)
     ref_j = jnp.asarray(reference, jnp.float32)
 
     starts = [
@@ -295,16 +399,22 @@ def estimate_sofima_flow_field_xyz_px(
         moving_shape_zyx_px=[int(v) for v in moving.shape],
     )
 
-    for iteration in range(max(1, cfg.num_residual_iterations)):
-        flow_zyx, ratios = _patch_xcorr_flow(
+    for iteration in range(max(1, cfg.residual_iterations)):
+        flow_zyx, ratios, sharps = _patch_xcorr_flow(
             ref_j,
             current,
             patch_size=patch,
             strides=stride,
+            batch_size=int(cfg.batch_size),
+            peak_min_distance=int(cfg.peak_min_distance),
+            peak_radius=int(cfg.peak_radius),
+            max_masked=float(cfg.max_masked),
+            normalization_epsilon=float(cfg.normalization_epsilon),
         )
         flow_zyx = np.asarray(flow_zyx)
         ratios = np.asarray(ratios)
-        valid = _clean_flow(flow_zyx, ratios, cfg)
+        sharps = np.asarray(sharps)
+        valid = _clean_flow(flow_zyx, ratios, sharps, cfg)
         valid_count = int(valid.sum())
         if valid_count == 0:
             break
@@ -320,10 +430,13 @@ def estimate_sofima_flow_field_xyz_px(
                 tolerance=cfg.relax_tolerance,
             )
         )
-        # axial clip to median ± axial_clip_px
+        # axial stabilization: Z clipped to median ± the local limit
+        # (reference `_stabilize_axial_flow_component:81-148`)
         z_med = float(np.median(relaxed[..., 0]))
         relaxed[..., 0] = np.clip(
-            relaxed[..., 0], z_med - cfg.axial_clip_px, z_med + cfg.axial_clip_px
+            relaxed[..., 0],
+            z_med - cfg.max_local_z_displacement_px,
+            z_med + cfg.max_local_z_displacement_px,
         )
         residual_xyz = np.stack(
             [relaxed[..., 2], relaxed[..., 1], relaxed[..., 0]]
@@ -334,7 +447,7 @@ def estimate_sofima_flow_field_xyz_px(
             total_xyz = _compose_flow_fields_same_grid(
                 total_xyz, residual_xyz, np.asarray(stride, np.float64)
             )
-        if iteration + 1 < cfg.num_residual_iterations:
+        if iteration + 1 < cfg.residual_iterations:
             current = _affine_flow_warp_core(
                 moving_j,
                 jnp.asarray(total_xyz),

@@ -57,7 +57,7 @@ def test_flow_estimator_recovers_smooth_warp():
     cfg = SofimaRegistrationConfig(
         patch_size_zyx=(12, 24, 24),
         stride_zyx=(6, 12, 12),
-        num_residual_iterations=2,
+        residual_iterations=2,
     )
     flow, meta = estimate_sofima_flow_field_xyz_px(ref, moving.astype(np.float32), cfg)
     assert meta["sofima_status"] == "ok"
@@ -101,7 +101,7 @@ def test_flow_estimator_zero_displacement():
     ref = _bead_volume(shape=(16, 64, 64), n=80, seed=3)
     cfg = SofimaRegistrationConfig(
         patch_size_zyx=(8, 16, 16), stride_zyx=(4, 8, 8),
-        num_residual_iterations=1,
+        residual_iterations=1,
     )
     flow, meta = estimate_sofima_flow_field_xyz_px(ref, ref.copy(), cfg)
     assert meta["sofima_status"] == "ok"
@@ -124,7 +124,7 @@ def test_flow_datastore_roundtrip_preserves_warp(tmp_path):
     ).astype(np.float32)
     cfg = SofimaRegistrationConfig(
         patch_size_zyx=(8, 16, 16), stride_zyx=(4, 8, 8),
-        num_residual_iterations=1,
+        residual_iterations=1,
     )
     flow, meta = estimate_sofima_flow_field_xyz_px(ref, moving, cfg)
 

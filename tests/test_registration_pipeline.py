@@ -265,7 +265,7 @@ def test_deformable_registration_pipeline(tmp_path):
 
     reg._sofima_config = SofimaRegistrationConfig(
         patch_size_zyx=(8, 24, 24), stride_zyx=(4, 12, 12),
-        num_residual_iterations=1,
+        residual_iterations=1,
     )
     reg.register_one_tile(0)
     flow = ds.load_local_sofima_flow_field(0, 1)
