@@ -108,6 +108,86 @@ def test_flow_estimator_zero_displacement():
     assert np.abs(flow).max() < 0.3
 
 
+def test_config_patch_stride_resolution():
+    """Patch clipped to volume with the minimum floor; stride =
+    patch // step_divisor unless overridden (reference
+    `_resolve_patch_and_step`, `utils/sofima_registration.py:50-80`)."""
+    cfg = SofimaRegistrationConfig(
+        patch_size_zyx=(10, 32, 32), step_divisor=2, minimum_patch_size_px=4
+    )
+    patch, stride = cfg.resolve_patch_and_stride((6, 64, 64))
+    assert patch == (6, 32, 32)
+    assert stride == (3, 16, 16)
+    # the minimum-size floor kicks in for very thin volumes
+    patch, _ = cfg.resolve_patch_and_stride((2, 64, 64))
+    assert patch[0] == 4
+    # explicit stride override wins and is clipped to the patch
+    cfg = SofimaRegistrationConfig(
+        patch_size_zyx=(8, 16, 16), stride_zyx=(4, 99, 8)
+    )
+    patch, stride = cfg.resolve_patch_and_stride((16, 64, 64))
+    assert stride == (4, 16, 8)
+
+    md = cfg.as_metadata()
+    assert md["stride_zyx"] == [4, 99, 8]
+    assert md["patch_size_zyx"] == [8, 16, 16]
+
+
+def test_masked_fraction_invalidates_empty_patches():
+    """Patches dominated by exactly-zero fill (warped-in borders) must be
+    invalidated via ``max_masked`` (SOFIMA masked-calculator semantics)
+    and survive as relaxed fill, not as measurements."""
+    ref = _bead_volume(shape=(12, 64, 64), n=60, seed=7)
+    moving = np.roll(ref, 2, axis=2)
+    # zero out the right half of both volumes: those lattice sites see
+    # mostly-zero patches and must not contribute valid vectors
+    ref_m = ref.copy()
+    mov_m = moving.copy()
+    ref_m[:, :, 32:] = 0.0
+    mov_m[:, :, 32:] = 0.0
+    # disable the ratio/sharpness gates in BOTH configs so the only
+    # discriminator between them is the masked-fraction gate (zero
+    # patches otherwise fail the sharpness gate in both, hiding it)
+    common = dict(
+        patch_size_zyx=(8, 16, 16), stride_zyx=(4, 8, 8),
+        residual_iterations=1, min_peak_ratio=0.5, min_peak_sharpness=0.0,
+    )
+    cfg = SofimaRegistrationConfig(max_masked=0.5, **common)
+    flow, meta = estimate_sofima_flow_field_xyz_px(ref_m, mov_m, cfg)
+    assert meta["sofima_status"] == "ok"
+    full_cfg = SofimaRegistrationConfig(max_masked=1.1, **common)  # gate off
+    _, meta_full = estimate_sofima_flow_field_xyz_px(ref_m, mov_m, full_cfg)
+    # with the gate active, strictly fewer vectors survive cleaning
+    assert meta["valid_flow_vectors"] < meta_full["valid_flow_vectors"]
+    # and the relaxed field still recovers the true shift where data
+    # exists (roll +2 in x ⇒ content displaced +2 ⇒ X-channel flow ≈ +2,
+    # matching the smooth-warp test's ground-truth convention)
+    assert abs(np.median(flow[0]) - 2.0) < 0.5, np.median(flow[0])
+
+
+def test_peak_sharpness_gates_noise_patches():
+    """Pure-noise patches produce flat correlation surfaces; a sharpness
+    threshold must reject them while structured patches pass."""
+    rng = np.random.default_rng(11)
+    noise_ref = rng.normal(0, 1, (8, 32, 32)).astype(np.float32)
+    noise_mov = rng.normal(0, 1, (8, 32, 32)).astype(np.float32)
+    beads = _bead_volume(shape=(8, 32, 32), n=40, seed=2)
+    cfg_strict = SofimaRegistrationConfig(
+        patch_size_zyx=(8, 16, 16), stride_zyx=(4, 8, 8),
+        residual_iterations=1, min_peak_sharpness=4.5, min_peak_ratio=1.0,
+    )
+    _, meta_noise = estimate_sofima_flow_field_xyz_px(
+        noise_ref, noise_mov, cfg_strict
+    )
+    _, meta_beads = estimate_sofima_flow_field_xyz_px(
+        beads, np.roll(beads, 1, axis=1), cfg_strict
+    )
+    # measured on this seed: noise sharpness tops out ≈3.9, bead patches
+    # sit ≥4.8 — the 4.5 gate rejects every noise patch and keeps beads
+    assert meta_noise["valid_flow_vectors"] == 0
+    assert meta_beads["valid_flow_vectors"] >= 5
+
+
 def test_flow_datastore_roundtrip_preserves_warp(tmp_path):
     """Datastore round-trip invariant (reference
     `test_sofima_flow_field_datastore_roundtrip_preserves_warp:531`):
