@@ -180,12 +180,36 @@ def component_stats(
     }
 
 
+class SparseIntensity:
+    """Foreground-only per-bit intensities: sorted global linear indices +
+    `(bits, n_fg)` values, gathered ON DEVICE right after the decode
+    kernel so only `(bits, n_fg)` values ever cross the device→host
+    boundary (the dense per-bit volume is `bits`× the size of every other
+    decode output — reading it back to then sample <1% of it dominated
+    the warm per-tile wall-clock through any host link) and no device
+    buffer outlives the decode call. Callers may gather any SUBSET of the
+    stored foreground (e.g. after mask gating — the label foreground is
+    always a subset of the decode foreground)."""
+
+    def __init__(self, fg_lin: np.ndarray, values: np.ndarray):
+        order = np.argsort(fg_lin, kind="stable")
+        self._lin = fg_lin[order]
+        self._vals = values[:, order]
+        self.nbits = int(values.shape[0])
+
+    def __call__(self, lin: np.ndarray) -> np.ndarray:
+        if lin.size == 0:
+            return np.zeros((self.nbits, 0), np.float32)
+        pos = np.searchsorted(self._lin, lin)
+        return self._vals[:, pos].astype(np.float32)
+
+
 def component_stats_host(
     decoded: np.ndarray,  # (Z, Y, X) int
     labels: np.ndarray,  # (Z, Y, X) int64 root linear indices (-1 bg)
     distance: np.ndarray,
     magnitude: np.ndarray,
-    scaled: np.ndarray,  # (bits, Z, Y, X)
+    scaled,  # (bits, Z, Y, X) array OR callable lin -> (bits, n_fg)
     *,
     collect_weighted_centroids: bool = False,
 ) -> dict:
@@ -195,13 +219,17 @@ def component_stats_host(
     (no fixed capacity); the production decoder path pairs this with the
     native union-find labeling (`merfish3d_tpu.native.label_components`) —
     the hybrid the reference's cuCIM/skimage split also uses
-    (`PixelDecoder._extract_barcodes:2476-2770`)."""
+    (`PixelDecoder._extract_barcodes:2476-2770`).
+
+    ``scaled`` may be the dense per-bit volume or a foreground gather
+    (:class:`DeviceIntensity` / :class:`SparseIntensity`) so the per-bit
+    intensities never materialize densely on the host."""
     shape = decoded.shape
     ny, nx = shape[1], shape[2]
     flat_labels = np.asarray(labels).ravel()
     lin = np.flatnonzero(flat_labels >= 0)
     if lin.size == 0:
-        bits = scaled.shape[0]
+        bits = scaled.nbits if callable(scaled) else scaled.shape[0]
         empty = np.zeros(0, np.float32)
         return {
             "valid": np.zeros(0, bool),
@@ -236,12 +264,16 @@ def component_stats_host(
     mag_mean = wsum(np.asarray(magnitude).ravel()[lin].astype(np.float64)) / safe
     codeword = np.asarray(decoded).ravel()[lin[first_idx]].astype(np.int32)
 
-    bits = scaled.shape[0]
-    # gather the foreground voxels FIRST, cast second (a full-volume
-    # float64 cast costs ~1 GB/bit; the foreground is <<1% of the volume)
-    bit_fg = np.stack(
-        [np.asarray(scaled[b]).ravel()[lin].astype(np.float64) for b in range(bits)]
-    )
+    if callable(scaled):
+        bits = scaled.nbits
+        bit_fg = np.asarray(scaled(lin), np.float64)
+    else:
+        bits = scaled.shape[0]
+        # gather the foreground voxels FIRST, cast second (a full-volume
+        # float64 cast costs ~1 GB/bit; the foreground is <<1% of the volume)
+        bit_fg = np.stack(
+            [np.asarray(scaled[b]).ravel()[lin].astype(np.float64) for b in range(bits)]
+        )
     bit_sums = np.stack([wsum(bit_fg[b]) for b in range(bits)])
     bit_means = bit_sums / safe[None, :]
 

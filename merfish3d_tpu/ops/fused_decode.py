@@ -419,14 +419,24 @@ def fused_decode_volume(
     distance_threshold: float,
     y_slab: int = 512,
     hbm_budget_bytes: int = 12 << 30,
+    scaled_as: str = "array",
 ):
     """Host wrapper: run the fused pipeline on the whole volume when it
     fits the HBM budget, else stream y-slabs with symmetric-halo overlap
     (the TPU analog of the reference per-z-plane loop, keeping full-z
     context for the σ_z lowpass).  Float outputs are bfloat16 numpy
-    arrays (ml_dtypes); consumers widen to f32 at use."""
+    arrays (ml_dtypes); consumers widen to f32 at use.
+
+    ``scaled_as="gather"`` returns the per-bit scaled intensities as a
+    foreground-only `ops.cc.SparseIntensity` instead of a dense host
+    array: the scaled volume is ``bits``× every other output, and
+    extraction only ever samples it at decoded voxels (<<1% of the
+    volume), so the dense readback is the decode path's dominant
+    host-boundary cost. The gather happens on device before the call
+    returns — no device buffer is retained."""
     import ml_dtypes
 
+    from .cc import SparseIntensity
     from .decode import normalize_codebook
 
     bf16 = np.dtype(ml_dtypes.bfloat16)
@@ -443,13 +453,34 @@ def fused_decode_volume(
     # working set ≈ input + intermediate + bf16 outputs ≈ 3.5x volume
     if 4 * vol.nbytes <= hbm_budget_bytes:
         d, m, di, s = fused_lowpass_decode(jnp.asarray(vol), cb_t, bg, norm, **kw)
+        if scaled_as == "gather":
+            d_host = np.asarray(d)
+            f = np.flatnonzero(d_host >= 0)
+            if f.size:
+                vals = jnp.take(
+                    s.reshape(bits, -1), jnp.asarray(f, jnp.int32), axis=1
+                )
+                vals = np.asarray(vals.astype(jnp.float32))
+            else:
+                vals = np.zeros((bits, 0), np.float32)
+            return (
+                d_host,
+                np.asarray(m),
+                np.asarray(di),
+                SparseIntensity(f, vals),
+            )
         return (np.asarray(d), np.asarray(m), np.asarray(di), np.asarray(s))
 
     ry = int(4.0 * sigma[1] + 0.5) if sigma[1] > 0 else 0
     decoded = np.empty((nz, ny, nx), np.int16)
     mag = np.empty((nz, ny, nx), bf16)
     dist = np.empty((nz, ny, nx), bf16)
-    scaled = np.empty((bits, nz, ny, nx), bf16)
+    gather = scaled_as == "gather"
+    if gather:
+        fg_lins: list[np.ndarray] = []
+        fg_vals: list[np.ndarray] = []
+    else:
+        scaled = np.empty((bits, nz, ny, nx), bf16)
     for y0 in range(0, ny, y_slab):
         y1 = min(y0 + y_slab, ny)
         ys, ye = max(0, y0 - ry), min(ny, y1 + ry)
@@ -463,8 +494,37 @@ def fused_decode_volume(
         d, m, di, s = fused_lowpass_decode(jnp.asarray(block), cb_t, bg, norm, **kw)
         lo = y0 - ys
         hi = lo + (y1 - y0)
-        decoded[:, y0:y1] = np.asarray(d)[:, lo:hi]
+        d_host = np.asarray(d)
+        decoded[:, y0:y1] = d_host[:, lo:hi]
         mag[:, y0:y1] = np.asarray(m)[:, lo:hi]
         dist[:, y0:y1] = np.asarray(di)[:, lo:hi]
-        scaled[:, :, y0:y1] = np.asarray(s)[:, :, lo:hi]
+        if gather:
+            # foreground of this slab's interior: the decoded slab itself
+            # marks it, so only (bits, n_fg_slab) scaled values come back
+            h = y1 - y0
+            f = np.flatnonzero(d_host[:, lo:hi] >= 0)
+            if f.size:
+                z_f = f // (h * nx)
+                rem = f % (h * nx)
+                y_f = rem // nx
+                x_f = rem % nx
+                slab_rows = d_host.shape[1]
+                slab_lin = (z_f * slab_rows + (lo + y_f)) * nx + x_f
+                vals = jnp.take(
+                    s.reshape(bits, -1),
+                    jnp.asarray(slab_lin, jnp.int32),
+                    axis=1,
+                )
+                fg_vals.append(np.asarray(vals.astype(jnp.float32)))
+                fg_lins.append((z_f * ny + (y0 + y_f)) * nx + x_f)
+        else:
+            scaled[:, :, y0:y1] = np.asarray(s)[:, :, lo:hi]
+    if gather:
+        if fg_lins:
+            lin_all = np.concatenate(fg_lins)
+            val_all = np.concatenate(fg_vals, axis=1)
+        else:
+            lin_all = np.zeros(0, np.int64)
+            val_all = np.zeros((bits, 0), np.float32)
+        return decoded, mag, dist, SparseIntensity(lin_all, val_all)
     return decoded, mag, dist, scaled

@@ -419,6 +419,7 @@ class PixelDecoder:
                 sigma=sigma,
                 magnitude_threshold=self._magnitude_threshold,
                 distance_threshold=self._pixel_distance_threshold,
+                scaled_as="gather",
             )
             intensity = scaled
         else:
@@ -439,6 +440,8 @@ class PixelDecoder:
             # intensity source: raw lowpassed data during normalization
             # optimization, scaled traces otherwise (`PixelDecoder.py:2503-2510`)
             intensity = image_lp if optimize_normalization_weights else scaled
+        if callable(intensity):  # foreground gather — never densify on host
+            return decoded, mag, dist, intensity
         return decoded, mag, dist, np.asarray(intensity, np.float32)
 
     def _decode_loaded_tile(
@@ -499,7 +502,7 @@ class PixelDecoder:
             labels,
             distance.astype(np.float32),
             magnitude.astype(np.float32),
-            np.asarray(intensity, np.float32),
+            intensity if callable(intensity) else np.asarray(intensity, np.float32),
             collect_weighted_centroids=self._collect_chromatic_centroids,
         )
         valid = np.asarray(stats["valid"])

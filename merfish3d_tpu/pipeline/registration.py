@@ -564,8 +564,23 @@ def _spot_table_from_probability(
     if n == 0:
         centroids = np.zeros((0, 3))
     else:
-        centroids = np.asarray(
-            scipy.ndimage.center_of_mass(prob, labels, index=np.arange(1, n + 1))
+        # probability-weighted centroids via bincount over the foreground
+        # voxels only (scipy center_of_mass re-sweeps the dense volume
+        # per statistic — measured 6.3 s/tile of pure host time)
+        lin = np.flatnonzero(labels.ravel() > 0)
+        lab = labels.ravel()[lin]
+        w = prob.ravel()[lin].astype(np.float64)
+        ny_, nx_ = prob.shape[1], prob.shape[2]
+        z_f = lin // (ny_ * nx_)
+        rem = lin % (ny_ * nx_)
+        y_f, x_f = rem // nx_, rem % nx_
+        wsum = np.maximum(np.bincount(lab, weights=w, minlength=n + 1)[1:], 1e-30)
+        centroids = np.stack(
+            [
+                np.bincount(lab, weights=w * c, minlength=n + 1)[1:] / wsum
+                for c in (z_f, y_f, x_f)
+            ],
+            axis=1,
         )
     zs, ys, xs = centroids.T if len(centroids) else (np.array([]),) * 3
     zi = np.clip(np.round(zs).astype(int), 0, prob.shape[0] - 1) if len(zs) else zs

@@ -329,3 +329,48 @@ def test_fused_decode_volume_slab_streaming():
         np.asarray(whole[3], np.float32), np.asarray(slabbed[3], np.float32),
         atol=2e-3,
     )
+
+
+def test_fused_decode_volume_scaled_gather():
+    """`scaled_as="gather"` must return exactly the dense scaled values at
+    every decoded voxel, in both the whole-volume and streamed paths."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from merfish3d_tpu.ops.fused_decode import fused_decode_volume
+
+    rng = np.random.default_rng(4)
+    cb = _mhd4_codebook()
+    # paint real codeword spots so the foreground is non-empty in every slab
+    vol = (rng.random((16, 4, 48, 128)) * 2).astype(np.float32)
+    for k, (z, y, x) in enumerate([(1, 8, 20), (2, 24, 70), (1, 40, 110)]):
+        on = np.flatnonzero(cb[k % len(cb)])
+        vol[on, z, y : y + 2, x : x + 3] = 90.0
+    bg = np.zeros(16, np.float32)
+    nm = np.full(16, 40.0, np.float32)
+    kw = dict(
+        magnitude_threshold=(0.9, 10.0), distance_threshold=0.5176,
+        sigma=(0.0, 1.0, 1.0),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        dense = fused_decode_volume(vol, cb, bg, nm, **kw)
+        whole = fused_decode_volume(vol, cb, bg, nm, scaled_as="gather", **kw)
+        slabbed = fused_decode_volume(
+            vol, cb, bg, nm, y_slab=16, hbm_budget_bytes=0,
+            scaled_as="gather", **kw
+        )
+    np.testing.assert_array_equal(dense[0], whole[0])
+    np.testing.assert_array_equal(dense[0], slabbed[0])
+    lin = np.flatnonzero(dense[0].ravel() >= 0)
+    assert lin.size > 0
+    bits = vol.shape[0]
+    expected = np.stack(
+        [np.asarray(dense[3][b], np.float32).ravel()[lin] for b in range(bits)]
+    )
+    for sparse, label in ((whole[3], "whole"), (slabbed[3], "slab")):
+        assert callable(sparse) and sparse.nbits == bits
+        np.testing.assert_allclose(sparse(lin), expected, atol=2e-3, err_msg=label)
+        # subset gather (post-mask label foreground) also exact
+        sub = lin[::3]
+        np.testing.assert_allclose(
+            sparse(sub), expected[:, ::3], atol=2e-3, err_msg=label
+        )
