@@ -173,35 +173,52 @@ class UFishPredictor:
             dummy = jnp.zeros((1, 64, 64, 1), jnp.float32)
             params = self.net.init(key, dummy)
         self.params = params
-        self._apply = jax.jit(
-            lambda p, x: self.net.apply(p, x)
-        )
+
+        def _run(params, planes, bs):
+            # one XLA program for the whole volume: normalize, pad, and
+            # scan the net over fixed-size plane batches. `lax.map` keeps
+            # only one batch's activations live (a 50×2048²×32-channel
+            # level-1 activation alone is 26 GB — a one-shot apply cannot
+            # fit HBM at production shapes) while the single dispatch
+            # avoids a host round-trip per batch (the per-chunk Python
+            # loop cost ~21 s/tile through a tunneled device link — each
+            # eager slice/pad/readback is a link round trip).
+            n_planes, ny, nx = planes.shape
+            py = -(-ny // self.pad_to) * self.pad_to
+            px = -(-nx // self.pad_to) * self.pad_to
+            nc = -(-n_planes // bs)
+            planes = jax.vmap(_percentile_normalize)(planes)
+            planes = jnp.pad(
+                planes, ((0, 0), (0, py - ny), (0, px - nx)), mode="reflect"
+            )
+            planes = jnp.pad(planes, ((0, nc * bs - n_planes), (0, 0), (0, 0)))
+            chunks = planes.reshape(nc, bs, py, px)
+            out = jax.lax.map(
+                lambda c: self.net.apply(params, c[..., None])[..., 0], chunks
+            )
+            return out.reshape(nc * bs, py, px)[:n_planes, :ny, :nx]
+
+        self._run = jax.jit(_run, static_argnums=(2,))
 
     def predict(self, volume: np.ndarray, batch_size: int = 8) -> np.ndarray:
-        """Per-plane prediction over a (Z, Y, X) volume → probabilities.
-
-        Planes run through the net in fixed-size z batches (the final
-        batch zero-padded so jit compiles exactly one shape): a one-shot
-        apply at production shapes keeps every skip tensor live at once
-        (a 50×2048²×32-channel level-1 activation alone is 26 GB) while
-        a batch of 8 stays comfortably under the 16 GB v5e HBM.
-        """
+        """Per-plane prediction over a (Z, Y, X) volume → probabilities."""
         vol = jnp.asarray(volume, jnp.float32)
-        nz, ny, nx = vol.shape
-        py = -(-ny // self.pad_to) * self.pad_to
-        px = -(-nx // self.pad_to) * self.pad_to
-        planes = jax.vmap(_percentile_normalize)(vol)
-        planes = jnp.pad(planes, ((0, 0), (0, py - ny), (0, px - nx)), mode="reflect")
-        bs = max(1, int(batch_size))
-        chunks = []
-        for s in range(0, nz, bs):
-            chunk = planes[s : s + bs]
-            n = chunk.shape[0]
-            if n < bs:
-                chunk = jnp.pad(chunk, ((0, bs - n), (0, 0), (0, 0)))
-            res = self._apply(self.params, chunk[..., None])[..., 0]
-            chunks.append(np.asarray(res[:n, :ny, :nx], np.float32))
-        return np.concatenate(chunks, axis=0)
+        bs = min(max(1, int(batch_size)), vol.shape[0])
+        return np.asarray(self._run(self.params, vol, bs), np.float32)
+
+    def predict_batch(
+        self, volumes: np.ndarray, batch_size: int = 8
+    ) -> np.ndarray:
+        """Batched (bits, Z, Y, X) prediction in one program — the CNN is
+        per-plane, so bits×z planes fold into one scan axis (the TPU-first
+        replacement for the reference's per-bit ONNX sessions,
+        `DataRegistration._apply_bits_on_gpu:886-899`)."""
+        vols = jnp.asarray(volumes, jnp.float32)
+        nb, nz, ny, nx = vols.shape
+        planes = vols.reshape(nb * nz, ny, nx)
+        bs = min(max(1, int(batch_size)), nb * nz)
+        out = self._run(self.params, planes, bs)
+        return np.asarray(out, np.float32).reshape(nb, nz, ny, nx)
 
 
 class DoGSpotPredictor:

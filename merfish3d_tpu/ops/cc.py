@@ -222,7 +222,7 @@ def component_stats_host(
     (`PixelDecoder._extract_barcodes:2476-2770`).
 
     ``scaled`` may be the dense per-bit volume or a foreground gather
-    (:class:`DeviceIntensity` / :class:`SparseIntensity`) so the per-bit
+    (:class:`SparseIntensity`) so the per-bit
     intensities never materialize densely on the host."""
     shape = decoded.shape
     ny, nx = shape[1], shape[2]

@@ -439,6 +439,17 @@ def fused_decode_volume(
     from .cc import SparseIntensity
     from .decode import normalize_codebook
 
+    def _bucketed_take(s2d, lin: np.ndarray) -> np.ndarray:
+        """Device gather at a power-of-two padded length so the program
+        compiles once per bucket, not once per tile's foreground count
+        (padding repeats index 0; the pad columns are sliced off)."""
+        n = lin.size
+        cap = 1 << max(10, (n - 1).bit_length())
+        idx = np.zeros(cap, np.int32)
+        idx[:n] = lin
+        vals = jnp.take(s2d, jnp.asarray(idx), axis=1)
+        return np.asarray(vals.astype(jnp.float32))[:, :n]
+
     bf16 = np.dtype(ml_dtypes.bfloat16)
     vol = np.asarray(bit_volume, np.float32)
     bits, nz, ny, nx = vol.shape
@@ -457,10 +468,7 @@ def fused_decode_volume(
             d_host = np.asarray(d)
             f = np.flatnonzero(d_host >= 0)
             if f.size:
-                vals = jnp.take(
-                    s.reshape(bits, -1), jnp.asarray(f, jnp.int32), axis=1
-                )
-                vals = np.asarray(vals.astype(jnp.float32))
+                vals = _bucketed_take(s.reshape(bits, -1), f)
             else:
                 vals = np.zeros((bits, 0), np.float32)
             return (
@@ -510,12 +518,7 @@ def fused_decode_volume(
                 x_f = rem % nx
                 slab_rows = d_host.shape[1]
                 slab_lin = (z_f * slab_rows + (lo + y_f)) * nx + x_f
-                vals = jnp.take(
-                    s.reshape(bits, -1),
-                    jnp.asarray(slab_lin, jnp.int32),
-                    axis=1,
-                )
-                fg_vals.append(np.asarray(vals.astype(jnp.float32)))
+                fg_vals.append(_bucketed_take(s.reshape(bits, -1), slab_lin))
                 fg_lins.append((z_f * ny + (y0 + y_f)) * nx + x_f)
         else:
             scaled[:, :, y0:y1] = np.asarray(s)[:, :, lo:hi]

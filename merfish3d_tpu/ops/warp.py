@@ -309,6 +309,146 @@ def warp_affine_plus_flow(
     return np.asarray(out)
 
 
+_translate_volume_batch = jax.jit(jax.vmap(lambda v, s: translate_volume(v, s)))
+_separable_diagonal_batch = jax.jit(
+    jax.vmap(lambda v, sc, off: separable_diagonal_resample(v, sc, off))
+)
+
+
+@partial(jax.jit, static_argnames=("reference_shape", "z_chunk"))
+def _affine_warp_core_batch(
+    images, matrices_px, offsets_px, *, reference_shape, z_chunk: int = 8
+):
+    return jax.vmap(
+        lambda im, m, o: _affine_warp_core(
+            im, m, o, reference_shape=reference_shape, z_chunk=z_chunk
+        )
+    )(images, matrices_px, offsets_px)
+
+
+@partial(jax.jit, static_argnames=("reference_shape", "z_chunk"))
+def _affine_flow_warp_core_batch(
+    images,
+    flows_xyz,
+    matrices_px,
+    offsets_px,
+    strides_zyx,
+    box_starts_zyx,
+    *,
+    reference_shape,
+    z_chunk: int = 4,
+):
+    return jax.vmap(
+        lambda im, fl, m, o, st, bs: _affine_flow_warp_core(
+            im, fl, m, o, st, bs, reference_shape=reference_shape, z_chunk=z_chunk
+        )
+    )(images, flows_xyz, matrices_px, offsets_px, strides_zyx, box_starts_zyx)
+
+
+def _sub_batches(n_items: int, item_bytes: int, hbm_budget_bytes: int):
+    """Yield (start, stop) covering range(n_items) with ≤budget live bytes
+    per dispatch (~3x item: input + output + gather scratch)."""
+    max_b = max(1, int(hbm_budget_bytes // max(1, 3 * item_bytes)))
+    for s in range(0, n_items, max_b):
+        yield s, min(n_items, s + max_b)
+
+
+def warp_affine_batch(
+    images: np.ndarray,  # (B, z, y, x)
+    transforms_zyx_um: np.ndarray,  # (B, 4, 4)
+    spacing_zyx_um,
+    *,
+    hbm_budget_bytes: int = 12 << 30,
+) -> np.ndarray:
+    """Batched same-shape affine warps in as few device dispatches as
+    possible — the decode-time bit load warps every readout bit of a tile
+    (reference `PixelDecoder._load_bit_data:1476-1595` loops bits through
+    `warp_bit_image_to_reference`); per-bit dispatches pay one host↔device
+    round trip each, which dominates warm per-tile wall-clock on
+    high-latency links. Splits the batch by warp class (translation /
+    diagonal / general — each has a different fast path) and sub-batches
+    within an HBM budget. Numerics identical to per-item `warp_affine`."""
+    images = np.ascontiguousarray(images, dtype=np.float32)
+    n = images.shape[0]
+    out = np.empty_like(images)
+    mats = np.empty((n, 3, 3), np.float32)
+    offs = np.empty((n, 3), np.float32)
+    for i in range(n):
+        mats[i], offs[i] = transform_to_pixel(transforms_zyx_um[i], spacing_zyx_um)
+    diag = np.array(
+        [np.allclose(m, np.diag(np.diag(m)), atol=1e-8) for m in mats]
+    )
+    ident = diag & np.array(
+        [np.allclose(np.diag(m), 1.0, atol=1e-6) for m in mats]
+    )
+    classes = (
+        (np.flatnonzero(ident), "translate"),
+        (np.flatnonzero(diag & ~ident), "diagonal"),
+        (np.flatnonzero(~diag), "general"),
+    )
+    item_bytes = images[0].nbytes
+    for idx, kind in classes:
+        if idx.size == 0:
+            continue
+        for s, e in _sub_batches(idx.size, item_bytes, hbm_budget_bytes):
+            sel = idx[s:e]
+            imgs = jnp.asarray(images[sel])
+            if kind == "translate":
+                res = _translate_volume_batch(imgs, jnp.asarray(offs[sel]))
+            elif kind == "diagonal":
+                scales = np.stack([np.diag(mats[i]) for i in sel])
+                res = _separable_diagonal_batch(
+                    imgs, jnp.asarray(scales), jnp.asarray(offs[sel])
+                )
+            else:
+                res = _affine_warp_core_batch(
+                    imgs,
+                    jnp.asarray(mats[sel]),
+                    jnp.asarray(offs[sel]),
+                    reference_shape=images.shape[1:],
+                )
+            out[sel] = np.asarray(res)
+    return out
+
+
+def warp_affine_plus_flow_batch(
+    images: np.ndarray,  # (B, z, y, x)
+    flows_xyz: np.ndarray,  # (B, 3, fz, fy, fx)
+    transforms_zyx_um: np.ndarray,  # (B, 4, 4)
+    spacing_zyx_um,
+    map_strides_zyx_px: np.ndarray,  # (B, 3)
+    map_box_starts_xyz_px: np.ndarray,  # (B, 3)
+    *,
+    hbm_budget_bytes: int = 12 << 30,
+    z_chunk: int = 4,
+) -> np.ndarray:
+    """Batched composed affine+flow warps (per-item metadata, shared
+    shapes): all flow-bearing bits of a tile warp in one dispatch instead
+    of one per bit. Numerics identical to `warp_affine_plus_flow`."""
+    images = np.ascontiguousarray(images, dtype=np.float32)
+    n = images.shape[0]
+    mats = np.empty((n, 3, 3), np.float32)
+    offs = np.empty((n, 3), np.float32)
+    for i in range(n):
+        mats[i], offs[i] = transform_to_pixel(transforms_zyx_um[i], spacing_zyx_um)
+    box_zyx = np.asarray(map_box_starts_xyz_px, np.float32)[:, ::-1].copy()
+    out = np.empty_like(images)
+    for s, e in _sub_batches(n, images[0].nbytes, hbm_budget_bytes):
+        out[s:e] = np.asarray(
+            _affine_flow_warp_core_batch(
+                jnp.asarray(images[s:e]),
+                jnp.asarray(flows_xyz[s:e], jnp.float32),
+                jnp.asarray(mats[s:e]),
+                jnp.asarray(offs[s:e]),
+                jnp.asarray(map_strides_zyx_px[s:e], jnp.float32),
+                jnp.asarray(box_zyx[s:e]),
+                reference_shape=images.shape[1:],
+                z_chunk=z_chunk,
+            )
+        )
+    return out
+
+
 def transform_points_to_reference(
     points_zyx_um: np.ndarray, transform_zyx_um: np.ndarray
 ) -> np.ndarray:

@@ -62,6 +62,83 @@ def warp_image_with_sofima_metadata(
     ).astype(np.float32, copy=False)
 
 
+def warp_bit_images_to_reference(
+    images,  # (B, z, y, x) native bit images, one per bit_id
+    *,
+    datastore: Any,
+    tile,
+    bit_ids,
+    emission_wavelengths_um,
+) -> np.ndarray:
+    """Warp ALL readout bits of a tile into the round-1 frame in a few
+    batched device dispatches (identity bits pass through; affine-only
+    bits batch by warp class; flow-bearing bits batch into one composed
+    warp). Numerics identical to per-bit `warp_bit_image_to_reference` —
+    the batching replaces the reference's per-bit warp loop
+    (`PixelDecoder._load_bit_data:1476-1595`) whose per-dispatch
+    host↔device round trips dominate warm per-tile wall-clock."""
+    from ..ops.warp import warp_affine_batch, warp_affine_plus_flow_batch
+
+    images = np.ascontiguousarray(images, dtype=np.float32)
+    n = images.shape[0]
+    spacing = datastore.voxel_size_zyx_um
+    transforms = np.empty((n, 4, 4), np.float32)
+    flows: dict[int, tuple] = {}
+    flow_cache: dict[Any, Any] = {}
+    for i, (bit_id, em) in enumerate(zip(bit_ids, emission_wavelengths_um)):
+        round_id, round_transform = load_bit_round_transform_zyx_um(
+            datastore, tile=tile, bit_id=bit_id
+        )
+        chromatic = datastore.load_chromatic_affine_transform_zyx_um(
+            wavelength_um=em
+        )
+        transforms[i] = compose_decode_warp_transform_zyx_um(
+            round_transform_zyx_um=round_transform,
+            chromatic_transform_zyx_um=chromatic,
+        )
+        if round_id is not None:
+            if round_id not in flow_cache:
+                flow_cache[round_id] = datastore.load_local_sofima_flow_field(
+                    tile=tile, round=round_id
+                )
+            if flow_cache[round_id] is not None:
+                flows[i] = flow_cache[round_id]
+
+    out = np.empty_like(images)
+    eye = np.eye(4, dtype=np.float32)
+    ident = [
+        i
+        for i in range(n)
+        if i not in flows and np.allclose(transforms[i], eye)
+    ]
+    affine_only = [i for i in range(n) if i not in flows and i not in ident]
+    flow_idx = sorted(flows)
+    for i in ident:
+        out[i] = images[i]
+    if affine_only:
+        sel = np.asarray(affine_only)
+        out[sel] = warp_affine_batch(images[sel], transforms[sel], spacing)
+    if flow_idx:
+        sel = np.asarray(flow_idx)
+        flow_stack = np.stack([np.asarray(flows[i][0], np.float32) for i in flow_idx])
+        strides = np.stack(
+            [
+                np.asarray(flows[i][1]["map_stride_zyx_px"], np.float32)
+                for i in flow_idx
+            ]
+        )
+        box_starts = np.stack(
+            [
+                np.asarray(flows[i][1]["map_box_start_xyz_px"], np.float32)
+                for i in flow_idx
+            ]
+        )
+        out[sel] = warp_affine_plus_flow_batch(
+            images[sel], flow_stack, transforms[sel], spacing, strides, box_starts
+        )
+    return out
+
+
 def warp_bit_image_to_reference(
     image: np.ndarray,
     *,

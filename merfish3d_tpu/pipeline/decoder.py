@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import random
 import time
+from functools import partial
 from pathlib import Path
 from typing import Optional, Sequence
 
@@ -238,14 +239,38 @@ class PixelDecoder:
             emission_wavelength_um=em_wvl,
         )
 
+    def _load_warped_bit_stack(self, tile_id) -> np.ndarray:
+        """All merfish bits of a tile as one warped (bits, z, y, x) stack.
+        The per-bit warps batch into a handful of device dispatches
+        (`decode_warping.warp_bit_images_to_reference`) instead of one
+        round trip per bit."""
+        ds = self._datastore
+        bits = ds.bit_ids[: self._n_merfish_bits]
+        images, ems = [], []
+        for b in bits:
+            decon = ds.load_local_registered_image(tile=tile_id, bit=b)
+            if decon is None:
+                raise ValueError(f"missing decon data for {tile_id}/{b}")
+            img = np.asarray(decon, dtype=np.float32)
+            pred = ds.load_local_feature_predictor_image(tile=tile_id, bit=b)
+            if pred is not None:
+                img = img * np.asarray(pred, dtype=np.float32)
+            images.append(img)
+            ems.append(ds.load_local_wavelengths_um(tile=tile_id, bit=b)[1])
+        return decode_warping.warp_bit_images_to_reference(
+            np.stack(images),
+            datastore=ds,
+            tile=tile_id,
+            bit_ids=bits,
+            emission_wavelengths_um=ems,
+        )
+
     def _load_bit_data_for(self, tile_idx: int) -> dict:
         """Thread-safe tile load: returns the warped bit stack plus the
         global coordinate state as a snapshot (no instance mutation, so the
         prefetcher may run it on a worker thread)."""
         tile_id = self._datastore.tile_ids[tile_idx]
-        bits = self._datastore.bit_ids[: self._n_merfish_bits]
-        images = [self._load_warped_bit_image(tile_id, b) for b in bits]
-        stack = np.stack(images).astype(np.float32)
+        stack = self._load_warped_bit_stack(tile_id)
         zsl = self._z_slice(stack.shape[1])
         return {
             "image_data": stack[:, zsl],
@@ -311,15 +336,19 @@ class PixelDecoder:
         n_bits = self._n_merfish_bits
         norm = np.ones(n_bits, np.float32)
         bg = np.zeros(n_bits, np.float32)
+        stacks = self._seed_lowpassed_stacks(tiles, hot_pixel_threshold, sigma)
         for bit_idx, bit_id in enumerate(ds.bit_ids[:n_bits]):
-            images = []
-            for tile_id in tiles:
-                img = self._load_warped_bit_image(tile_id, bit_id)
-                med = np.median(img[img.shape[0] // 2])
-                img = np.where(img > hot_pixel_threshold, med, img)
-                img = img[self._z_slice(img.shape[0])]
-                img = np.asarray(gaussian_lowpass(jnp.asarray(img), sigma=sigma))
-                images.append(img.astype(np.float32))
+            if stacks is not None:
+                images = [s[bit_idx] for s in stacks]
+            else:
+                images = []
+                for tile_id in tiles:
+                    img = self._load_warped_bit_image(tile_id, bit_id)
+                    med = np.median(img[img.shape[0] // 2])
+                    img = np.where(img > hot_pixel_threshold, med, img)
+                    img = img[self._z_slice(img.shape[0])]
+                    img = np.asarray(gaussian_lowpass(jnp.asarray(img), sigma=sigma))
+                    images.append(img.astype(np.float32))
             low_pixels = []
             for img in images:
                 cut = np.percentile(img, low_percentile_cut)
@@ -336,6 +365,46 @@ class PixelDecoder:
         self._global_normalization_vector = norm
         self._global_background_vector = bg
         ds.save_decode_normalization_vectors(norm, bg, run_key="global")
+
+    def _seed_lowpassed_stacks(
+        self, tiles, hot_pixel_threshold: float, sigma
+    ) -> Optional[list]:
+        """Batched seeding load: per sample tile, warp all bits in a few
+        dispatches and run hot-pixel replacement + z-crop + lowpass as ONE
+        device program, reading back one (bits, z', y, x) stack (the
+        per-(bit, tile) loop costs two device round trips each — 160 for
+        16 bits × 5 tiles). Returns None when holding every sample tile's
+        lowpassed stack would exceed a host-RAM budget; the caller then
+        falls back to the per-bit loop (identical numerics, reference
+        `_global_normalization_vectors:688-873`)."""
+        import jax
+
+        probe = self._datastore.load_local_registered_image(
+            tile=tiles[0], bit=self._datastore.bit_ids[0]
+        )
+        if probe is None:
+            return None
+        vol_f32 = int(np.prod(np.asarray(probe).shape)) * 4
+        if self._n_merfish_bits * vol_f32 * len(tiles) > (16 << 30):
+            return None
+
+        @partial(jax.jit, static_argnames=("z_start", "z_stop"))
+        def program(stack, z_start, z_stop):
+            mid = stack[:, stack.shape[1] // 2]
+            med = jnp.median(mid, axis=(1, 2))
+            cleaned = jnp.where(
+                stack > hot_pixel_threshold, med[:, None, None, None], stack
+            )
+            sliced = cleaned[:, z_start:z_stop]
+            return jax.vmap(lambda v: gaussian_lowpass(v, sigma=sigma))(sliced)
+
+        stacks = []
+        for tile_id in tiles:
+            stack = self._load_warped_bit_stack(tile_id)
+            zsl = self._z_slice(stack.shape[1])
+            lp = program(jnp.asarray(stack), zsl.start, zsl.stop)
+            stacks.append(np.asarray(lp, np.float32))
+        return stacks
 
     def _load_global_normalization_vectors(
         self, recalculate: bool = False, **kwargs

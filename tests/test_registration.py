@@ -256,3 +256,58 @@ def test_register_translation_with_quality_recovers_wrap_shift():
     s, q = register_translation_with_quality(fixed, moving, upsample_factor=10)
     assert abs(s[1] - (-60)) < 1.0, s
     assert q > 0.9
+
+
+def test_warp_affine_batch_matches_sequential():
+    """Batched warps (mixed translation/diagonal/general classes) must be
+    numerically identical to per-item `warp_affine`."""
+    from merfish3d_tpu.ops.warp import warp_affine_batch
+
+    rng = np.random.default_rng(11)
+    images = rng.random((4, 6, 32, 40)).astype(np.float32) * 100.0
+    spacing = (0.315, 0.098, 0.098)
+    transforms = np.tile(np.eye(4, dtype=np.float32), (4, 1, 1))
+    transforms[0, :3, 3] = (0.2, -0.5, 0.31)          # translation
+    transforms[1, 0, 0] = 1.02                        # diagonal scale
+    transforms[1, :3, 3] = (0.0, 0.2, -0.1)
+    transforms[2, 1, 2] = 0.01                        # general (shear)
+    transforms[2, :3, 3] = (0.1, 0.0, 0.0)
+    # transforms[3] identity
+
+    batched = warp_affine_batch(images, transforms, spacing)
+    for i in range(4):
+        single = warp_affine(
+            images[i],
+            transform_zyx_um=transforms[i],
+            spacing_zyx_um=spacing,
+            reference_shape=images[i].shape,
+        )
+        np.testing.assert_allclose(batched[i], single, atol=1e-4, err_msg=str(i))
+
+
+def test_warp_affine_plus_flow_batch_matches_sequential():
+    from merfish3d_tpu.ops.warp import warp_affine_plus_flow_batch
+
+    rng = np.random.default_rng(12)
+    images = rng.random((3, 6, 24, 28)).astype(np.float32) * 50.0
+    flows = rng.normal(0, 0.7, (3, 3, 2, 3, 4)).astype(np.float32)
+    spacing = (0.315, 0.098, 0.098)
+    transforms = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+    transforms[1, :3, 3] = (0.1, -0.3, 0.25)
+    strides = np.tile(np.array([3.0, 8.0, 8.0], np.float32), (3, 1))
+    box_starts = np.tile(np.array([4.0, 4.0, 1.5], np.float32), (3, 1))
+
+    batched = warp_affine_plus_flow_batch(
+        images, flows, transforms, spacing, strides, box_starts
+    )
+    for i in range(3):
+        single = warp_affine_plus_flow(
+            images[i],
+            flows[i],
+            transform_zyx_um=transforms[i],
+            spacing_zyx_um=spacing,
+            reference_shape=images[i].shape,
+            map_stride_zyx_px=strides[i],
+            map_box_start_xyz_px=box_starts[i],
+        )
+        np.testing.assert_allclose(batched[i], single, atol=1e-4, err_msg=str(i))
