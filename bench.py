@@ -415,12 +415,10 @@ def bench_ufish(jax, jnp, sync) -> float:
     from merfish3d_tpu.models.ufish import UFishPredictor
 
     pred = UFishPredictor()
-    vol = np.asarray(
-        jax.random.uniform(jax.random.PRNGKey(9), (NZ, NY, NX), jnp.float32) * 200.0
-    )
-    pred.predict(vol)  # compile + warm
+    vol = jax.random.uniform(jax.random.PRNGKey(9), (NZ, NY, NX), jnp.float32) * 200.0
+    sync(pred.predict_device(vol))  # compile + warm
     t0 = time.perf_counter()
-    pred.predict(vol)
+    sync(pred.predict_device(vol))
     elapsed = time.perf_counter() - t0
     return TILE_VOXELS / elapsed
 

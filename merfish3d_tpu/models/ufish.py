@@ -131,9 +131,12 @@ class UFishNet(nn.Module):
 
 
 def _percentile_normalize(plane: jnp.ndarray) -> jnp.ndarray:
-    """U-FISH input normalization: robust percentile scaling per plane."""
-    lo = jnp.percentile(plane, 1.0)
-    hi = jnp.percentile(plane, 99.8)
+    """U-FISH input normalization: robust percentile scaling per plane.
+
+    Both percentiles come from ONE sort (quantile with a vector q) — the
+    sort is the whole cost of this step on TPU (a 1024² plane is a 1M-key
+    VPU sort; two separate ``jnp.percentile`` calls paid it twice)."""
+    lo, hi = jnp.percentile(plane, jnp.asarray([1.0, 99.8]))
     return jnp.clip((plane - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
 
 
@@ -141,7 +144,11 @@ class UFishPredictor:
     """U-FISH CNN inference wrapper with the reference call contract."""
 
     def __init__(
-        self, params=None, base_features: Optional[int] = None, pad_to: int = 64
+        self,
+        params=None,
+        base_features: Optional[int] = None,
+        pad_to: int = 64,
+        compute_dtype=jnp.bfloat16,
     ):
         depths: Sequence[int] = (1, 2, 4)
         up_mode = "resize"
@@ -168,11 +175,23 @@ class UFishPredictor:
             base_features=base_features, depths=depths, up_mode=up_mode
         )
         self.pad_to = pad_to
+        self.compute_dtype = compute_dtype
         if params is None:
             key = jax.random.PRNGKey(0)
             dummy = jnp.zeros((1, 64, 64, 1), jnp.float32)
             params = self.net.init(key, dummy)
         self.params = params
+
+        def _apply_net(params, chunk):
+            # conv path in ``compute_dtype`` (default bf16: MXU-native, 2x
+            # f32 throughput; probabilities in [0,1] keep ~3 significant
+            # digits, far inside what a multiplicative spot weighting
+            # needs). Normalization and the returned map stay f32.
+            p = jax.tree_util.tree_map(
+                lambda a: a.astype(self.compute_dtype), params
+            )
+            out = self.net.apply(p, chunk[..., None].astype(self.compute_dtype))
+            return out[..., 0].astype(jnp.float32)
 
         def _run(params, planes, bs):
             # one XLA program for the whole volume: normalize, pad, and
@@ -193,18 +212,23 @@ class UFishPredictor:
             )
             planes = jnp.pad(planes, ((0, nc * bs - n_planes), (0, 0), (0, 0)))
             chunks = planes.reshape(nc, bs, py, px)
-            out = jax.lax.map(
-                lambda c: self.net.apply(params, c[..., None])[..., 0], chunks
-            )
+            out = jax.lax.map(lambda c: _apply_net(params, c), chunks)
             return out.reshape(nc * bs, py, px)[:n_planes, :ny, :nx]
 
         self._run = jax.jit(_run, static_argnums=(2,))
 
+    def predict_device(self, planes, batch_size: int = 8):
+        """Device-in/device-out prediction over (N, Y, X) planes: no
+        host↔device transfer — the fused decon→predict path and the bench
+        (which measures the device rate like every other stage) feed the
+        decon output straight in."""
+        bs = min(max(1, int(batch_size)), planes.shape[0])
+        return self._run(self.params, planes, bs)
+
     def predict(self, volume: np.ndarray, batch_size: int = 8) -> np.ndarray:
         """Per-plane prediction over a (Z, Y, X) volume → probabilities."""
         vol = jnp.asarray(volume, jnp.float32)
-        bs = min(max(1, int(batch_size)), vol.shape[0])
-        return np.asarray(self._run(self.params, vol, bs), np.float32)
+        return np.asarray(self.predict_device(vol, batch_size), np.float32)
 
     def predict_batch(
         self, volumes: np.ndarray, batch_size: int = 8
@@ -216,8 +240,7 @@ class UFishPredictor:
         vols = jnp.asarray(volumes, jnp.float32)
         nb, nz, ny, nx = vols.shape
         planes = vols.reshape(nb * nz, ny, nx)
-        bs = min(max(1, int(batch_size)), nb * nz)
-        out = self._run(self.params, planes, bs)
+        out = self.predict_device(planes, batch_size)
         return np.asarray(out, np.float32).reshape(nb, nz, ny, nx)
 
 

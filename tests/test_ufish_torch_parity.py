@@ -12,6 +12,7 @@ semantics, SAME-padding conventions for odd and even kernels — against an
 independent framework rather than a self-written exporter.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -122,7 +123,12 @@ def test_predictor_volume_contract_with_torch_weights():
     stream = [t.detach().numpy() for t in tm.state_dict().values()]
     variables = structural_onnx_to_flax(stream, base_features=8)
 
-    pred = UFishPredictor(params=variables, base_features=8)
+    # compute_dtype f32 = exact-parity mode (the default bf16 conv path
+    # trades ~3-digit probability precision for MXU-native throughput;
+    # its drift vs f32 is bounded by test_bf16_compute_close_to_f32)
+    pred = UFishPredictor(
+        params=variables, base_features=8, compute_dtype=jnp.float32
+    )
     vol = np.random.default_rng(2).uniform(0, 800, (3, 48, 48)).astype(np.float32)
     out = pred.predict(vol)
     assert out.shape == vol.shape
@@ -271,3 +277,20 @@ def test_wrong_family_fails_loudly():
     bad = [np.zeros((7, 3, 5, 5), np.float32), np.zeros(7, np.float32)]
     with pytest.raises(ValueError, match="stem"):
         infer_topology(bad)
+
+
+def test_bf16_compute_close_to_f32():
+    """The default bf16 conv path must track the exact f32 path within
+    probability noise (the map multiplicatively weights decon images;
+    drift bound here is what decode accuracy actually sees)."""
+    tm = _TorchUFish(base=8, depths=(1, 2, 4)).eval()
+    _randomize(tm, seed=5)
+    stream = [t.detach().numpy() for t in tm.state_dict().values()]
+    variables = structural_onnx_to_flax(stream, base_features=8)
+
+    vol = np.random.default_rng(7).uniform(0, 500, (2, 48, 48)).astype(np.float32)
+    exact = UFishPredictor(
+        params=variables, base_features=8, compute_dtype=jnp.float32
+    ).predict(vol)
+    fast = UFishPredictor(params=variables, base_features=8).predict(vol)
+    assert np.max(np.abs(fast - exact)) < 2e-2
