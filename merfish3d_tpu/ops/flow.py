@@ -367,7 +367,11 @@ def estimate_sofima_flow_field_xyz_px(
 
     Returns (flow_field (3, fz, fy, fx) float32 with channels X, Y, Z, and a
     metadata dict with the datastore attribute contract)."""
-    from ..ops.warp import _affine_flow_warp_core
+    from ..ops.warp import (
+        _affine_flow_warp_core,
+        _flow_warp_separable_core,
+        _separable_flow_bounds,
+    )
 
     cfg = config
     patch, stride = cfg.resolve_patch_and_stride(reference.shape)
@@ -448,15 +452,41 @@ def estimate_sofima_flow_field_xyz_px(
                 total_xyz, residual_xyz, np.asarray(stride, np.float64)
             )
         if iteration + 1 < cfg.residual_iterations:
-            current = _affine_flow_warp_core(
-                moving_j,
-                jnp.asarray(total_xyz),
-                jnp.eye(3, dtype=jnp.float32),
-                jnp.zeros(3, jnp.float32),
-                jnp.asarray(stride, jnp.float32),
-                jnp.asarray(box_start_zyx, jnp.float32),
-                reference_shape=tuple(int(v) for v in reference.shape),
+            ref_shape = tuple(int(v) for v in reference.shape)
+            # identity affine + bounded flow: the separable roll-blend
+            # warp replaces the per-voxel trilinear gather whenever the
+            # shapes line up (ops/warp.py:_flow_warp_separable_core)
+            k_ranges = (
+                _separable_flow_bounds(
+                    np.eye(3, dtype=np.float32),
+                    np.zeros(3, np.float32),
+                    total_xyz,
+                    ref_shape,
+                )
+                if tuple(moving_j.shape) == ref_shape
+                else None
             )
+            if k_ranges is not None:
+                current = _flow_warp_separable_core(
+                    moving_j,
+                    jnp.asarray(total_xyz),
+                    jnp.ones(3, jnp.float32),
+                    jnp.zeros(3, jnp.float32),
+                    jnp.asarray(stride, jnp.float32),
+                    jnp.asarray(box_start_zyx, jnp.float32),
+                    k_ranges=k_ranges,
+                    out_shape=ref_shape,
+                )
+            else:
+                current = _affine_flow_warp_core(
+                    moving_j,
+                    jnp.asarray(total_xyz),
+                    jnp.eye(3, dtype=jnp.float32),
+                    jnp.zeros(3, jnp.float32),
+                    jnp.asarray(stride, jnp.float32),
+                    jnp.asarray(box_start_zyx, jnp.float32),
+                    reference_shape=ref_shape,
+                )
 
     meta = dict(meta_common)
     meta["sofima_status"] = "ok" if valid_count else "no_valid_vectors"

@@ -215,6 +215,134 @@ def warp_affine(
     return np.asarray(out)
 
 
+def _upsample_flow_channel(ch, *, out_shape, stride_zyx, box_start_zyx):
+    """Interpolate one lattice flow channel onto the full voxel grid.
+
+    The lattice→voxel coordinate map is diagonal (per-axis stride +
+    offset), so trilinear interpolation with clamped coordinates
+    (``map_coordinates`` ``mode='nearest'``) factors exactly into three
+    1-D takes — no 3-D gather for the flow upsample."""
+    out = ch.astype(jnp.float32)
+    for ax in range(3):
+        n = out_shape[ax]
+        m = out.shape[ax]
+        pos = jnp.arange(n, dtype=jnp.float32)
+        src = jnp.clip(
+            (pos - box_start_zyx[ax]) / stride_zyx[ax], 0.0, float(m - 1)
+        )
+        i0 = jnp.floor(src).astype(jnp.int32)
+        f = src - i0.astype(jnp.float32)
+        i1 = jnp.minimum(i0 + 1, m - 1)
+        a = jnp.take(out, i0, axis=ax)
+        b = jnp.take(out, i1, axis=ax)
+        sb = [1, 1, 1]
+        sb[ax] = n
+        fb = f.reshape(sb)
+        out = (1.0 - fb) * a + fb * b
+    return out
+
+
+def _variable_shift_axis(vol, shift, axis, k0, k1):
+    """1-D linear resample with a PER-VOXEL source shift along ``axis``:
+    ``out[p] = lerp(vol, p_axis + shift[p])`` with constant-0 edges.
+
+    ``shift`` is bounded in ``[k0, k1)`` (static host-derived bounds), so
+    the variable-shift gather unrolls into ``k1 - k0 + 1`` static rolls
+    with hat weights ``max(0, 1 - |shift - k|)`` — exactly two of which
+    are nonzero at each voxel. Pure VPU/memory traffic instead of a
+    per-voxel gather (the generalization of ``translate_volume``'s
+    roll-blend to a shift FIELD)."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, vol.shape, axis)
+    n = vol.shape[axis]
+    acc = jnp.zeros(vol.shape, jnp.float32)
+    for k in range(k0, k1 + 1):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(shift - jnp.float32(k)))
+        valid = ((pos + k) >= 0) & ((pos + k) <= n - 1)
+        acc = acc + w * jnp.where(valid, jnp.roll(vol, -k, axis=axis), 0.0)
+    return acc
+
+
+@partial(jax.jit, static_argnames=("k_ranges", "out_shape"))
+def _flow_warp_separable_core(
+    image: jnp.ndarray,
+    flow_xyz: jnp.ndarray,  # (3, fz, fy, fx), channels X, Y, Z
+    scale: jnp.ndarray,  # (3,) diagonal of the pixel affine
+    offset_px: jnp.ndarray,  # (3,)
+    stride_zyx: jnp.ndarray,
+    box_start_zyx: jnp.ndarray,
+    *,
+    k_ranges: tuple[tuple[int, int], ...],
+    out_shape: tuple[int, int, int],
+):
+    """Separable composed diagonal-affine + flow warp.
+
+    The composed source coordinate per output voxel is
+    ``c_a = m_a (p_a + d_a(p)) + off_a``, i.e. a per-voxel shift field
+    ``s_a(p) = (m_a - 1) p_a + m_a d_a(p) + off_a`` along each axis.
+    Applying the three 1-D variable-shift resamples sequentially (z, y,
+    x) replaces the trilinear gather — measured ~170 ns/voxel on v5e,
+    20.8 s at (32, 1024, 1024) — with ~Σ(k1-k0) fused roll-blend sweeps
+    (~tens of ms). The factorization is EXACT for constant flows; for
+    varying flows the pass-k term evaluates earlier axes' shifts at
+    lattice-smooth displaced rows, an error bounded by
+    ``|s|·‖∇d‖ ≈ |s|·Δd/stride`` px — well under the flow estimator's
+    own noise for SOFIMA-scale lattices (stride ≥ 16 px, |d| ≲ 10 px).
+    Used automatically by `warp_affine_plus_flow` when the pixel affine
+    is diagonal (the production decode-warp case); general affines keep
+    the gather path."""
+    out = image.astype(jnp.float32)
+    for ax, ch in ((0, 2), (1, 1), (2, 0)):
+        d = _upsample_flow_channel(
+            flow_xyz[ch],
+            out_shape=out_shape,
+            stride_zyx=stride_zyx,
+            box_start_zyx=box_start_zyx,
+        )
+        pos = jax.lax.broadcasted_iota(jnp.float32, out_shape, ax)
+        s = (scale[ax] - 1.0) * pos + offset_px[ax] + scale[ax] * d
+        out = _variable_shift_axis(out, s, ax, *k_ranges[ax])
+    return out
+
+
+# total unrolled roll terms allowed across the three axes before the
+# separable path loses to the gather (each term ≈ 2 fused HBM sweeps;
+# 160 sweeps ≈ 45 ms at (32, 1024, 1024) vs 20.8 s for the gather)
+_SEPARABLE_FLOW_MAX_TERMS = 160
+
+
+def _separable_flow_bounds(
+    matrix_px: np.ndarray,
+    offset_px: np.ndarray,
+    flow_xyz: np.ndarray,
+    reference_shape,
+) -> tuple[tuple[int, int], ...] | None:
+    """Static per-axis roll ranges for the separable flow warp, or None
+    when ineligible (non-diagonal affine, unbounded shift range)."""
+    if not np.allclose(matrix_px, np.diag(np.diag(matrix_px)), atol=1e-8):
+        return None
+    if not np.all(np.isfinite(flow_xyz)):
+        return None
+    scale = np.diag(matrix_px).astype(np.float64)
+    ranges = []
+    total = 0
+    for ax, ch in ((0, 2), (1, 1), (2, 0)):
+        n = float(reference_shape[ax]) - 1.0
+        m = scale[ax]
+        dmin = float(flow_xyz[ch].min())
+        dmax = float(flow_xyz[ch].max())
+        lin = [(m - 1.0) * 0.0, (m - 1.0) * n]
+        dd = [m * dmin, m * dmax]
+        smin = min(lin) + min(dd) + float(offset_px[ax])
+        smax = max(lin) + max(dd) + float(offset_px[ax])
+        k0 = int(np.floor(smin))
+        k1 = int(np.floor(smax)) + 1
+        ranges.append((k0, k1))
+        total += k1 - k0 + 1
+    if total > _SEPARABLE_FLOW_MAX_TERMS:
+        return None
+    return tuple(ranges)
+
+
 @partial(jax.jit, static_argnames=("reference_shape", "z_chunk"))
 def _affine_flow_warp_core(
     image: jnp.ndarray,
@@ -287,23 +415,54 @@ def warp_affine_plus_flow(
     map_box_start_xyz_px,
     reference_origin_zyx_um=(0.0, 0.0, 0.0),
     z_chunk: int = 4,
+    method: str = "auto",
 ) -> np.ndarray:
     """Composed affine + SOFIMA-flow warp with a single resample of the
     native moving image. ``flow_xyz`` is ``(3, fz, fy, fx)`` with channels
-    X, Y, Z and values in reference px (docs/datastore.md:176-209)."""
+    X, Y, Z and values in reference px (docs/datastore.md:176-209).
+
+    ``method``: ``'auto'`` routes diagonal pixel affines (the production
+    decode-warp case: round translation ∘ chromatic per-axis scale) to
+    the separable roll-blend path (`_flow_warp_separable_core`) and
+    everything else to the trilinear gather; ``'separable'`` /
+    ``'gather'`` force a path (tests)."""
     matrix_px, offset_px = transform_to_pixel(
         transform_zyx_um, spacing_zyx_um, reference_origin_zyx_um
     )
     box_start_xyz = np.asarray(map_box_start_xyz_px, dtype=np.float32)
     box_start_zyx = box_start_xyz[::-1].copy()
+    ref_shape = tuple(int(v) for v in reference_shape)
+    flow_np = np.asarray(flow_xyz, np.float32)
+    if method != "gather" and tuple(image.shape) == ref_shape:
+        k_ranges = _separable_flow_bounds(
+            matrix_px, offset_px, flow_np, ref_shape
+        )
+        if k_ranges is not None:
+            return np.asarray(
+                _flow_warp_separable_core(
+                    jnp.asarray(image, jnp.float32),
+                    jnp.asarray(flow_np),
+                    jnp.asarray(np.diag(matrix_px), jnp.float32),
+                    jnp.asarray(offset_px, jnp.float32),
+                    jnp.asarray(map_stride_zyx_px, jnp.float32),
+                    jnp.asarray(box_start_zyx),
+                    k_ranges=k_ranges,
+                    out_shape=ref_shape,
+                )
+            )
+    if method == "separable":
+        raise ValueError(
+            "separable flow warp requires a diagonal pixel affine, "
+            "image.shape == reference_shape, and bounded flow"
+        )
     out = _affine_flow_warp_core(
         jnp.asarray(image, jnp.float32),
-        jnp.asarray(flow_xyz, jnp.float32),
+        jnp.asarray(flow_np),
         jnp.asarray(matrix_px),
         jnp.asarray(offset_px),
         jnp.asarray(map_stride_zyx_px, dtype=jnp.float32),
         jnp.asarray(box_start_zyx),
-        reference_shape=tuple(int(v) for v in reference_shape),
+        reference_shape=ref_shape,
         z_chunk=z_chunk,
     )
     return np.asarray(out)
@@ -433,6 +592,42 @@ def warp_affine_plus_flow_batch(
         mats[i], offs[i] = transform_to_pixel(transforms_zyx_um[i], spacing_zyx_um)
     box_zyx = np.asarray(map_box_starts_xyz_px, np.float32)[:, ::-1].copy()
     out = np.empty_like(images)
+    flows_np = np.asarray(flows_xyz, np.float32)
+    # one shared static roll range across the batch: the union of every
+    # item's bounds (items vmap through one separable program)
+    k_ranges = None
+    per_item = [
+        _separable_flow_bounds(mats[i], offs[i], flows_np[i], images.shape[1:])
+        for i in range(n)
+    ]
+    if all(r is not None for r in per_item):
+        merged = tuple(
+            (min(r[ax][0] for r in per_item), max(r[ax][1] for r in per_item))
+            for ax in range(3)
+        )
+        if sum(k1 - k0 + 1 for k0, k1 in merged) <= _SEPARABLE_FLOW_MAX_TERMS:
+            k_ranges = merged
+    if k_ranges is not None:
+        scales = np.stack([np.diag(mats[i]) for i in range(n)]).astype(np.float32)
+        core = jax.vmap(
+            lambda im, fl, sc, of, st, bs: _flow_warp_separable_core(
+                im, fl, sc, of, st, bs,
+                k_ranges=k_ranges,
+                out_shape=images.shape[1:],
+            )
+        )
+        for s, e in _sub_batches(n, images[0].nbytes, hbm_budget_bytes):
+            out[s:e] = np.asarray(
+                core(
+                    jnp.asarray(images[s:e]),
+                    jnp.asarray(flows_np[s:e]),
+                    jnp.asarray(scales[s:e]),
+                    jnp.asarray(offs[s:e]),
+                    jnp.asarray(map_strides_zyx_px[s:e], jnp.float32),
+                    jnp.asarray(box_zyx[s:e]),
+                )
+            )
+        return out
     for s, e in _sub_batches(n, images[0].nbytes, hbm_budget_bytes):
         out[s:e] = np.asarray(
             _affine_flow_warp_core_batch(

@@ -311,3 +311,87 @@ def test_warp_affine_plus_flow_batch_matches_sequential():
             map_box_start_xyz_px=box_starts[i],
         )
         np.testing.assert_allclose(batched[i], single, atol=1e-4, err_msg=str(i))
+
+
+def _smooth_flow(lattice=(3, 5, 5), amp=(0.8, 2.5, 2.5), seed=4):
+    """Lattice-smooth random flow (channels X, Y, Z), amplitudes in px."""
+    rng = np.random.default_rng(seed)
+    fz, fy, fx = lattice
+    zz = np.linspace(0, np.pi, fz)[:, None, None]
+    yy = np.linspace(0, 2 * np.pi, fy)[None, :, None]
+    xx = np.linspace(0, 2 * np.pi, fx)[None, None, :]
+    ph = rng.uniform(0, 2 * np.pi, 6)
+    dx = amp[2] * np.sin(xx + ph[0]) * np.cos(yy + ph[1]) * np.ones_like(zz)
+    dy = amp[1] * np.cos(xx + ph[2]) * np.sin(yy + ph[3]) * np.ones_like(zz)
+    dz = amp[0] * np.sin(zz + ph[4]) * np.cos(xx + ph[5]) * np.ones_like(yy)
+    return np.stack([dx, dy, dz]).astype(np.float32)
+
+
+def test_separable_flow_warp_matches_gather_constant_flow():
+    """Constant flow: the separable factorization is EXACT (the per-axis
+    shift fields have zero cross-axis gradient), so the roll-blend path
+    must match the trilinear gather to float tolerance everywhere."""
+    vol = _gaussian_blobs()
+    flow = np.zeros((3, 3, 5, 5), np.float32)
+    flow[0], flow[1], flow[2] = 1.7, -2.3, 0.6
+    kwargs = dict(
+        transform_zyx_um=np.eye(4, dtype=np.float32),
+        spacing_zyx_um=(1.0, 1.0, 1.0),
+        reference_shape=vol.shape,
+        map_stride_zyx_px=(6.0, 14.0, 14.0),
+        map_box_start_xyz_px=(7.0, 7.0, 3.0),
+    )
+    fast = warp_affine_plus_flow(vol, flow, method="separable", **kwargs)
+    exact = warp_affine_plus_flow(vol, flow, method="gather", **kwargs)
+    # identical up to f32 accumulation-order noise (values reach ~1e3)
+    np.testing.assert_allclose(fast, exact, atol=2e-3)
+
+
+def test_separable_flow_warp_close_on_smooth_flow():
+    """Lattice-smooth varying flow + diagonal (chromatic-scale-like)
+    affine: the separable path's cross-axis evaluation error is bounded
+    by |s|*||grad d|| — far under interpolation noise on SOFIMA-scale
+    lattices."""
+    vol = _gaussian_blobs()
+    # amp/lattice chosen ROUGHER than a relaxed SOFIMA field (full sine
+    # period across 4 strides); relaxation-smoothed production flows sit
+    # well inside this error envelope
+    flow = _smooth_flow(amp=(0.5, 1.5, 1.5))
+    transform = np.eye(4, dtype=np.float32)
+    transform[0, 0], transform[1, 1], transform[2, 2] = 1.001, 0.9985, 1.002
+    transform[:3, 3] = (0.3, -1.2, 0.8)
+    kwargs = dict(
+        transform_zyx_um=transform,
+        spacing_zyx_um=(1.0, 1.0, 1.0),
+        reference_shape=vol.shape,
+        map_stride_zyx_px=(6.0, 14.0, 14.0),
+        map_box_start_xyz_px=(7.0, 7.0, 3.0),
+    )
+    fast = warp_affine_plus_flow(vol, flow, method="separable", **kwargs)
+    exact = warp_affine_plus_flow(vol, flow, method="gather", **kwargs)
+    scale = float(np.abs(vol).max())
+    err = np.abs(fast - exact) / scale
+    assert np.max(err) < 0.03, np.max(err)
+    assert np.mean(err) < 5e-4, np.mean(err)
+
+
+def test_separable_flow_warp_rejects_rotation():
+    """Non-diagonal pixel affines must refuse the separable path (auto
+    routes them to the gather)."""
+    vol = _gaussian_blobs(shape=(8, 24, 24))
+    flow = np.zeros((3, 2, 3, 3), np.float32)
+    transform = np.eye(4, dtype=np.float32)
+    c, s = np.cos(0.1), np.sin(0.1)
+    transform[1, 1], transform[1, 2] = c, -s
+    transform[2, 1], transform[2, 2] = s, c
+    kwargs = dict(
+        transform_zyx_um=transform,
+        spacing_zyx_um=(1.0, 1.0, 1.0),
+        reference_shape=vol.shape,
+        map_stride_zyx_px=(4.0, 10.0, 10.0),
+        map_box_start_xyz_px=(5.0, 5.0, 2.0),
+    )
+    with pytest.raises(ValueError, match="separable"):
+        warp_affine_plus_flow(vol, flow, method="separable", **kwargs)
+    out = warp_affine_plus_flow(vol, flow, **kwargs)  # auto → gather
+    assert out.shape == vol.shape and np.isfinite(out).all()
