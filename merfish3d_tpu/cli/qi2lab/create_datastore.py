@@ -201,6 +201,8 @@ def create_datastore_qi2lab(
     hot_pixel_threshold: float = 100.0,
     psf_model: str = "gaussian",
     psf_yx_size: int = 51,
+    apply_flatfield: bool = True,
+    max_flatfield_images: int = 100,
 ):
     """qi2lab microscope NDTiff acquisition → qi2lab datastore.
 
@@ -411,10 +413,82 @@ def create_datastore_qi2lab(
                         wavelengths_um, tile=tile_idx, bit=bit_idx
                     )
 
+    if apply_flatfield:
+        _apply_flatfield_corrections(
+            ds, max_flatfield_images=max_flatfield_images
+        )
+
     state = ds.datastore_state
     state.update({"Corrected": True})
     ds.datastore_state = state
     return ds
+
+
+def _apply_flatfield_corrections(
+    ds, *, max_flatfield_images: int = 100, seed: int = 0
+) -> None:
+    """Estimate and divide out per-channel illumination flatfields
+    (reference `create_datastore.py:600-710`, `use_illuminations=False`
+    default path): sample up to ``max_flatfield_images`` tiles, fit a
+    BaSiC flatfield (`utils/imageprocessing.estimate_shading`) on the
+    round-0 fiducial images, divide it out of every fiducial stack, then
+    repeat per readout bit with the psf index keyed on excitation
+    wavelength (< 0.600 µm → psf 1, else psf 2)."""
+    from ...utils.imageprocessing import estimate_shading
+
+    n_sample = min(int(ds.num_tiles), int(max_flatfield_images))
+    rng = np.random.default_rng(seed)
+    sample = rng.choice(ds.num_tiles, size=n_sample, replace=False)
+
+    def _divide_and_save(img: np.ndarray, flat: np.ndarray, **where) -> None:
+        corrected = (
+            (np.asarray(img).astype(np.float32) / flat)
+            .clip(0, 2**16 - 1)
+            .astype(np.uint16)
+        )
+        ds.save_local_corrected_image(
+            corrected,
+            gain_correction=True,
+            hotpixel_correction=False,
+            shading_correction=True,
+            **where,
+        )
+
+    fiducial_stack = np.stack(
+        [
+            np.asarray(ds.load_local_corrected_image(tile=int(t), round=0))
+            for t in sample
+        ]
+    )
+    fiducial_flat = estimate_shading(fiducial_stack)
+    for round_idx in range(ds.num_rounds):
+        for tile_idx in range(ds.num_tiles):
+            _divide_and_save(
+                ds.load_local_corrected_image(tile=tile_idx, round=round_idx),
+                fiducial_flat,
+                tile=tile_idx,
+                round=round_idx,
+                psf_idx=0,
+            )
+
+    for bit_idx, bit_id in enumerate(ds.bit_ids):
+        readout_stack = np.stack(
+            [
+                np.asarray(ds.load_local_corrected_image(tile=int(t), bit=bit_idx))
+                for t in sample
+            ]
+        )
+        readout_flat = estimate_shading(readout_stack)
+        ex_um, _em_um = ds.load_local_wavelengths_um(tile=0, bit=bit_idx)
+        psf_idx = 1 if float(ex_um) < 0.600 else 2
+        for tile_idx in range(ds.num_tiles):
+            _divide_and_save(
+                ds.load_local_corrected_image(tile=tile_idx, bit=bit_idx),
+                readout_flat,
+                tile=tile_idx,
+                bit=bit_idx,
+                psf_idx=psf_idx,
+            )
 
 
 def main(argv=None) -> None:
@@ -427,6 +501,12 @@ def main(argv=None) -> None:
     p.add_argument("--psf-model", choices=("gaussian", "born_wolf", "vectorial"), default="gaussian")
     p.add_argument("--codebook-path", type=Path, default=None)
     p.add_argument("--bit-order-path", type=Path, default=None)
+    # reference `use_illuminations=False` default = estimate+apply BaSiC
+    # flatfields after conversion (`create_datastore.py:600-710`)
+    p.add_argument(
+        "--apply-flatfield", action=argparse.BooleanOptionalAction, default=True
+    )
+    p.add_argument("--max-flatfield-images", type=int, default=100)
     args = p.parse_args(argv)
     layout = args.layout
     if layout == "auto":
@@ -441,6 +521,8 @@ def main(argv=None) -> None:
             bit_order_path=args.bit_order_path,
             hot_pixel_threshold=args.hot_pixel_threshold,
             psf_model=args.psf_model,
+            apply_flatfield=args.apply_flatfield,
+            max_flatfield_images=args.max_flatfield_images,
         )
         return
     if args.output_dir is None:

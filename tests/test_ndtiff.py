@@ -78,9 +78,11 @@ def test_ndtiff_uint8_and_missing_axes(tmp_path):
         ds.read_image(channel=1, z=0)
 
 
-def _make_qi2lab_raw(root, n_rounds=2, n_tiles=2, n_z=3, yx=24):
+def _make_qi2lab_raw(root, n_rounds=2, n_tiles=2, n_z=3, yx=24, vignette=False):
     """Synthetic qi2lab-microscope acquisition: scan_metadata.csv +
-    codebook/bit_order CSVs + one NDTiff dir per round/tile."""
+    codebook/bit_order CSVs + one NDTiff dir per round/tile.
+    ``vignette=True`` multiplies every plane by a shared radial
+    illumination falloff (for the flatfield-pass test)."""
     rng = np.random.default_rng(7)
     root.mkdir(parents=True, exist_ok=True)
     pd.DataFrame(
@@ -108,10 +110,21 @@ def _make_qi2lab_raw(root, n_rounds=2, n_tiles=2, n_z=3, yx=24):
     )
     bit_order.to_csv(root / "bit_order.csv", index=False)
 
+    field = None
+    if vignette:
+        vy, vx = np.meshgrid(
+            np.linspace(-1, 1, yx), np.linspace(-1, 1, yx), indexing="ij"
+        )
+        field = 1.0 - 0.45 * (vy**2 + vx**2)
+
     stacks = {}
     for r in range(n_rounds):
         for t in range(n_tiles):
             stack = rng.integers(50, 4000, (3, n_z, yx, yx), dtype=np.uint16)
+            if field is not None:
+                stack = (
+                    100.0 + (stack.astype(np.float32) - 100.0) * field
+                ).clip(0, 65535).astype(np.uint16)
             stacks[(r, t)] = stack
             write_ndtiff(
                 root / f"exp_r{r + 1:04d}_tile{t:04d}_1",
@@ -127,7 +140,10 @@ def test_qi2lab_ndtiff_conversion(tmp_path):
 
     root = tmp_path / "raw"
     stacks = _make_qi2lab_raw(root)
-    ds = create_datastore_qi2lab(root, noise_map_shape_yx=(24, 24))
+    # flatfield off: the assertions below pin EXACT gain-corrected values
+    ds = create_datastore_qi2lab(
+        root, noise_map_shape_yx=(24, 24), apply_flatfield=False
+    )
 
     assert ds.num_rounds == 2
     assert ds.num_tiles == 2
@@ -175,3 +191,37 @@ def test_qi2lab_layout_autodetect_via_cli(tmp_path):
     main(["--raw-dir", str(root), "--output-dir", str(out)])
     ds = qi2labDataStore(out / "qi2labdatastore")
     assert ds.num_tiles == 1 and ds.camera_model == "orcav3"
+
+
+def test_qi2lab_flatfield_pass(tmp_path):
+    """The default conversion estimates BaSiC flatfields from sampled
+    tiles and divides them out (reference `create_datastore.py:600-710`,
+    `use_illuminations=False`): a strong synthetic vignette must be gone
+    from the stored corrected images, and the shading flag recorded."""
+    import json
+
+    from merfish3d_tpu.cli.qi2lab.create_datastore import create_datastore_qi2lab
+
+    root = tmp_path / "raw"
+    _make_qi2lab_raw(root, vignette=True)
+    ds = create_datastore_qi2lab(root, noise_map_shape_yx=(24, 24))
+
+    def corner_to_center(img):
+        prof = np.asarray(img, np.float32).mean(axis=0)
+        return prof[:5, :5].mean() / prof[9:15, 9:15].mean()
+
+    # applied vignette: corner/center ≈ 0.12 before correction
+    for where in (dict(round=0), dict(bit=0)):
+        ratio = corner_to_center(ds.load_local_corrected_image(tile=0, **where))
+        assert ratio > 0.55, (where, ratio)
+
+    flagged = False
+    for pth in ds.datastore_path.rglob("*.json"):
+        try:
+            text = pth.read_text()
+        except OSError:
+            continue
+        if '"shading_correction"' in text and "true" in text.lower():
+            flagged = True
+            break
+    assert flagged, "no corrected image records shading_correction=true"

@@ -416,3 +416,25 @@ def test_bead_calibration_from_ome_tiff_cli(tmp_path):
     assert ch["status"] == "affine_estimated"
     est = np.asarray(ch["affine_zyx_um"])
     np.testing.assert_allclose(est[:3, 3], shift_um, atol=0.08)
+
+
+def test_estimate_shading_darkfield_option():
+    """`get_darkfield=True` returns (flatfield, darkfield) and recovers
+    an additive floor (BaSiC model I_i = b_i*S + D + R_i)."""
+    rng = np.random.default_rng(3)
+    yy, xx = np.meshgrid(
+        np.linspace(-1, 1, 96), np.linspace(-1, 1, 96), indexing="ij"
+    )
+    true_flat = 1.0 - 0.35 * (yy**2 + xx**2)
+    true_dark = 40.0 * np.ones((96, 96), np.float32)
+    imgs = np.stack(
+        [
+            true_flat * rng.uniform(150, 250) + true_dark
+            + rng.normal(0, 2, (96, 96))
+            for _ in range(10)
+        ]
+    ).astype(np.float32)
+    flat, dark = estimate_shading(imgs, get_darkfield=True)
+    assert flat.shape == (96, 96) and dark.shape == (96, 96)
+    assert flat[48, 48] > flat[4, 4] * 1.15  # vignette shape recovered
+    assert 0.0 <= dark.mean() <= 80.0  # additive floor in a sane range
