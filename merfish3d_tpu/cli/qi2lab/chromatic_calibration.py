@@ -45,10 +45,11 @@ def main(argv=None) -> None:
 
     ds = qi2labDataStore(args.datastore_path, validate=False)
     wavelengths = args.wavelengths_um
+    bead_spacing = None  # bead-acquisition voxel size, when it differs
     if args.bead_image is not None:
         from ...utils.ometiff import read_ome_tiff_stack
 
-        stack, _spacing, meta_wl = read_ome_tiff_stack(args.bead_image)
+        stack, bead_spacing, meta_wl = read_ome_tiff_stack(args.bead_image)
         volumes = list(stack)
         if wavelengths is None:
             wavelengths = meta_wl
@@ -67,6 +68,9 @@ def main(argv=None) -> None:
         ds, volumes, wavelengths,
         deconvolve=args.deconvolve,
         detection_threshold=args.detection_threshold,
+        ufish_model=args.ufish_model,
+        ufish_checkpoint=args.ufish_checkpoint,
+        voxel_size_zyx_um=bead_spacing,
     )
     print(json.dumps({k: v.get("status") for k, v in calibration["channels"].items()}, indent=2))
 

@@ -432,8 +432,8 @@ def _apply_flatfield_corrections(
     default path): sample up to ``max_flatfield_images`` tiles, fit a
     BaSiC flatfield (`utils/imageprocessing.estimate_shading`) on the
     round-0 fiducial images, divide it out of every fiducial stack, then
-    repeat per readout bit with the psf index keyed on excitation
-    wavelength (< 0.600 µm → psf 1, else psf 2)."""
+    repeat per readout bit. The stored correction provenance (psf_idx,
+    gain/hotpixel flags) is preserved — only shading_correction flips."""
     from ...utils.imageprocessing import estimate_shading
 
     n_sample = min(int(ds.num_tiles), int(max_flatfield_images))
@@ -446,10 +446,14 @@ def _apply_flatfield_corrections(
             .clip(0, 2**16 - 1)
             .astype(np.uint16)
         )
+        # preserve the stored correction provenance (psf_idx, gain/hotpixel
+        # flags) — this pass only adds shading correction
+        prior = ds.load_local_corrected_image_attrs(**where)
         ds.save_local_corrected_image(
             corrected,
-            gain_correction=True,
-            hotpixel_correction=False,
+            psf_idx=int(prior.get("psf_idx", 0)),
+            gain_correction=bool(prior.get("gain_correction", True)),
+            hotpixel_correction=bool(prior.get("hotpixel_correction", False)),
             shading_correction=True,
             **where,
         )
@@ -468,7 +472,6 @@ def _apply_flatfield_corrections(
                 fiducial_flat,
                 tile=tile_idx,
                 round=round_idx,
-                psf_idx=0,
             )
 
     for bit_idx, bit_id in enumerate(ds.bit_ids):
@@ -479,15 +482,12 @@ def _apply_flatfield_corrections(
             ]
         )
         readout_flat = estimate_shading(readout_stack)
-        ex_um, _em_um = ds.load_local_wavelengths_um(tile=0, bit=bit_idx)
-        psf_idx = 1 if float(ex_um) < 0.600 else 2
         for tile_idx in range(ds.num_tiles):
             _divide_and_save(
                 ds.load_local_corrected_image(tile=tile_idx, bit=bit_idx),
                 readout_flat,
                 tile=tile_idx,
                 bit=bit_idx,
-                psf_idx=psf_idx,
             )
 
 

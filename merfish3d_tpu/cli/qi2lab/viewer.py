@@ -24,7 +24,8 @@ def main(argv=None) -> None:
     p.add_argument("--export-html", type=Path, default=None,
                    help="write the self-contained interactive HTML viewer")
     p.add_argument("--serve", action="store_true",
-                   help="with --export-html: host the file on localhost")
+                   help="host the browser GUI on localhost (exports to a "
+                        "temporary file when --export-html is not given)")
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--max-edge", type=int, default=1024,
                    help="HTML export: downsample planes beyond this edge")
@@ -32,14 +33,17 @@ def main(argv=None) -> None:
                    help="HTML export: restrict to these tile ids")
     args = p.parse_args(argv)
 
-    if args.export_html is not None:
+    if args.export_html is not None or args.serve:
+        import tempfile
+
         from ...viz.viewer import normalize_datastore_path, open_datastore
         from ...viz.web import export_html, serve
 
+        out = args.export_html
+        if out is None:  # --serve alone: host from a temporary export
+            out = Path(tempfile.mkdtemp(prefix="merfish3d_viewer_")) / "viewer.html"
         ds = open_datastore(normalize_datastore_path(args.datastore_path))
-        path = export_html(
-            ds, args.export_html, tiles=args.tiles, max_edge=args.max_edge
-        )
+        path = export_html(ds, out, tiles=args.tiles, max_edge=args.max_edge)
         print(f"wrote {path}")
         if args.serve:
             serve(path, port=args.port)

@@ -254,7 +254,11 @@ class qi2labDataStore:
             ) from e
         if int(np.prod(shape)) > 0:
             chunk_root = group_path / "0" / "c"
-            has_chunk = chunk_root.exists() and any(chunk_root.rglob("*"))
+            # count chunk FILES — a truncated write can leave empty chunk
+            # directories behind, which must still fail validation
+            has_chunk = chunk_root.exists() and any(
+                p.is_file() for p in chunk_root.rglob("*")
+            )
             if not has_chunk:
                 raise ValueError(
                     f"{what}: zarr array at {group_path} has shape {shape} "
@@ -948,6 +952,14 @@ class qi2labDataStore:
     ):
         return self._load_entity_image(
             self._entity_dir(tile, round, bit), "corrected_data", return_future
+        )
+
+    def load_local_corrected_image_attrs(self, tile, round=None, bit=None) -> dict:
+        """Correction-provenance attrs of a corrected stack (psf_idx +
+        gain/hotpixel/shading flags), so re-save passes (e.g. flatfield
+        application) can preserve what they don't change."""
+        return self._load_entity_attributes(
+            self._entity_dir(tile, round, bit), "corrected_data"
         )
 
     def save_local_rigid_xform_xyz_px(self, rigid_xform_xyz_px: ArrayLike, tile, round) -> None:

@@ -152,6 +152,14 @@ def _patch_xcorr_flow(
 
     Returns (flow_zyx (P, 3), peak_ratio (P,), peak_sharpness (P,)) with
     flow = displacement of moving content relative to the reference patch."""
+    if peak_radius <= peak_min_distance:
+        # the sharpness ring (radius in (peak_min_distance, peak_radius])
+        # would be empty and sharpness would degenerate to best/1e-12,
+        # silently disabling (or inverting) the min_peak_sharpness gate
+        raise ValueError(
+            f"peak_radius ({peak_radius}) must exceed peak_min_distance "
+            f"({peak_min_distance}) so the sharpness ring is non-empty"
+        )
     pz, py, px = patch_size
     starts = [
         _lattice_starts(s, p, st)

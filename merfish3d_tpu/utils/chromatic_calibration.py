@@ -213,24 +213,32 @@ def run_chromatic_calibration(
     psf_model: str = "vectorial",
     ufish_model: str = "simfish",
     ufish_checkpoint=None,
+    voxel_size_zyx_um=None,
 ) -> dict:
     """Full calibration: optional RLGC decon of the bead stacks, affine
     estimation, write-back to the datastore
     (reference `run_chromatic_calibration`; like the reference, the decon
     PSFs are VECTORIAL per channel by default and bead detection runs the
     U-FISH predictor when a checkpoint is available, `chromatic.py:468-487`
-    — the DoG fallback otherwise)."""
+    — the DoG fallback otherwise).
+
+    ``voxel_size_zyx_um`` overrides the datastore's experiment voxel size
+    when the bead acquisition was taken at a different spacing (the
+    reference parses it from the bead OME-TIFF, `chromatic.py:100-169`).
+    """
     from ..models.psf import make_channel_psfs
     from ..models.ufish import get_predictor
     from ..ops.rlgc import rlgc
 
+    if voxel_size_zyx_um is None:
+        voxel_size_zyx_um = datastore.voxel_size_zyx_um
     vols = [np.asarray(v, np.float32) for v in channel_volumes]
     if deconvolve:
         psfs = make_channel_psfs(
             emission_wavelengths_um,
             na=datastore.na or 1.35,
             ri=datastore.ri or 1.4,
-            voxel_size_zyx_um=datastore.voxel_size_zyx_um,
+            voxel_size_zyx_um=voxel_size_zyx_um,
             shape_zyx=(15, 15, 15),
             model=psf_model,
         )
@@ -238,7 +246,7 @@ def run_chromatic_calibration(
     calibration = estimate_chromatic_affines(
         vols,
         emission_wavelengths_um,
-        voxel_size_zyx_um=datastore.voxel_size_zyx_um,
+        voxel_size_zyx_um=voxel_size_zyx_um,
         detection_threshold=detection_threshold,
         predictor=get_predictor(ufish_model, ufish_checkpoint),
     )

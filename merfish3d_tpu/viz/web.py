@@ -172,10 +172,9 @@ def _load_outlines(datastore) -> dict:
     return data_layer._normalize_outlines(outlines)
 
 
-def _outline_polys_tile(datastore, tile: str) -> list:
+def _outline_polys_tile(datastore, tile: str, outlines: dict) -> list:
     """Global-µm cell polygons mapped into tile pixel yx
     (`viewer.rasterize_cell_outlines:469-498` geometry, kept as vectors)."""
-    outlines = _load_outlines(datastore)
     if not outlines:
         return []
     xf = datastore.load_global_coord_xforms_um(tile=tile)
@@ -194,8 +193,7 @@ def _outline_polys_tile(datastore, tile: str) -> list:
     return polys
 
 
-def _outline_polys_global(datastore, origin, spacing) -> list:
-    outlines = _load_outlines(datastore)
+def _outline_polys_global(origin, spacing, outlines: dict) -> list:
     if not outlines:
         return []
     origin = np.asarray(origin, dtype=float)
@@ -254,6 +252,7 @@ def build_payload(
     ds = datastore
     views = []
     all_genes: dict[str, int] = {}
+    outlines = _load_outlines(ds)  # global outline file, parsed once
     tile_ids = list(ds.tile_ids or [])
     if tiles:
         tile_ids = [t for t in tile_ids if t in set(tiles)]
@@ -274,7 +273,7 @@ def build_payload(
         spacing = xf[2] if xf is not None else _voxel_size(ds)
         view = _view_dict(
             tile, entries, max_edge, origin, spacing, spots,
-            _outline_polys_tile(ds, tile),
+            _outline_polys_tile(ds, tile, outlines),
         )
         if view is not None:
             views.append(view)
@@ -302,12 +301,22 @@ def build_payload(
                     [0.0, round(float(y), 2), round(float(x), 2), g]
                     for (y, x), g in zip(px, genes)
                 ]
+                # global-only genes (per-tile tables absent, or tiles
+                # filtered out) must still get legend rows + colors; genes
+                # already counted per-tile keep their tile counts (the
+                # per-tile frames are subsets of this same global table)
+                global_counts: dict[str, int] = {}
+                for g in genes:
+                    global_counts[g] = global_counts.get(g, 0) + 1
+                for g, n in global_counts.items():
+                    if g not in all_genes:
+                        all_genes[g] = n
             entries = list(
                 zip(gstack.stack.labels, [c for c in gstack.stack.data])
             )
             view = _view_dict(
                 "global", entries, max_edge, origin, spacing, gspots,
-                _outline_polys_global(ds, origin, spacing),
+                _outline_polys_global(origin, spacing, outlines),
             )
             if view is not None:
                 views.append(view)
