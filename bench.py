@@ -238,22 +238,42 @@ def _rlgc_roofline(padded_shape, elapsed_per_iter: float) -> dict:
     `ideal_ms_per_iteration` is the max of the FLOP and HBM bounds —
     the speed-of-light for this algorithm on this chip.
     """
+    from merfish3d_tpu.ops import pfft
+    from merfish3d_tpu.ops.mmfft import fft_axis_split, use_pfft
+
     n = float(np.prod(padded_shape))
+    zx_fused = use_pfft() and pfft.zx_supported(padded_shape)
     fft_macs = 0.0
     fft_sweeps = 0.0
-    for ax in padded_shape:
-        m_real, s_real = _mmfft_axis_cost(int(ax), complex_input=False)
-        m_cplx, s_cplx = _mmfft_axis_cost(int(ax), complex_input=True)
-        # per transform set: 2 real-input forwards have ONE real axis
-        # each (the largest-first axis), everything else complex — model
-        # conservatively as all-complex except two single axes:
+    if zx_fused:
+        # leading (z) + trailing (x) ride ONE pass (`pfft.dft_zx`): the
+        # MAC count is both axes' contractions, but the HBM traffic is a
+        # single kernel's read+write (real input: 1r+2w; complex: 2r+2w;
+        # real_output inverse: 2r+1w)
+        nz, ny, nx = (int(v) for v in padded_shape)
+        n1, n2 = fft_axis_split(nx)
+        zx_macs_c = (nz + n1 + n2) * 4  # complex channels
+        # 6 transforms: 2 real-input forwards (3 sweeps), 2 complex
+        # forwards/inverses (4), 2 real-output inverses (3)
+        fft_macs += 4 * zx_macs_c + 2 * (nz + n1 + n2) * 2
+        fft_sweeps += 2 * 3.0 + 2 * 4.0 + 2 * 3.0
+        m_cplx, s_cplx = _mmfft_axis_cost(ny, complex_input=True)
         fft_macs += 6 * m_cplx
         fft_sweeps += 6 * s_cplx
-    largest = max(padded_shape)
-    m_real, s_real = _mmfft_axis_cost(int(largest), complex_input=False)
-    m_cplx, s_cplx = _mmfft_axis_cost(int(largest), complex_input=True)
-    fft_macs -= 2 * (m_cplx - m_real)
-    fft_sweeps -= 2 * (s_cplx - s_real)
+    else:
+        for ax in padded_shape:
+            m_real, s_real = _mmfft_axis_cost(int(ax), complex_input=False)
+            m_cplx, s_cplx = _mmfft_axis_cost(int(ax), complex_input=True)
+            # per transform set: 2 real-input forwards have ONE real axis
+            # each (the largest-first axis), everything else complex —
+            # model conservatively as all-complex except two single axes:
+            fft_macs += 6 * m_cplx
+            fft_sweeps += 6 * s_cplx
+        largest = max(padded_shape)
+        m_real, s_real = _mmfft_axis_cost(int(largest), complex_input=False)
+        m_cplx, s_cplx = _mmfft_axis_cost(int(largest), complex_input=True)
+        fft_macs -= 2 * (m_cplx - m_real)
+        fft_sweeps -= 2 * (s_cplx - s_real)
 
     flops = 2.0 * fft_macs * n + 30.0 * n
     bytes_total = (fft_sweeps + 15.0) * 4 * n

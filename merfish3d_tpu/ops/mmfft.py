@@ -418,6 +418,13 @@ def fftn_pair_s(xr: jnp.ndarray, xi=None, axes=None):
     if nd == 3 and use_pfft():
         from . import pfft
 
+        # leading+trailing fused first when the shape qualifies — both
+        # axes ride ONE HBM pass, and both see the (possibly real) input
+        if pfft.zx_supported(xr.shape):
+            xr, xi = pfft.dft_zx(xr, xi)
+            if pfft.axis_supported(xr.shape, 1):
+                return pfft.dft_axis_3d(xr, xi, 1)
+            return _einsum_axis_fwd(xr, xi, 1)
         # trailing (largest) axis first: transformed while the input may
         # still be real — half the channel work on that axis
         for ax in (2, 1, 0):
@@ -448,6 +455,16 @@ def ifftn_pair_s(xr: jnp.ndarray, xi, axes=None, real_output: bool = False):
     if nd == 3 and use_pfft():
         from . import pfft
 
+        # leading+trailing fused last: one HBM pass for both axes, with
+        # real_output halving the final write
+        if pfft.zx_supported(xr.shape):
+            if pfft.axis_supported(xr.shape, 1):
+                xr, xi = pfft.dft_axis_3d(xr, xi, 1, inverse=True)
+            else:
+                xr, xi = _einsum_axis_inv(xr, xi, 1)
+            return pfft.dft_zx(
+                xr, xi, inverse=True, real_output=real_output
+            )
         # trailing (largest) axis LAST so real_output halves its work
         for ax in (1, 0, 2):
             ro = real_output and ax == 2

@@ -419,6 +419,155 @@ def dft_leading(xr, xi, *, inverse=False, real_output=False):
     return yr, (None if real_out else yi)
 
 
+# ------------------------------------------- fused leading+trailing pass
+def _dft_zx_fwd_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
+                       wzr_ref, wzi_ref, or_ref, oi_ref, *, n, w1, real_in):
+    """Trailing-axis CT DFT + leading-axis dense DFT in ONE VMEM-resident
+    pass over (nz, ty, nx) blocks — the two separate per-axis kernels cost
+    an extra full HBM write+read of both channels between them.
+
+    Per k-group of 128 output lanes: stage 1 (n1-point DFT, scalar FMAs),
+    twiddle, stage 2 (128-point MXU matmul), then the z-axis dense DFT as
+    a (nz, nz) @ (nz, ty·128) MXU matmul on the group — the z transform
+    is linear, so applying it per lane-group commutes with the x stages."""
+    nz, ty, nx = xr_ref.shape
+    n1 = n // _LANE
+    rows = nz * ty
+    x2r = xr_ref[:].reshape(rows, n)
+    xs_r = [x2r[:, p * _LANE:(p + 1) * _LANE] for p in range(n1)]
+    if real_in:
+        xs_i = None
+    else:
+        x2i = xi_ref[:].reshape(rows, n)
+        xs_i = [x2i[:, p * _LANE:(p + 1) * _LANE] for p in range(n1)]
+    w2r = w2r_ref[:]
+    w2i = w2i_ref[:]
+    wzr = wzr_ref[:]
+    wzi = wzi_ref[:]
+    for k in range(n1):
+        br = xs_r[0] * float(w1[k, 0].real)
+        bi = xs_r[0] * float(w1[k, 0].imag)
+        for p in range(1, n1):
+            br = br + xs_r[p] * float(w1[k, p].real)
+            bi = bi + xs_r[p] * float(w1[k, p].imag)
+        if xs_i is not None:
+            for p in range(n1):
+                br = br - xs_i[p] * float(w1[k, p].imag)
+                bi = bi + xs_i[p] * float(w1[k, p].real)
+        twr = twr_ref[k:k + 1, :]
+        twi = twi_ref[k:k + 1, :]
+        cr = br * twr - bi * twi
+        ci = br * twi + bi * twr
+        dr = _DOT(cr, w2r) - _DOT(ci, w2i)
+        di = _DOT(cr, w2i) + _DOT(ci, w2r)
+        # z-axis dense DFT on this lane group
+        gr = dr.reshape(nz, ty * _LANE)
+        gi = di.reshape(nz, ty * _LANE)
+        zr = _DOT(wzr, gr) - _DOT(wzi, gi)
+        zi = _DOT(wzr, gi) + _DOT(wzi, gr)
+        or_ref[:, :, k * _LANE:(k + 1) * _LANE] = zr.reshape(nz, ty, _LANE)
+        oi_ref[:, :, k * _LANE:(k + 1) * _LANE] = zi.reshape(nz, ty, _LANE)
+
+
+def _dft_zx_inv_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
+                       wzr_ref, wzi_ref, or_ref, oi_ref, *, n, w1, real_out):
+    """Inverse of :func:`_dft_zx_fwd_kernel`: z-axis inverse dense DFT per
+    lane group, then the scrambled-layout CT inverse (MXU stage,
+    conj-twiddle, n1-point synthesis writing natural order)."""
+    nz, ty, nx = xr_ref.shape
+    n1 = n // _LANE
+    w2r = w2r_ref[:]
+    w2i = w2i_ref[:]
+    wzr = wzr_ref[:]
+    wzi = wzi_ref[:]
+    es_r, es_i = [], []
+    for k in range(n1):
+        ar = xr_ref[:, :, k * _LANE:(k + 1) * _LANE].reshape(nz, ty * _LANE)
+        ai = xi_ref[:, :, k * _LANE:(k + 1) * _LANE].reshape(nz, ty * _LANE)
+        zr = _DOT(wzr, ar) - _DOT(wzi, ai)
+        zi = _DOT(wzr, ai) + _DOT(wzi, ar)
+        cr = zr.reshape(nz * ty, _LANE)
+        ci = zi.reshape(nz * ty, _LANE)
+        dr = _DOT(cr, w2r) - _DOT(ci, w2i)
+        di = _DOT(cr, w2i) + _DOT(ci, w2r)
+        twr = twr_ref[k:k + 1, :]
+        twi = twi_ref[k:k + 1, :]
+        es_r.append(dr * twr - di * twi)
+        es_i.append(dr * twi + di * twr)
+    for p in range(n1):
+        yr = es_r[0] * float(w1[0, p].real) - es_i[0] * float(w1[0, p].imag)
+        for k in range(1, n1):
+            yr = yr + es_r[k] * float(w1[k, p].real)
+            yr = yr - es_i[k] * float(w1[k, p].imag)
+        or_ref[:, :, p * _LANE:(p + 1) * _LANE] = yr.reshape(nz, ty, _LANE)
+        if not real_out:
+            yi = es_r[0] * float(w1[0, p].imag) + es_i[0] * float(w1[0, p].real)
+            for k in range(1, n1):
+                yi = yi + es_r[k] * float(w1[k, p].imag)
+                yi = yi + es_i[k] * float(w1[k, p].real)
+            oi_ref[:, :, p * _LANE:(p + 1) * _LANE] = yi.reshape(nz, ty, _LANE)
+
+
+_ZX_TY = 8  # sublane-minimal y rows per block: nz and nx are both full
+
+
+def zx_supported(shape) -> bool:
+    """Can the fused z+x kernel transform axes (0, 2) of this 3D shape?
+
+    Requires a dense-supported z, a CT-supported x, y divisible by the
+    row block, and the live block set within the VMEM budget."""
+    if len(shape) != 3:
+        return False
+    nz, ny, nx = (int(v) for v in shape)
+    if not (supported_dense_axis(nz) and supported_ct_axis(nx)):
+        return False
+    if ny % _ZX_TY != 0:
+        return False
+    n1 = nx // _LANE
+    io_bytes = 5 * nz * _ZX_TY * nx * 4  # in(≤2)+out(2) with double-buffer
+    live_bytes = 2 * n1 * nz * _ZX_TY * _LANE * 4  # inverse es lists
+    return io_bytes + live_bytes <= 12 * 1024 * 1024
+
+
+def dft_zx(xr, xi, *, inverse=False, real_output=False):
+    """Fused DFT along axes 0 and 2 of a 3D pair (one HBM pass for both);
+    caller checked :func:`zx_supported`."""
+    nz, ny, nx = xr.shape
+    n1 = nx // _LANE
+    w1, consts = _ct_const_args(nx, inverse)
+    wz = _consts_dense(nz, inverse)
+    wzr = jnp.asarray(wz.real.copy())
+    wzi = jnp.asarray(wz.imag.copy())
+    grid = (ny // _ZX_TY,)
+    spec = pl.BlockSpec((nz, _ZX_TY, nx), lambda j: (0, j, 0),
+                        memory_space=pltpu.VMEM)
+    real_in = xi is None
+    if real_in:
+        xi = jnp.zeros((8, 8, nx), jnp.float32)  # placeholder, never read
+        xi_spec = pl.BlockSpec((8, 8, nx), lambda j: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        xi_spec = spec
+    wz_spec = pl.BlockSpec((nz, nz), lambda j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    if inverse:
+        kern = partial(_dft_zx_inv_kernel, n=nx, w1=w1,
+                       real_out=real_output)
+    else:
+        kern = partial(_dft_zx_fwd_kernel, n=nx, w1=w1, real_in=real_in)
+    yr, yi = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[spec, xi_spec] + _const_specs(n1) + [wz_spec, wz_spec],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32),
+        ),
+    )(xr, xi, *consts, wzr, wzi)
+    return yr, (None if (inverse and real_output) else yi)
+
+
 # ------------------------------------------------------------- dispatch
 def axis_supported(shape, axis: int) -> bool:
     """Can the fused kernels transform this axis of a 3D array?"""

@@ -76,6 +76,53 @@ def test_inverse_real_output_trailing(vol):
     )
 
 
+def test_zx_supported_policy():
+    assert pfft.zx_supported(SHAPE)
+    assert pfft.zx_supported((40, 1152, 1152))  # RLGC bench shape
+    assert not pfft.zx_supported((128, 256, 384))  # z not dense
+    assert not pfft.zx_supported((8, 256, 100))  # x not CT
+    assert not pfft.zx_supported((8, 252, 384))  # y not row-block divisible
+
+
+@pytest.mark.parametrize("complex_in", [False, True])
+def test_zx_forward_matches_numpy(vol, complex_in):
+    xr, xi = vol
+    with pltpu.force_tpu_interpret_mode():
+        yr, yi = pfft.dft_zx(
+            jnp.asarray(xr), jnp.asarray(xi) if complex_in else None
+        )
+    x = xr + 1j * xi if complex_in else xr
+    ref = np.fft.fft(np.fft.fft(x, axis=0), axis=2)
+    ref = np.take(ref, _perm(SHAPE[2]), axis=2)  # z perm is identity
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(yr), ref.real, atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(yi), ref.imag, atol=3e-5 * scale)
+
+
+def test_zx_inverse_roundtrip_real_output(vol):
+    xr, _ = vol
+    with pltpu.force_tpu_interpret_mode():
+        fr, fi = pfft.dft_zx(jnp.asarray(xr), None)
+        yr, yi = pfft.dft_zx(fr, fi, inverse=True, real_output=True)
+    assert yi is None
+    np.testing.assert_allclose(
+        np.asarray(yr), xr, atol=2e-5 * np.abs(xr).max()
+    )
+
+
+def test_zx_matches_per_axis_kernels(vol):
+    """The fused pass must emit the SAME spectrum ordering as the
+    per-axis kernels so OTFs and data stay pointwise-compatible."""
+    xr, xi = vol
+    with pltpu.force_tpu_interpret_mode():
+        fr, fi = pfft.dft_zx(jnp.asarray(xr), jnp.asarray(xi))
+        ar, ai = pfft.dft_axis_3d(jnp.asarray(xr), jnp.asarray(xi), 2)
+        ar, ai = pfft.dft_axis_3d(ar, ai, 0)
+    scale = np.abs(np.asarray(ar)).max()
+    np.testing.assert_allclose(np.asarray(fr), np.asarray(ar), atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(fi), np.asarray(ai), atol=3e-5 * scale)
+
+
 def test_full_conv_through_pfft_dispatch(vol, monkeypatch):
     """fftn_pair_s/ifftn_pair_s with the pfft dispatch forced on must
     reproduce a numpy FFT convolution end to end."""
