@@ -243,9 +243,31 @@ def _rlgc_roofline(padded_shape, elapsed_per_iter: float) -> dict:
 
     n = float(np.prod(padded_shape))
     zx_fused = use_pfft() and pfft.zx_supported(padded_shape)
+    conv_fused = zx_fused and pfft.mid_conv_supported(padded_shape)
     fft_macs = 0.0
     fft_sweeps = 0.0
-    if zx_fused:
+    # non-conv elementwise chains (split, KLD, ratios, consensus product,
+    # select, boundary): ~15 f32 sweeps; the 3 convolutions' spectrum
+    # multiplies (4r+2w each) are separate XLA passes UNLESS the fused
+    # y-conv kernel absorbs them
+    ew_sweeps = 15.0 if conv_fused else 15.0 + 3 * 6.0
+    if conv_fused:
+        # 3 convolutions, each THREE fused Pallas passes
+        # (`mmfft.conv_pair_s`): zx fwd, y fwd·OTF·inv, zx inv
+        nz, ny, nx = (int(v) for v in padded_shape)
+        n1x, n2x = fft_axis_split(nx)
+        n1y, n2y = fft_axis_split(ny)
+        zx_real_fwd = nz * 4 + (n1x * 2 + n2x * 4)   # x stage1 on 1 chan
+        zx_cplx = (nz + n1x + n2x) * 4
+        zx_real_inv = nz * 4 + (n2x * 4 + n1x * 2)   # real-only synthesis
+        y_conv = 2 * (n1y + n2y) * 4                  # fwd + inv, complex
+        # Hu and consensus convs: real in, real out
+        fft_macs += 2 * (zx_real_fwd + y_conv + zx_real_inv)
+        fft_sweeps += 2 * (3.0 + 6.0 + 3.0)
+        # packed adjoint pair conv: complex end to end
+        fft_macs += zx_cplx + y_conv + zx_cplx
+        fft_sweeps += 4.0 + 6.0 + 4.0
+    elif zx_fused:
         # leading (z) + trailing (x) ride ONE pass (`pfft.dft_zx`): the
         # MAC count is both axes' contractions, but the HBM traffic is a
         # single kernel's read+write (real input: 1r+2w; complex: 2r+2w;
@@ -276,7 +298,7 @@ def _rlgc_roofline(padded_shape, elapsed_per_iter: float) -> dict:
         fft_sweeps -= 2 * (s_cplx - s_real)
 
     flops = 2.0 * fft_macs * n + 30.0 * n
-    bytes_total = (fft_sweeps + 15.0) * 4 * n
+    bytes_total = (fft_sweeps + ew_sweeps) * 4 * n
     flop_bound = flops / PEAK_F32_FLOPS
     hbm_bound = bytes_total / PEAK_HBM_BYTES_PER_S
     return {

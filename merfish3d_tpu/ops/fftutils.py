@@ -305,12 +305,23 @@ def spectrum_freqs(n: int) -> np.ndarray:
     return f
 
 
+def fft_conv_spec(xr: jnp.ndarray, xi, H_pair, real_output: bool = False):
+    """Spectrum-domain convolution of a (real, imag) pair with an OTF pair
+    in :func:`fftn_spec` order. On TPU this is the fused three-Pallas-pass
+    path (`mmfft.conv_pair_s`); elsewhere the composed transforms."""
+    if use_matmul_fft():
+        from . import mmfft
+
+        return mmfft.conv_pair_s(xr, xi, H_pair, real_output=real_output)
+    f = fftn_spec(xr, xi)
+    return ifftn_spec(*c_mul(f, H_pair), real_output=real_output)
+
+
 def fft_conv_full(image: jnp.ndarray, H_pair) -> jnp.ndarray:
     """Linear convolution via the FULL spectrum carried as real pairs in
     :func:`fftn_spec` order; numerically equal to :func:`fft_conv` for
     real inputs."""
-    f = fftn_spec(image)
-    yr, _yi = ifftn_spec(*c_mul(f, H_pair), real_output=True)
+    yr, _yi = fft_conv_spec(image, None, H_pair, real_output=True)
     return yr.astype(jnp.float32)
 
 

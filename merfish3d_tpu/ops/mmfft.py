@@ -440,6 +440,34 @@ def fftn_pair_s(xr: jnp.ndarray, xi=None, axes=None):
     return xr, xi
 
 
+def conv_pair_s(xr: jnp.ndarray, xi, H_pair, real_output: bool = False):
+    """Full 3D spectrum-domain convolution on a (real, imag) pair:
+    ``ifftn_pair_s(fftn_pair_s(x) * H)`` with ``H`` in `fftn_pair_s`
+    order.
+
+    On TPU shapes where both fused passes qualify, the whole convolution
+    runs as THREE Pallas kernels — fused z+x forward, fused y
+    conv (forward·OTF·inverse in one pass), fused z+x inverse — i.e.
+    three HBM read+write sweeps total, vs seven plus a spectrum-multiply
+    pass for the composed per-axis path. Elsewhere it composes the
+    existing transforms (identical math)."""
+    xr = xr.astype(jnp.float32)
+    if xi is not None:
+        xi = xi.astype(jnp.float32)
+    hr, hi = H_pair
+    if xr.ndim == 3 and use_pfft():
+        from . import pfft
+
+        if pfft.zx_supported(xr.shape) and pfft.mid_conv_supported(xr.shape):
+            fr, fi = pfft.dft_zx(xr, xi)
+            gr, gi = pfft.dft_mid_conv(fr, fi, hr, hi)
+            return pfft.dft_zx(gr, gi, inverse=True, real_output=real_output)
+    fr, fi = fftn_pair_s(xr, xi)
+    yr = fr * hr - fi * hi
+    yi = fr * hi + fi * hr
+    return ifftn_pair_s(yr, yi, real_output=real_output)
+
+
 def ifftn_pair_s(xr: jnp.ndarray, xi, axes=None, real_output: bool = False):
     """Inverse N-D DFT consuming :func:`fftn_pair_s` ordering.
     ``real_output`` skips the imaginary channel of the final axis —

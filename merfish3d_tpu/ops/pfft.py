@@ -419,6 +419,118 @@ def dft_leading(xr, xi, *, inverse=False, real_output=False):
     return yr, (None if real_out else yi)
 
 
+# ------------------------------------------------- fused middle-axis CONV
+def _dft_mid_conv_kernel(xr_ref, xi_ref, hr_ref, hi_ref,
+                         twfr_ref, twfi_ref, w2fr_ref, w2fi_ref,
+                         twir_ref, twii_ref, w2ir_ref, w2ii_ref,
+                         or_ref, oi_ref, *, n, w1f, w1i):
+    """Forward y-DFT → pointwise OTF multiply → inverse y-DFT in ONE
+    VMEM-resident pass over (1, n, tx) blocks.
+
+    Composing the separate fwd/inv middle-axis kernels with an XLA
+    spectrum-multiply pass costs 14 HBM sweeps per convolution's middle
+    stage (2r+2w fwd, 4r+2w multiply, 2r+2w inv); this kernel does the
+    same math in 4r+2w — the spectrum group for output lanes k is
+    produced, multiplied by the OTF block at the same (z, k-group, x)
+    coordinates (scrambled order matches: both sides came through the
+    shared `mmfft.fft_axis_split` policy), and consumed by the inverse
+    stage without ever leaving VMEM."""
+    n1 = n // _LANE
+    xs_r = [xr_ref[0, p * _LANE:(p + 1) * _LANE, :] for p in range(n1)]
+    xs_i = [xi_ref[0, p * _LANE:(p + 1) * _LANE, :] for p in range(n1)]
+    w2fr = w2fr_ref[:]
+    w2fi = w2fi_ref[:]
+    w2ir = w2ir_ref[:]
+    w2ii = w2ii_ref[:]
+    es_r, es_i = [], []
+    for k in range(n1):
+        # forward stage 1 (n1-point DFT over p)
+        br = xs_r[0] * float(w1f[k, 0].real)
+        bi = xs_r[0] * float(w1f[k, 0].imag)
+        for p in range(1, n1):
+            br = br + xs_r[p] * float(w1f[k, p].real)
+            bi = bi + xs_r[p] * float(w1f[k, p].imag)
+        for p in range(n1):
+            br = br - xs_i[p] * float(w1f[k, p].imag)
+            bi = bi + xs_i[p] * float(w1f[k, p].real)
+        twr = twfr_ref[:, k:k + 1]
+        twi = twfi_ref[:, k:k + 1]
+        cr = br * twr - bi * twi
+        ci = br * twi + bi * twr
+        # forward stage 2 (128-point MXU matmul over sublanes)
+        dr = _DOT(w2fr, cr) - _DOT(w2fi, ci)
+        di = _DOT(w2fr, ci) + _DOT(w2fi, cr)
+        # pointwise OTF multiply at the group's spectrum coordinates
+        hr = hr_ref[0, k * _LANE:(k + 1) * _LANE, :]
+        hi = hi_ref[0, k * _LANE:(k + 1) * _LANE, :]
+        mr = dr * hr - di * hi
+        mi = dr * hi + di * hr
+        # inverse stage 2 + conj-twiddle (1/n folded into the twiddle)
+        er = _DOT(w2ir, mr) - _DOT(w2ii, mi)
+        ei = _DOT(w2ir, mi) + _DOT(w2ii, mr)
+        tir = twir_ref[:, k:k + 1]
+        tii = twii_ref[:, k:k + 1]
+        es_r.append(er * tir - ei * tii)
+        es_i.append(er * tii + ei * tir)
+    for p in range(n1):
+        yr = es_r[0] * float(w1i[0, p].real) - es_i[0] * float(w1i[0, p].imag)
+        yi = es_r[0] * float(w1i[0, p].imag) + es_i[0] * float(w1i[0, p].real)
+        for k in range(1, n1):
+            yr = yr + es_r[k] * float(w1i[k, p].real)
+            yr = yr - es_i[k] * float(w1i[k, p].imag)
+            yi = yi + es_r[k] * float(w1i[k, p].imag)
+            yi = yi + es_i[k] * float(w1i[k, p].real)
+        or_ref[0, p * _LANE:(p + 1) * _LANE, :] = yr
+        oi_ref[0, p * _LANE:(p + 1) * _LANE, :] = yi
+
+
+def mid_conv_supported(shape) -> bool:
+    """Can :func:`dft_mid_conv` run the middle axis of this 3D shape?"""
+    if len(shape) != 3:
+        return False
+    nz, ny, nx = (int(v) for v in shape)
+    if not (supported_ct_axis(ny) and nx % _LANE == 0):
+        return False
+    # live blocks: in(2) + h(2) + out(2) + es(2) + stage temps ≈ 12
+    tx = _LANE
+    return ny * tx * 4 * 12 <= 14 * 1024 * 1024
+
+
+def dft_mid_conv(xr, xi, hr, hi):
+    """Spectrum-domain convolution along axis 1 of a 3D complex pair:
+    ``idft_y(dft_y(x) * h)`` in one HBM pass; caller checked
+    :func:`mid_conv_supported`. ``h`` is the full-spectrum OTF pair in
+    `fftn_pair_s` order (its axis-1 layout matches this kernel's)."""
+    nz, n, nx = xr.shape
+    n1 = n // _LANE
+    w1f, consts_f = _mid_const_args(n, False)
+    w1i, consts_i = _mid_const_args(n, True)
+    cap = max(_VMEM_BUDGET // (n * 4 * 12), _LANE)
+    tx = None
+    for cand in (512, 384, 256, 128):
+        if cand <= cap and nx % cand == 0:
+            tx = cand
+            break
+    if tx is None:
+        tx = _LANE if nx % _LANE == 0 else nx
+    grid = (nz, nx // tx)
+    spec = pl.BlockSpec((1, n, tx), lambda z, j: (z, 0, j),
+                        memory_space=pltpu.VMEM)
+    kern = partial(_dft_mid_conv_kernel, n=n, w1f=w1f, w1i=w1i)
+    yr, yi = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[spec, spec, spec, spec]
+        + _mid_const_specs(n1) + _mid_const_specs(n1),
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((nz, n, nx), jnp.float32),
+            jax.ShapeDtypeStruct((nz, n, nx), jnp.float32),
+        ),
+    )(xr, xi, hr, hi, *consts_f, *consts_i)
+    return yr, yi
+
+
 # ------------------------------------------- fused leading+trailing pass
 def _dft_zx_fwd_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
                        wzr_ref, wzi_ref, or_ref, oi_ref, *, n, w1, real_in):

@@ -33,8 +33,8 @@ from .fftutils import (
     c_conj,
     c_mul,
     fft_conv_full,
+    fft_conv_spec,
     fftn_spec,
-    ifftn_spec,
     enforce_symmetric_boundary,
 
     linear_fft_pad_width,
@@ -151,7 +151,7 @@ def _rlgc_core(
         denom = 0.5 * (Hu + 1e-12)
         ratio1 = mask * (split1 / denom)
         ratio2 = mask * (split2 / denom)
-        gr, gi = ifftn_spec(*c_mul(fftn_spec(ratio1, ratio2), otf_t_full))
+        gr, gi = fft_conv_spec(ratio1, ratio2, otf_t_full)
         ht1 = gr / update_norm
         ht2 = gi / update_norm
         ht = ht1 + ht2
@@ -336,7 +336,7 @@ def rlgc_diagnostics(
         denom = 0.5 * (Hu + 1e-12)
         ratio1 = mask * (split1 / denom)
         ratio2 = mask * (split2 / denom)
-        gr, gi = ifftn_spec(*c_mul(fftn_spec(ratio1, ratio2), otf_t_full))
+        gr, gi = fft_conv_spec(ratio1, ratio2, otf_t_full)
         ht1 = gr / update_norm
         ht2 = gi / update_norm
         ht = ht1 + ht2

@@ -123,6 +123,47 @@ def test_zx_matches_per_axis_kernels(vol):
     np.testing.assert_allclose(np.asarray(fi), np.asarray(ai), atol=3e-5 * scale)
 
 
+def test_mid_conv_matches_separate_passes(vol):
+    """Fused y-conv (fwd·OTF·inv in one pass) must equal the composed
+    fwd → multiply → inv middle-axis kernels."""
+    xr, xi = vol
+    rng = np.random.default_rng(7)
+    hr = rng.standard_normal(SHAPE).astype(np.float32)
+    hi = rng.standard_normal(SHAPE).astype(np.float32)
+    assert pfft.mid_conv_supported(SHAPE)
+    with pltpu.force_tpu_interpret_mode():
+        cr, ci = pfft.dft_mid_conv(
+            jnp.asarray(xr), jnp.asarray(xi), jnp.asarray(hr), jnp.asarray(hi)
+        )
+        fr, fi = pfft.dft_axis_3d(jnp.asarray(xr), jnp.asarray(xi), 1)
+        mr = fr * hr - fi * hi
+        mi = fr * hi + fi * hr
+        ar, ai = pfft.dft_axis_3d(mr, mi, 1, inverse=True)
+    scale = max(np.abs(np.asarray(ar)).max(), 1e-6)
+    np.testing.assert_allclose(np.asarray(cr), np.asarray(ar), atol=5e-5 * scale)
+    np.testing.assert_allclose(np.asarray(ci), np.asarray(ai), atol=5e-5 * scale)
+
+
+def test_conv_pair_s_fused_matches_numpy(vol, monkeypatch):
+    """The three-Pallas-pass convolution (zx fwd → y conv → zx inv) must
+    reproduce a numpy FFT convolution end to end."""
+    from merfish3d_tpu.ops import mmfft
+
+    monkeypatch.setenv("MERFISH3D_PFFT", "1")
+    monkeypatch.setattr(mmfft, "_PFFT_ENV", "1")
+    xr, _ = vol
+    rng = np.random.default_rng(11)
+    kern = rng.standard_normal(SHAPE).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        H = mmfft.fftn_pair_s(jnp.asarray(kern))
+        yr, yi = mmfft.conv_pair_s(jnp.asarray(xr), None, H, real_output=True)
+    assert yi is None
+    ref = np.fft.ifftn(np.fft.fftn(xr) * np.fft.fftn(kern)).real
+    np.testing.assert_allclose(
+        np.asarray(yr), ref, atol=5e-5 * np.abs(ref).max()
+    )
+
+
 def test_full_conv_through_pfft_dispatch(vol, monkeypatch):
     """fftn_pair_s/ifftn_pair_s with the pfft dispatch forced on must
     reproduce a numpy FFT convolution end to end."""
