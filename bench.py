@@ -246,11 +246,18 @@ def _rlgc_roofline(padded_shape, elapsed_per_iter: float) -> dict:
     conv_fused = zx_fused and pfft.mid_conv_supported(padded_shape)
     fft_macs = 0.0
     fft_sweeps = 0.0
-    # non-conv elementwise chains (split, KLD, ratios, consensus product,
-    # select, boundary): ~15 f32 sweeps; the 3 convolutions' spectrum
-    # multiplies (4r+2w each) are separate XLA passes UNLESS the fused
-    # y-conv kernel absorbs them
-    ew_sweeps = 15.0 if conv_fused else 15.0 + 3 * 6.0
+    # elementwise chains between the convolutions. Fused one-pass Pallas
+    # kernels (`ops/rlgc_kernels.py`): split 3 + ratio/KLD 5 + ht/t 5 +
+    # update/select/stats 6 + boundary 2 = 21 sweeps. Generic XLA path:
+    # the KLD normalizer reductions and the stats/select chains split
+    # into extra fusions — ~32 sweeps. The 3 convolutions' spectrum
+    # multiplies (4r+2w each) are additional separate passes UNLESS the
+    # fused y-conv kernel absorbs them.
+    from merfish3d_tpu.ops.rlgc import _use_fused_elementwise
+
+    ew_sweeps = 21.0 if _use_fused_elementwise(padded_shape) else 32.0
+    if not conv_fused:
+        ew_sweeps += 3 * 6.0
     if conv_fused:
         # 3 convolutions, each THREE fused Pallas passes
         # (`mmfft.conv_pair_s`): zx fwd, y fwd·OTF·inv, zx inv

@@ -581,11 +581,28 @@ def _dft_zx_fwd_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
         oi_ref[:, :, k * _LANE:(k + 1) * _LANE] = zi.reshape(nz, ty, _LANE)
 
 
-def _dft_zx_inv_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
-                       wzr_ref, wzi_ref, or_ref, oi_ref, *, n, w1, real_out):
-    """Inverse of :func:`_dft_zx_fwd_kernel`: z-axis inverse dense DFT per
-    lane group, then the scrambled-layout CT inverse (MXU stage,
-    conj-twiddle, n1-point synthesis writing natural order)."""
+def _zx_inv_group(p, es_r, es_i, w1, want_imag):
+    """Natural-order lane group p of the CT inverse synthesis from the
+    per-k twiddled stage outputs; returns ((rows, 128), (rows, 128)|None)."""
+    n1 = len(es_r)
+    yr = es_r[0] * float(w1[0, p].real) - es_i[0] * float(w1[0, p].imag)
+    for k in range(1, n1):
+        yr = yr + es_r[k] * float(w1[k, p].real)
+        yr = yr - es_i[k] * float(w1[k, p].imag)
+    if not want_imag:
+        return yr, None
+    yi = es_r[0] * float(w1[0, p].imag) + es_i[0] * float(w1[0, p].real)
+    for k in range(1, n1):
+        yi = yi + es_r[k] * float(w1[k, p].imag)
+        yi = yi + es_i[k] * float(w1[k, p].real)
+    return yr, yi
+
+
+def _zx_inv_stages(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
+                   wzr_ref, wzi_ref, *, n):
+    """Shared front half of the fused z+x inverse: z-axis inverse dense
+    DFT per lane group, MXU CT stage, conj-twiddle. Returns the per-k
+    (es_r, es_i) lists the synthesis (:func:`_zx_inv_group`) consumes."""
     nz, ty, nx = xr_ref.shape
     n1 = n // _LANE
     w2r = w2r_ref[:]
@@ -606,17 +623,24 @@ def _dft_zx_inv_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
         twi = twi_ref[k:k + 1, :]
         es_r.append(dr * twr - di * twi)
         es_i.append(dr * twi + di * twr)
+    return es_r, es_i
+
+
+def _dft_zx_inv_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
+                       wzr_ref, wzi_ref, or_ref, oi_ref, *, n, w1, real_out):
+    """Inverse of :func:`_dft_zx_fwd_kernel`: z-axis inverse dense DFT per
+    lane group, then the scrambled-layout CT inverse (MXU stage,
+    conj-twiddle, n1-point synthesis writing natural order)."""
+    nz, ty, nx = xr_ref.shape
+    n1 = n // _LANE
+    es_r, es_i = _zx_inv_stages(
+        xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
+        wzr_ref, wzi_ref, n=n,
+    )
     for p in range(n1):
-        yr = es_r[0] * float(w1[0, p].real) - es_i[0] * float(w1[0, p].imag)
-        for k in range(1, n1):
-            yr = yr + es_r[k] * float(w1[k, p].real)
-            yr = yr - es_i[k] * float(w1[k, p].imag)
+        yr, yi = _zx_inv_group(p, es_r, es_i, w1, want_imag=not real_out)
         or_ref[:, :, p * _LANE:(p + 1) * _LANE] = yr.reshape(nz, ty, _LANE)
-        if not real_out:
-            yi = es_r[0] * float(w1[0, p].imag) + es_i[0] * float(w1[0, p].real)
-            for k in range(1, n1):
-                yi = yi + es_r[k] * float(w1[k, p].imag)
-                yi = yi + es_i[k] * float(w1[k, p].real)
+        if yi is not None:
             oi_ref[:, :, p * _LANE:(p + 1) * _LANE] = yi.reshape(nz, ty, _LANE)
 
 

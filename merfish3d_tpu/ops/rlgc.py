@@ -48,6 +48,23 @@ from .fftutils import (
 _EPS_KLD = 1e-4
 
 
+def _use_fused_elementwise(shape) -> bool:
+    """Route the iteration's elementwise+reduction chains through the
+    one-pass Pallas kernels (`ops/rlgc_kernels.py`)? Static at trace
+    time. ``MERFISH3D_RLGC_FUSED=0|1`` overrides (auto: on TPU)."""
+    import os
+
+    from .mmfft import use_pfft
+    from .rlgc_kernels import fused_elementwise_supported
+
+    env = os.environ.get("MERFISH3D_RLGC_FUSED", "auto")
+    if env == "0":
+        return False
+    if not fused_elementwise_supported(shape):
+        return False
+    return True if env == "1" else use_pfft()
+
+
 def _binomial_half(key: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:
     """Fast Binomial(n, 1/2) sampler for photon-count splitting.
 
@@ -129,6 +146,10 @@ def _rlgc_core(
         _, _, _, _, it, done = carry
         return jnp.logical_and(~done, it < max_iters)
 
+    fused_ew = _use_fused_elementwise(shape)
+    if fused_ew:
+        from .rlgc_kernels import ratio_kld, update_select
+
     def body(carry):
         recon, prev_recon, prev_kld1, prev_kld2, it, _ = carry
         iter_key = jax.random.fold_in(key, it)
@@ -136,8 +157,14 @@ def _rlgc_core(
         split2 = observed - split1
 
         Hu = fft_conv_full(recon, otf_full)
-        kld1 = _kl_div(Hu, split1, mask)
-        kld2 = _kl_div(Hu, split2, mask)
+        if fused_ew:
+            # one-pass ratios + KLD partials (`ops/rlgc_kernels.py`)
+            ratio1, ratio2, (kld1, kld2) = ratio_kld(
+                Hu, split1, split2, pad_width
+            )
+        else:
+            kld1 = _kl_div(Hu, split1, mask)
+            kld2 = _kl_div(Hu, split2, mask)
         if safe_mode:
             should_restore = (kld1 > prev_kld1) | (kld2 > prev_kld2)
         else:
@@ -148,14 +175,39 @@ def _rlgc_core(
         # iteration), so the update is always computed and the restore is
         # an elementwise select — the same cost profile as the reference,
         # which also evaluates the KLDs before deciding (`rlgc.py:627-660`).
-        denom = 0.5 * (Hu + 1e-12)
-        ratio1 = mask * (split1 / denom)
-        ratio2 = mask * (split2 / denom)
+        if not fused_ew:
+            denom = 0.5 * (Hu + 1e-12)
+            ratio1 = mask * (split1 / denom)
+            ratio2 = mask * (split2 / denom)
         gr, gi = fft_conv_spec(ratio1, ratio2, otf_t_full)
         ht1 = gr / update_norm
         ht2 = gi / update_norm
         ht = ht1 + ht2
         consensus = fft_conv_full((ht1 - 1.0) * (ht2 - 1.0), otf2_full)
+        if fused_ew:
+            # one-pass update + restore-select + convergence stats; the
+            # boundary rewrite commutes with the scalar-predicate select
+            # and prev_recon already satisfies it
+            new_recon, new_prev, num_updated, max_new, max_abs_delta = (
+                update_select(
+                    consensus, recon, prev_recon, ht, should_restore,
+                    pad_width,
+                )
+            )
+            new_recon = enforce_symmetric_boundary(new_recon, pad_width)
+            updated_fraction = num_updated / num_pixels
+            max_rel_delta = max_abs_delta / jnp.maximum(max_new, 1e-12)
+            converged = (
+                (updated_fraction < limit) | (max_rel_delta < max_delta)
+            )
+            return (
+                new_recon,
+                new_prev,
+                jnp.where(should_restore, prev_kld1, kld1),
+                jnp.where(should_restore, prev_kld2, kld2),
+                it + jnp.where(should_restore, jnp.int32(0), jnp.int32(1)),
+                should_restore | converged,
+            )
         # consensus-gated multiplicative update (`rlgc.py:23-31,693`)
         updated = jnp.where(consensus < 0, recon, recon * ht)
         updated = enforce_symmetric_boundary(updated, pad_width)

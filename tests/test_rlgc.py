@@ -204,3 +204,92 @@ def test_max_vmap_batch_budget():
     assert cap == max(1, int(VMAP_BUDGET_PADDED_VOXELS // padded))
     assert 1 <= cap <= 3
     assert max_vmap_batch((12, 128, 128), psf_shape) >= 8
+
+
+def test_ratio_kld_kernel_matches_reference_formulas():
+    """One-pass Pallas ratios+KLD == the generic mask/denom/_kl_div math
+    (incl. the NaN→0 zeroing of negative-Hu entries)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from merfish3d_tpu.ops.fftutils import observed_region_mask
+    from merfish3d_tpu.ops.rlgc import _kl_div
+    from merfish3d_tpu.ops.rlgc_kernels import (
+        fused_elementwise_supported,
+        ratio_kld,
+    )
+
+    shape = (4, 8, 256)
+    pad_width = ((1, 1), (2, 1), (3, 5))
+    assert fused_elementwise_supported(shape)
+    rng = np.random.default_rng(3)
+    hu = rng.normal(5.0, 3.0, shape).astype(np.float32)  # some < 0
+    s1 = rng.poisson(4.0, shape).astype(np.float32)
+    s2 = rng.poisson(4.0, shape).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        r1, r2, (k1, k2) = ratio_kld(
+            jnp.asarray(hu), jnp.asarray(s1), jnp.asarray(s2), pad_width
+        )
+    mask = observed_region_mask(shape, pad_width)
+    denom = 0.5 * (hu + 1e-12)
+    np.testing.assert_allclose(np.asarray(r1), mask * (s1 / denom), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(r2), mask * (s2 / denom), rtol=1e-6)
+    k1_ref = float(_kl_div(jnp.asarray(hu), jnp.asarray(s1), jnp.asarray(mask)))
+    k2_ref = float(_kl_div(jnp.asarray(hu), jnp.asarray(s2), jnp.asarray(mask)))
+    np.testing.assert_allclose(float(k1), k1_ref, rtol=2e-4)
+    np.testing.assert_allclose(float(k2), k2_ref, rtol=2e-4)
+
+
+@pytest.mark.parametrize("restore", [False, True])
+def test_update_select_kernel_matches_reference(restore):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from merfish3d_tpu.ops.fftutils import observed_region_mask
+    from merfish3d_tpu.ops.rlgc_kernels import update_select
+
+    shape = (4, 8, 256)
+    pad_width = ((1, 1), (2, 1), (3, 5))
+    rng = np.random.default_rng(5)
+    cons = rng.normal(0.0, 1.0, shape).astype(np.float32)
+    rec = rng.uniform(0.5, 2.0, shape).astype(np.float32)
+    prev = rng.uniform(0.5, 2.0, shape).astype(np.float32)
+    ht = rng.uniform(0.2, 1.8, shape).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        nr, np_, nupd, mx_new, mx_d = update_select(
+            jnp.asarray(cons), jnp.asarray(rec), jnp.asarray(prev),
+            jnp.asarray(ht), jnp.asarray(restore), pad_width,
+        )
+    mask = observed_region_mask(shape, pad_width)
+    upd = np.where(cons < 0, rec, rec * ht)
+    np.testing.assert_allclose(
+        np.asarray(nr), prev if restore else upd, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(np_), prev if restore else rec, rtol=1e-6
+    )
+    assert float(nupd) == np.sum((cons >= 0) * mask)
+    np.testing.assert_allclose(float(mx_new), (upd * mask).max(), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(mx_d), (np.abs(upd - rec) * mask).max(), rtol=1e-6
+    )
+
+
+def test_rlgc_fused_elementwise_path_matches_generic(monkeypatch):
+    """Full solve with the fused elementwise kernels == the generic XLA
+    path (same splits/FFTs; only reduction order differs)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    img = _blob_volume(shape=(10, 28, 120))
+    psf = _gaussian_psf(shape=(3, 5, 5), sigma=(0.8, 1.0, 1.0))
+    monkeypatch.setenv("MERFISH3D_RLGC_FUSED", "0")
+    ref = rlgc(img, psf, max_iters=4)
+    monkeypatch.setenv("MERFISH3D_RLGC_FUSED", "1")
+    from merfish3d_tpu.ops.fftutils import linear_fft_pad_width
+
+    pads = linear_fft_pad_width(img.shape, psf.shape)
+    padded = tuple(n + b + a for n, (b, a) in zip(img.shape, pads))
+    from merfish3d_tpu.ops.rlgc_kernels import fused_elementwise_supported
+
+    assert fused_elementwise_supported(padded), padded
+    with pltpu.force_tpu_interpret_mode():
+        fused = rlgc(img, psf, max_iters=4)
+    np.testing.assert_allclose(fused, ref, rtol=5e-4, atol=5e-4)
