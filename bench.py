@@ -336,9 +336,11 @@ def bench_rlgc(jax, jnp, sync) -> tuple[float, float, int, dict]:
         pad_symmetric,
     )
 
-    # realistic anisotropic 3D Gaussian PSF (support ~ (9, 15, 15))
+    # realistic anisotropic 3D Gaussian PSF (support ~ (9, 15, 15));
+    # clamped to the slab on CPU smoke shapes (NZ=8 < 9 otherwise)
+    pz = min(9, NZ - (1 - NZ % 2))
     zz, yy, xx = np.meshgrid(
-        np.arange(9) - 4.0, np.arange(15) - 7.0, np.arange(15) - 7.0,
+        np.arange(pz) - (pz // 2), np.arange(15) - 7.0, np.arange(15) - 7.0,
         indexing="ij",
     )
     psf = np.exp(-(zz**2) / (2 * 1.5**2) - (yy**2 + xx**2) / (2 * 2.0**2))

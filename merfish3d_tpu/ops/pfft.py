@@ -485,7 +485,12 @@ def _dft_mid_conv_kernel(xr_ref, xi_ref, hr_ref, hi_ref,
 
 
 def mid_conv_supported(shape) -> bool:
-    """Can :func:`dft_mid_conv` run the middle axis of this 3D shape?"""
+    """Can :func:`dft_mid_conv` run the middle axis of this 3D shape?
+    ``MERFISH3D_PFFT_CONV=0`` disables (composed transforms still run)."""
+    import os
+
+    if os.environ.get("MERFISH3D_PFFT_CONV", "1") == "0":
+        return False
     if len(shape) != 3:
         return False
     nz, ny, nx = (int(v) for v in shape)
@@ -651,7 +656,12 @@ def zx_supported(shape) -> bool:
     """Can the fused z+x kernel transform axes (0, 2) of this 3D shape?
 
     Requires a dense-supported z, a CT-supported x, y divisible by the
-    row block, and the live block set within the VMEM budget."""
+    row block, and the live block set within the VMEM budget.
+    ``MERFISH3D_PFFT_ZX=0`` disables (per-axis kernels still run)."""
+    import os
+
+    if os.environ.get("MERFISH3D_PFFT_ZX", "1") == "0":
+        return False
     if len(shape) != 3:
         return False
     nz, ny, nx = (int(v) for v in shape)
