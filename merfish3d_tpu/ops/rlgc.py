@@ -303,7 +303,12 @@ def _rlgc_batch_core(
         max_delta=max_delta,
         max_iters=max_iters,
     )
-    return jax.vmap(lambda img, k: fn(img, psf, k))(padded, keys)
+    # lax.map (sequential scan), NOT vmap: the solve is FFT-bound so
+    # batching volumes gives no per-volume gain (measured, docs/kernels.md)
+    # while vmap doubles the live working set AND has no batching rule
+    # for the fused Pallas kernels' ordered effects; the scan keeps ONE
+    # volume's FFT intermediates live and stays in a single program.
+    return jax.lax.map(lambda args: fn(args[0], psf, args[1]), (padded, keys))
 
 
 def rlgc_batch(

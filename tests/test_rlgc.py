@@ -293,3 +293,20 @@ def test_rlgc_fused_elementwise_path_matches_generic(monkeypatch):
     with pltpu.force_tpu_interpret_mode():
         fused = rlgc(img, psf, max_iters=4)
     np.testing.assert_allclose(fused, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_rlgc_batch_fused_path_matches_generic(monkeypatch):
+    """`rlgc_batch`'s lax.map scan must carry the fused Pallas kernels
+    (vmap has no batching rule for their ordered effects)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    imgs = np.stack(
+        [_blob_volume(shape=(10, 28, 120), seed=s) for s in (0, 1)]
+    )
+    psf = _gaussian_psf(shape=(3, 5, 5), sigma=(0.8, 1.0, 1.0))
+    monkeypatch.setenv("MERFISH3D_RLGC_FUSED", "0")
+    ref = rlgc_batch(imgs, psf, max_iters=3)
+    monkeypatch.setenv("MERFISH3D_RLGC_FUSED", "1")
+    with pltpu.force_tpu_interpret_mode():
+        fused = rlgc_batch(imgs, psf, max_iters=3)
+    np.testing.assert_allclose(fused, ref, rtol=5e-4, atol=5e-4)
