@@ -17,7 +17,7 @@ TPU-native reimplementation of the reference RLGC solver
 
 The whole iteration loop is a single jitted ``lax.while_loop`` so the TPU
 never round-trips to host between iterations; batching over readout bits is
-a ``vmap`` over the leading axis (`rlgc_batch`).
+a sequential ``lax.map`` scan over the leading axis (`rlgc_batch`).
 """
 
 from __future__ import annotations
@@ -456,23 +456,36 @@ def rlgc_diagnostics(
 # (48, 2304, 2304) (~255M) fails to compile outright — so the static
 # budget matters, there is no runtime OOM-retry to fall back on.
 DEFAULT_BUDGET_PADDED_VOXELS = 9.0e7
-# vmapped solves share almost nothing, so the TOTAL padded voxels across a
-# batch is what must fit: B=2 at (48,1152,1152) (~128M) runs, B=4 (~255M)
-# fails to compile — measured on v5e
-VMAP_BUDGET_PADDED_VOXELS = 1.4e8
+# `rlgc_batch` runs a sequential lax.map scan, so the live footprint is
+# the input+output batch stacks (2·B padded volumes) plus ONE solve's
+# working set (~10 padded f32 buffers). Total f32-element budget
+# calibrated against the v5e vmap-era measurements (B=2 of
+# (48,1152,1152) = 1.28e9 live f32 compiled; 2.56e9 did not): stay under
+# ~2.2e9 f32 (~8.8 GB of the 16 GB chip) to leave room for the
+# datastore prefetch buffers.
+SCAN_TOTAL_F32_BUDGET = 2.2e9
+_SCAN_WORKING_SET_BUFFERS = 10.0
+MAX_SCAN_BATCH = 32
 
 
 def max_vmap_batch(
     image_shape,
     psf_shape,
-    budget_padded_voxels: float = VMAP_BUDGET_PADDED_VOXELS,
+    budget_padded_voxels: "float | None" = None,
 ) -> int:
-    """How many volumes of this shape fit one vmapped RLGC solve."""
+    """How many volumes of this shape fit one `rlgc_batch` scan.
+
+    Passing ``budget_padded_voxels`` keeps the legacy total-padded-voxel
+    semantics (used by tests probing the budget arithmetic)."""
     nz, ny, nx = (int(v) for v in image_shape)
     pz = nz + sum(axis_linear_fft_padding(nz, psf_shape[0]))
     py = ny + sum(axis_linear_fft_padding(ny, psf_shape[1]))
     px = nx + sum(axis_linear_fft_padding(nx, psf_shape[2]))
-    return max(1, int(budget_padded_voxels // (pz * py * px)))
+    padded = pz * py * px
+    if budget_padded_voxels is not None:
+        return max(1, int(budget_padded_voxels // padded))
+    b = int((SCAN_TOTAL_F32_BUDGET / padded - _SCAN_WORKING_SET_BUFFERS) // 2.0)
+    return max(1, min(b, MAX_SCAN_BATCH))
 
 
 def auto_crop_yx(

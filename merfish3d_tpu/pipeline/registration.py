@@ -9,7 +9,7 @@ readout-bit deconvolution + spot-probability prediction + spot tables.
 Parallelism: the reference spawns one OS process per GPU and partitions
 rounds/bits statically (`_generate_registrations:2156-2173`,
 `_apply_registration_to_bits:2306-2323`). Here rounds/bits are batched
-device-side in bounded groups (``rlgc_batch`` vmaps the decon across
+device-side in bounded groups (``rlgc_batch`` scans the decon across
 volumes, ``round_batch_size``/``bit_batch_size`` cap HBM), and with >1
 chip visible, tiles fan out across devices on per-device host threads
 (compute-follows-data via ``jax.default_device``; disjoint datastore
@@ -296,15 +296,15 @@ class DataRegistration:
         )
 
         # Moving rounds stream in bounded batches: at most round_batch_size
-        # volumes are resident in host RAM / vmapped into HBM at once
+        # volumes are resident in host RAM / stacked into HBM at once
         # (reference scale = 9 rounds × ~2 GB f32 — stacking all of them,
         # as round 1 did, blows both; VERDICT r1 weak #3). Rounds are
         # independent given the round-1 reference.
         from ..ops.rlgc import max_vmap_batch, rlgc_batch
 
         moving_rounds = list(range(1, ds.num_rounds))
-        # HBM-bound the vmap width: the TOTAL padded voxels across a batch
-        # must fit (B=4 of 1024-px frames fails to compile on a 16 GB chip)
+        # HBM-bound the scan width: 2·B batch stacks + one live working
+        # set must fit (`rlgc.max_vmap_batch` budget)
         sample_shape = self._core_shape(tile_idx)
         batch_cap = self._round_batch_size
         if fid_psf is not None and sample_shape is not None:
@@ -407,7 +407,7 @@ class DataRegistration:
         (reference `_apply_bits_on_gpu:790-1007`). Bits stay UNWARPED on
         disk; decode applies the composed transforms lazily.
 
-        TPU-first: bits sharing a PSF are deconvolved as one vmapped batch
+        TPU-first: bits sharing a PSF are deconvolved as one scanned batch
         (`rlgc_batch`) instead of the reference's per-bit GPU loop, bounded
         by ``bit_batch_size`` volumes in HBM at once (further clamped by
         the padded-voxel vmap budget, like the round batches)."""
@@ -433,7 +433,7 @@ class DataRegistration:
         if not pending:
             return
 
-        # group bits by PSF index so each group vmaps over one shared PSF
+        # group bits by PSF index so each group scans over one shared PSF
         groups: dict[int, list[tuple[int, str]]] = {}
         for bit_idx, bit_id in pending:
             psf_idx = self._psf_idx_for_bit(tile_idx, bit_id) if self._decon_readout else -1

@@ -186,24 +186,34 @@ def test_next_smooth_size_avoids_radix3_dominated(monkeypatch):
 
 
 def test_max_vmap_batch_budget():
-    """The vmap-width budget: full 1024-px frames cap at ~2 per batch
-    (B=4 measured failing to compile on v5e); tiny test volumes allow
-    wide batches."""
-    from merfish3d_tpu.ops.rlgc import VMAP_BUDGET_PADDED_VOXELS, max_vmap_batch
+    """The scan-width budget: 2·B batch stacks + one live working set
+    must fit the f32 budget; legacy total-voxel semantics preserved when
+    a budget is passed explicitly."""
+    from merfish3d_tpu.ops.rlgc import (
+        MAX_SCAN_BATCH,
+        SCAN_TOTAL_F32_BUDGET,
+        _SCAN_WORKING_SET_BUFFERS,
+        max_vmap_batch,
+    )
     from merfish3d_tpu.ops.fftutils import linear_fft_pad_width
 
     psf_shape = (9, 15, 15)
     cap = max_vmap_batch((32, 1024, 1024), psf_shape)
-    # the cap must exactly exhaust the padded-voxel budget (the padded
-    # size itself is implementation-dependent: the matmul FFT picks
-    # tighter composite sizes than the 2,3-smooth XLA path)
     pads = linear_fft_pad_width((32, 1024, 1024), psf_shape)
     padded = 1
     for n, (b, a) in zip((32, 1024, 1024), pads):
         padded *= n + b + a
-    assert cap == max(1, int(VMAP_BUDGET_PADDED_VOXELS // padded))
-    assert 1 <= cap <= 3
-    assert max_vmap_batch((12, 128, 128), psf_shape) >= 8
+    expect = int(
+        (SCAN_TOTAL_F32_BUDGET / padded - _SCAN_WORKING_SET_BUFFERS) // 2
+    )
+    assert cap == max(1, min(expect, MAX_SCAN_BATCH))
+    # a full 16-bit readout stack of 1024-px frames rides ONE scan
+    assert cap >= 12
+    assert max_vmap_batch((12, 128, 128), psf_shape) == MAX_SCAN_BATCH
+    # legacy explicit-budget semantics
+    assert max_vmap_batch(
+        (32, 1024, 1024), psf_shape, budget_padded_voxels=1.4e8
+    ) == max(1, int(1.4e8 // padded))
 
 
 def test_ratio_kld_kernel_matches_reference_formulas():
