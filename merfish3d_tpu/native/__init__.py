@@ -60,6 +60,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, i64p,
         ]
         lib.label_components_3d.restype = None
+        lib.label_components_sparse.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, i64p, i64p, ctypes.c_int64,
+        ]
+        lib.label_components_sparse.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _load_failed = True
@@ -142,6 +147,44 @@ def label_components(decoded: np.ndarray, use_2d: bool = False) -> np.ndarray:
     return np.asarray(
         label_connected(jnp.asarray(dec), use_2d=use_2d), np.int64
     )
+
+
+def label_components_sparse(
+    decoded: np.ndarray, use_2d: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sparse connected components: (lin, roots) over foreground voxels
+    only — `lin[t]` is the linear index of the t-th foreground voxel in
+    scan order, `roots[t]` its component id. Component ids are consistent
+    within a call but implementation-defined across implementations (the
+    native path uses foreground scan ranks, the fallback uses root linear
+    indices) — consumers must only rely on equality within one result.
+
+    The dense :func:`label_components` first-touches two volume-sized
+    arrays per call (~3.4 GB at a 210M-voxel tile); this allocates
+    O(n_foreground) and reuses a process-wide scratch arena."""
+    dec = np.ascontiguousarray(np.asarray(decoded, np.int32))
+    n_fg = int(np.count_nonzero(dec >= 0))
+    if n_fg == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    lib = _load()
+    if lib is not None and dec.size <= np.iinfo(np.int32).max:
+        lin = np.empty(n_fg, np.int64)
+        roots = np.empty(n_fg, np.int64)
+        nz, ny, nx = dec.shape
+        count = lib.label_components_sparse(
+            _ptr(dec, ctypes.c_int32), nz, ny, nx, int(use_2d),
+            _ptr(lin, ctypes.c_int64), _ptr(roots, ctypes.c_int64), n_fg,
+        )
+        if count != n_fg:
+            raise RuntimeError(
+                f"label_components_sparse: expected {n_fg} foreground "
+                f"voxels, native returned {count}"
+            )
+        return lin, roots
+    labels = label_components(dec, use_2d=use_2d)
+    flat = labels.ravel()
+    lin = np.flatnonzero(flat >= 0)
+    return lin, flat[lin]
 
 
 def greedy_match(

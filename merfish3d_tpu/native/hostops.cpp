@@ -19,6 +19,8 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
+#include <mutex>
 #include <vector>
 
 extern "C" {
@@ -149,6 +151,98 @@ void label_components_3d(const int32_t* decoded, int64_t nz, int64_t ny,
     }
     for (int64_t i = 0; i < n; ++i)
         labels[i] = decoded[i] < 0 ? -1 : find(i);
+}
+
+// Sparse connected components: same semantics as label_components_3d but
+// emitting only the foreground — `lin_out[t]` = linear index of the t-th
+// foreground voxel (scan order), `root_out[t]` = the canonical component
+// id of that voxel (the scan rank of the component's first voxel).
+//
+// Rationale: the dense variant allocates and first-touches TWO
+// volume-sized arrays per call (the int64 parent vector and the int64
+// labels output) — at a production 210M-voxel tile that is ~3.4 GB of
+// page faults for a foreground of <1%. This variant writes only
+// O(n_foreground) outputs; the voxel→rank scratch map is a process-wide
+// arena written ONLY at foreground positions (background entries are
+// never read: every neighbor lookup is gated on decoded[j] == v >= 0,
+// and any such j precedes i in scan order, so its rank is set).
+//
+// Returns the foreground count, or -1 if it exceeds `n_fg_cap`, -2 on
+// allocation failure, -3 if the volume exceeds int32 ranks.
+static int32_t* g_rank_arena = nullptr;
+static int64_t g_rank_cap = 0;
+static std::mutex g_rank_mutex;
+
+int64_t label_components_sparse(const int32_t* decoded, int64_t nz,
+                                int64_t ny, int64_t nx, int32_t use_2d,
+                                int64_t* lin_out, int64_t* root_out,
+                                int64_t n_fg_cap) {
+    const int64_t n = nz * ny * nx;
+    if (n > INT32_MAX || n_fg_cap > INT32_MAX) return -3;
+    std::lock_guard<std::mutex> lock(g_rank_mutex);
+    if (g_rank_cap < n) {
+        std::free(g_rank_arena);
+        g_rank_arena = static_cast<int32_t*>(std::malloc(n * sizeof(int32_t)));
+        if (!g_rank_arena) {
+            g_rank_cap = 0;
+            return -2;
+        }
+        g_rank_cap = n;
+    }
+    int32_t* rank = g_rank_arena;
+    std::vector<int32_t> parent;
+    parent.reserve(static_cast<size_t>(n_fg_cap));
+    auto find = [&](int32_t x) {
+        while (parent[x] != x) {
+            parent[x] = parent[parent[x]];
+            x = parent[x];
+        }
+        return x;
+    };
+    auto unite = [&](int32_t a, int32_t b) {
+        a = find(a);
+        b = find(b);
+        if (a != b) parent[std::max(a, b)] = std::min(a, b);
+    };
+    const int64_t sy = nx, sz = ny * nx;
+    int64_t count = 0;
+    for (int64_t z = 0; z < nz; ++z) {
+        for (int64_t y = 0; y < ny; ++y) {
+            const int64_t row = z * sz + y * sy;
+            for (int64_t x = 0; x < nx; ++x) {
+                const int64_t i = row + x;
+                const int32_t v = decoded[i];
+                if (v < 0) continue;
+                if (count >= n_fg_cap) return -1;
+                const int32_t r = static_cast<int32_t>(count);
+                parent.push_back(r);
+                rank[i] = r;
+                lin_out[count] = i;
+                ++count;
+                if (x > 0 && decoded[i - 1] == v) unite(r, rank[i - 1]);
+                if (y > 0) {
+                    if (decoded[i - sy] == v) unite(r, rank[i - sy]);
+                    if (x > 0 && decoded[i - sy - 1] == v)
+                        unite(r, rank[i - sy - 1]);
+                    if (x + 1 < nx && decoded[i - sy + 1] == v)
+                        unite(r, rank[i - sy + 1]);
+                }
+                if (!use_2d && z > 0) {
+                    for (int64_t dy = -1; dy <= 1; ++dy) {
+                        if (y + dy < 0 || y + dy >= ny) continue;
+                        for (int64_t dx = -1; dx <= 1; ++dx) {
+                            if (x + dx < 0 || x + dx >= nx) continue;
+                            const int64_t j = i - sz + dy * sy + dx;
+                            if (decoded[j] == v) unite(r, rank[j]);
+                        }
+                    }
+                }
+            }
+        }
+    }
+    for (int64_t t = 0; t < count; ++t)
+        root_out[t] = find(static_cast<int32_t>(t));
+    return count;
 }
 
 }  // extern "C"

@@ -223,11 +223,21 @@ def component_stats_host(
 
     ``scaled`` may be the dense per-bit volume or a foreground gather
     (:class:`SparseIntensity`) so the per-bit
-    intensities never materialize densely on the host."""
+    intensities never materialize densely on the host.
+
+    ``labels`` may be the dense volume of root indices OR the sparse
+    ``(lin, roots)`` pair from `native.label_components_sparse` — the
+    production decoder passes the sparse form so no volume-sized label
+    array is ever materialized."""
     shape = decoded.shape
     ny, nx = shape[1], shape[2]
-    flat_labels = np.asarray(labels).ravel()
-    lin = np.flatnonzero(flat_labels >= 0)
+    if isinstance(labels, tuple):
+        lin = np.asarray(labels[0])
+        roots_fg = np.asarray(labels[1])
+    else:
+        flat_labels = np.asarray(labels).ravel()
+        lin = np.flatnonzero(flat_labels >= 0)
+        roots_fg = None
     if lin.size == 0:
         bits = scaled.nbits if callable(scaled) else scaled.shape[0]
         empty = np.zeros(0, np.float32)
@@ -243,7 +253,7 @@ def component_stats_host(
             "bit_w_coord_sums": np.zeros((bits, 0, 3), np.float32),
             "moments": np.zeros((0, 6), np.float32),
         }
-    roots = flat_labels[lin]
+    roots = roots_fg if roots_fg is not None else flat_labels[lin]
     uniq, first_idx, idx = np.unique(roots, return_index=True, return_inverse=True)
     n = len(uniq)
     z = (lin // (ny * nx)).astype(np.float64)

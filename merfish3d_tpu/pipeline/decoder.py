@@ -557,18 +557,19 @@ class PixelDecoder:
         Hybrid host path: native C++ union-find labeling + numpy bincount
         regionprops over the assigned voxels (device label propagation
         measured gather-bound on TPU; `ops.cc` keeps the device kernels)."""
-        from ..native import label_components
+        from ..native import label_components_sparse
 
         state = tile_state or self._tile_state_snapshot()
         if self._use_mask and self._mask_state is not None:
             fg = self._tile_foreground_yx(decoded.shape, state)
             decoded = np.where(fg[None, :, :], decoded, -1)
-        labels = label_components(
-            decoded.astype(np.int32), use_2d=not self._is_3D
+        decoded_i32 = np.ascontiguousarray(decoded, np.int32)
+        lin_roots = label_components_sparse(
+            decoded_i32, use_2d=not self._is_3D
         )
         stats = cc_ops.component_stats_host(
-            decoded.astype(np.int32),
-            labels,
+            decoded_i32,
+            lin_roots,
             distance.astype(np.float32),
             magnitude.astype(np.float32),
             intensity if callable(intensity) else np.asarray(intensity, np.float32),

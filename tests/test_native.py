@@ -116,3 +116,56 @@ def test_component_stats_host_matches_device():
         np.asarray(dev["bit_w_coord_sums"])[:, dvalid],
         rtol=1e-4, atol=1e-4,
     )
+
+
+def _random_decoded(shape=(6, 24, 24), n_genes=5, seed=0):
+    rng = np.random.default_rng(seed)
+    decoded = np.full(shape, -1, np.int32)
+    for g in range(n_genes):
+        m = rng.random(shape) > 0.88
+        decoded[m] = g
+    return decoded
+
+
+def test_label_components_sparse_matches_dense():
+    """Sparse (lin, roots) must induce the same partition as the dense
+    labels (ids are implementation-defined; equality structure is not)."""
+    decoded = _random_decoded()
+    dense = native.label_components(decoded)
+    flat = dense.ravel()
+    lin_ref = np.flatnonzero(flat >= 0)
+    lin, roots = native.label_components_sparse(decoded)
+    np.testing.assert_array_equal(lin, lin_ref)
+    # same partition: mapping root ids <-> dense root ids is a bijection
+    ref_roots = flat[lin_ref]
+    pairs = set(zip(roots.tolist(), ref_roots.tolist()))
+    assert len(pairs) == len(set(roots.tolist())) == len(set(ref_roots.tolist()))
+    # 2D mode too
+    lin2, roots2 = native.label_components_sparse(decoded, use_2d=True)
+    flat2 = native.label_components(decoded, use_2d=True).ravel()
+    np.testing.assert_array_equal(lin2, np.flatnonzero(flat2 >= 0))
+    ref2 = flat2[lin2]
+    pairs2 = set(zip(roots2.tolist(), ref2.tolist()))
+    assert len(pairs2) == len(set(roots2.tolist())) == len(set(ref2.tolist()))
+
+
+def test_component_stats_host_sparse_labels_match_dense():
+    from merfish3d_tpu.ops.cc import component_stats_host
+
+    decoded = _random_decoded()
+    rng = np.random.default_rng(8)
+    dist = rng.random(decoded.shape).astype(np.float32)
+    mag = rng.random(decoded.shape).astype(np.float32)
+    scaled = rng.random((4,) + decoded.shape).astype(np.float32)
+    dense = component_stats_host(
+        decoded, native.label_components(decoded), dist, mag, scaled
+    )
+    sparse = component_stats_host(
+        decoded, native.label_components_sparse(decoded), dist, mag, scaled
+    )
+    for k in ("area", "centroid_zyx", "codeword", "distance_min",
+              "magnitude_mean", "bit_means", "moments"):
+        np.testing.assert_allclose(
+            np.asarray(dense[k]), np.asarray(sparse[k]), rtol=1e-6,
+            err_msg=k,
+        )
