@@ -541,8 +541,47 @@ def bench_e2e_tile(platform: str) -> tuple[float, dict]:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def _probe_backend(timeout_s: float = 180.0) -> str:
+    """Detect the platform in a SUBPROCESS with a hard timeout.
+
+    When the tunneled TPU relay is down, `jax.devices()` hangs forever
+    inside backend init (observed in-session) — probing in-process would
+    hang the whole bench. A dead probe degrades to a CPU smoke run
+    instead."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return "cpu"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        platform = out.stdout.strip().splitlines()[-1] if out.stdout else ""
+        if out.returncode == 0 and platform:
+            return platform
+    except subprocess.TimeoutExpired:
+        pass
+    print(
+        json.dumps({"metric": "backend_probe", "value": 0,
+                    "unit": "dead_relay_fallback_cpu", "vs_baseline": 0}),
+        flush=True,
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    return "cpu"
+
+
 def main() -> None:
+    platform = _probe_backend()
     import jax
+
+    if platform == "cpu":
+        # the axon plugin captured the env at interpreter startup, so the
+        # env var alone does not stop a dead-relay dial — force the choice
+        jax.config.update("jax_platforms", "cpu")
 
     # persistent compile cache: first bench run pays the (tunnel) compile,
     # subsequent runs start timing immediately
