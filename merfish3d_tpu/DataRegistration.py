@@ -6,6 +6,8 @@ from .pipeline.registration import (
     DataRegistration,
     GlobalFusionConfig,
     GlobalRegistrationConfig,
+    no_op,
+    time_stamp,
 )
 
 __all__ = [
@@ -13,4 +15,6 @@ __all__ = [
     "GlobalRegistrationConfig",
     "GlobalFusionConfig",
     "SofimaRegistrationConfig",
+    "no_op",
+    "time_stamp",
 ]

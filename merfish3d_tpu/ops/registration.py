@@ -90,3 +90,145 @@ def register_pair_to_fixed(
     transform = np.eye(4, dtype=np.float32)
     transform[:3, 3] = total_pull * spacing
     return transform
+
+
+# ---------------------------------------------------------------- reference
+# name-compatible surface (`utils/multiview_registration.py` public API)
+def registration_binning_from_spacing(spacing_zyx_um) -> dict:
+    """Phase-registration binning from voxel spacing: Z unbinned, Y/X
+    binned to roughly isotropic voxels (reference
+    `multiview_registration.py:135-158`)."""
+    spacing = np.asarray(spacing_zyx_um, dtype=np.float32)
+    if spacing.shape[0] != 3:
+        raise ValueError("spacing_zyx_um must have three ZYX elements.")
+    return {
+        "z": 1,
+        "y": max(1, round(float(spacing[0] / spacing[1]))),
+        "x": max(1, round(float(spacing[0] / spacing[2]))),
+    }
+
+
+def cucim_phase_correlation_registration(
+    fixed_data,
+    moving_data,
+    disambiguate_region_mode=None,
+    **phase_corr_kwargs,
+):
+    """Pairwise pixel-space registration under the multiview-stitcher
+    plugin contract: returns ``{"affine_matrix", "quality"}`` (reference
+    `multiview_registration.py:624-832`; here the TPU candidate-batched
+    `phase_corr.register_translation_with_quality` does the work —
+    ``disambiguate_region_mode`` is accepted for contract parity; the
+    TPU scorer always evaluates rolled-overlap SSIM candidates)."""
+    from .phase_corr import register_translation_with_quality
+
+    fixed = np.asarray(getattr(fixed_data, "data", fixed_data), np.float32)
+    moving = np.asarray(getattr(moving_data, "data", moving_data), np.float32)
+    fixed = np.nan_to_num(fixed)
+    moving = np.nan_to_num(moving)
+    upsample = int(
+        phase_corr_kwargs.pop("upsample_factor", 10 if fixed.ndim == 2 else 2)
+    )
+    shift, quality = register_translation_with_quality(
+        fixed, moving, upsample_factor=upsample
+    )
+    ndim = fixed.ndim
+    affine = np.eye(ndim + 1, dtype=np.float64)
+    affine[:ndim, ndim] = np.asarray(shift, np.float64)
+    return {"affine_matrix": affine, "quality": float(quality)}
+
+
+def warp_array_to_reference_gpu(
+    image,
+    *,
+    transform_zyx_um,
+    spacing_zyx_um,
+    reference_shape,
+    reference_origin_zyx_um=(0.0, 0.0, 0.0),
+    mode: str = "constant",
+    cval: float = 0.0,
+    order: int = 1,
+    gpu_id: int = 0,
+    z_batch_size: int = 4,
+    diagnostics: bool = False,
+) -> np.ndarray:
+    """Reference-named warp entry (`multiview_registration.py:835-941`);
+    the device warp is :func:`merfish3d_tpu.ops.warp.warp_affine`
+    (``mode`` other than constant-fill and ``gpu_id`` are CUDA-isms —
+    constant fill matches the reference's default contract)."""
+    from .warp import warp_affine
+
+    del mode, gpu_id, diagnostics
+    return warp_affine(
+        image,
+        transform_zyx_um=np.asarray(transform_zyx_um),
+        spacing_zyx_um=spacing_zyx_um,
+        reference_shape=reference_shape,
+        reference_origin_zyx_um=reference_origin_zyx_um,
+        cval=float(cval),
+        order=int(order),
+        z_chunk=max(1, int(z_batch_size)),
+    )
+
+
+def warp_array_to_reference_with_affine_and_sofima_flow_gpu(
+    image,
+    transform_zyx_um,
+    spacing_zyx_um,
+    reference_shape,
+    sofima_flow_field_xyz_px,
+    flow_field_stride_zyx_px,
+    flow_field_box_start_xyz_px,
+    reference_origin_zyx_um=(0.0, 0.0, 0.0),
+    mode: str = "constant",
+    cval: float = 0.0,
+    order: int = 1,
+    gpu_id: int = 0,
+    z_batch_size: int = 4,
+    diagnostics: bool = False,
+) -> np.ndarray:
+    """Reference-named composed affine∘flow warp
+    (`multiview_registration.py:944-1171`); single-resample device path is
+    :func:`merfish3d_tpu.ops.warp.warp_affine_plus_flow`."""
+    from .warp import warp_affine_plus_flow
+
+    del mode, cval, order, gpu_id, diagnostics
+    return warp_affine_plus_flow(
+        image,
+        np.asarray(sofima_flow_field_xyz_px, np.float32),
+        transform_zyx_um=np.asarray(transform_zyx_um),
+        spacing_zyx_um=spacing_zyx_um,
+        reference_shape=reference_shape,
+        map_stride_zyx_px=flow_field_stride_zyx_px,
+        map_box_start_xyz_px=flow_field_box_start_xyz_px,
+        reference_origin_zyx_um=reference_origin_zyx_um,
+        z_chunk=max(1, int(z_batch_size)),
+    )
+
+
+def sim_from_array(image, *, spacing_zyx_um, origin_zyx_um=(0.0, 0.0, 0.0)):
+    """multiview-stitcher SpatialImage from a ZYX array (reference
+    `multiview_registration.py:161-192`). Import-gated: requires the
+    optional multiview-stitcher package."""
+    from multiview_stitcher import spatial_image_utils as si_utils
+
+    return si_utils.get_sim_from_array(
+        image,
+        dims=("z", "y", "x"),
+        scale={k: float(v) for k, v in zip("zyx", spacing_zyx_um)},
+        translation={k: float(v) for k, v in zip("zyx", origin_zyx_um)},
+        transform_key="stage_metadata",
+    )
+
+
+def msim_from_array(image, *, spacing_zyx_um, origin_zyx_um=(0.0, 0.0, 0.0)):
+    """multiview-stitcher multiscale image from a ZYX array (reference
+    `multiview_registration.py:195-230`). Import-gated."""
+    from multiview_stitcher import msi_utils
+
+    return msi_utils.get_msim_from_sim(
+        sim_from_array(
+            image, spacing_zyx_um=spacing_zyx_um, origin_zyx_um=origin_zyx_um
+        ),
+        scale_factors=[],
+    )

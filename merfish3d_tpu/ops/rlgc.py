@@ -568,3 +568,38 @@ def _axis_retained_bounds(length: int, crop: int) -> list[tuple[int, int]]:
     n = int(np.ceil(length / crop))
     edges = np.linspace(0, length, n + 1).round().astype(int)
     return [(int(edges[i]), int(edges[i + 1])) for i in range(n)]
+
+
+# ---------------------------------------------------------------- reference
+# name-compatible helpers (`utils/rlgc.py` public surface: kl_div,
+# pad_for_linear_fft, next_gpu_fft_size, fft_conv, clear_rlgc_caches)
+from .fftutils import fft_conv, next_smooth_fft_size  # noqa: E402,F401
+
+next_gpu_fft_size = next_smooth_fft_size
+
+
+def kl_div(p, q, mask=None):
+    """Masked KL divergence (reference `rlgc.py:389-419`)."""
+    p = jnp.asarray(p, jnp.float32)
+    q = jnp.asarray(q, jnp.float32)
+    if mask is None:
+        mask = jnp.ones_like(p)
+    return float(_kl_div(p, q, jnp.asarray(mask, jnp.float32)))
+
+
+def pad_for_linear_fft(image, psf_shape, pad_yx: bool = True):
+    """Pad a 3D image for linear FFT convolution; returns (padded,
+    pad_width) (reference `rlgc.py:136-176`)."""
+    image = jnp.asarray(image)
+    pad_width = linear_fft_pad_width(tuple(image.shape), tuple(psf_shape), pad_yx)
+    return pad_symmetric(image, pad_width), pad_width
+
+
+def clear_rlgc_caches(clear_memory_pool: bool = False) -> None:
+    """Drop compiled-program and buffer caches (reference
+    `rlgc.py:39-72` frees cuFFT plans + CuPy pools; the JAX analog is
+    the global trace/compile cache, and on TPU live buffers are freed
+    when their arrays die — there is no pool to drain)."""
+    import jax
+
+    jax.clear_caches()

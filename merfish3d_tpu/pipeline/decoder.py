@@ -529,9 +529,40 @@ class PixelDecoder:
             optimize_normalization_weights=optimize_normalization_weights,
         )
         df = self._extract_barcodes(decoded, mag, dist, intensity, tile_idx)
+        # last-decode state for the reference's post-hoc accessors
+        # (`PixelDecoder.py:2806-2845`: decoded_barcodes / decoded_image /
+        # save_decoded_barcodes)
+        self._df_barcodes = df
+        self._decoded_image = np.asarray(decoded, np.int16)
+        self._last_decoded_tile_idx = tile_idx
         if save:
             self._datastore.save_local_decoded_spots(df, tile_idx)
         return df
+
+    @property
+    def decoded_barcodes(self) -> pd.DataFrame:
+        """Barcodes from the most recent ``decode_one_tile`` call
+        (reference `PixelDecoder.py:2806-2818`)."""
+        if not hasattr(self, "_df_barcodes"):
+            return pd.DataFrame()
+        return self._df_barcodes.copy()
+
+    @property
+    def decoded_image(self) -> np.ndarray:
+        """Decoded pixel-label volume from the most recent
+        ``decode_one_tile`` call (reference `PixelDecoder.py:2821-2833`)."""
+        if not hasattr(self, "_decoded_image"):
+            return np.empty((0,), dtype=np.int16)
+        return self._decoded_image.copy()
+
+    def save_decoded_barcodes(self) -> None:
+        """Persist the most recent tile's barcodes
+        (reference `PixelDecoder.py:2835-2845`)."""
+        if not hasattr(self, "_df_barcodes"):
+            raise RuntimeError("no decode has run yet")
+        self._datastore.save_local_decoded_spots(
+            self._df_barcodes, self._last_decoded_tile_idx
+        )
 
     def _tile_state_snapshot(self) -> dict:
         return {
@@ -1152,3 +1183,76 @@ class PixelDecoder:
             df = remove_duplicates_in_tile_overlap(df)
         ds.save_global_filtered_decoded_spots(df)
         return df
+
+
+def preload_device_libraries() -> None:
+    """Warm the accelerator backend (reference
+    `PixelDecoder.preload_cuda_libraries:70-205` dlopens the CUDA wheel
+    libraries; the TPU analog is initializing the JAX backend once so
+    worker threads never race backend construction)."""
+    import jax
+
+    jax.devices()
+
+
+# reference-compatible alias (`from merfish3danalysis.PixelDecoder import
+# preload_cuda_libraries` appears in user scripts)
+preload_cuda_libraries = preload_device_libraries
+
+
+def decode_tiles_worker(
+    datastore_path,
+    tile_indices: Sequence[int],
+    gpu_id: int = 0,
+    merfish_bits: Optional[int] = None,
+    verbose: int = 0,
+    decode_mode: str = "auto",
+    lowpass_sigma=DEFAULT_DECODE_LOWPASS_SIGMA,
+    magnitude_threshold: tuple[float, float] = (1.5, 10.0),
+    minimum_pixels: float = 16,
+    feature_predictor_threshold: float = 0.0,
+    normalization_method: str = "global",
+) -> None:
+    """Decode a subset of tiles pinned to one device (reference
+    `PixelDecoder.decode_tiles_worker:208-305`, whose per-GPU worker
+    process pins CUDA and loops ``decode_one_tile``).
+
+    On TPU the analog is a thread pinned to ``jax.devices()[gpu_id]``
+    via ``jax.default_device`` — processes are unnecessary because jit
+    dispatch releases the GIL. ``feature_predictor_threshold`` is
+    accepted for signature parity; the prediction threshold is applied
+    when the feature-predictor spots are extracted during registration
+    (`pipeline/registration.py`), not re-applied at decode time.
+    """
+    import jax
+
+    from ..datastore.store import qi2labDataStore
+
+    preload_device_libraries()
+    devices = jax.devices()
+    device = devices[int(gpu_id) % len(devices)]
+
+    datastore = qi2labDataStore(datastore_path, validate=False)
+    decoder = PixelDecoder(
+        datastore,
+        merfish_bits=merfish_bits,
+        verbose=verbose,
+        is_3D=(decode_mode != "2d"),
+        magnitude_threshold=tuple(magnitude_threshold),
+        minimum_pixels=int(minimum_pixels),
+        num_devices=1,
+    )
+    if normalization_method == "none":
+        n = decoder._n_merfish_bits
+        decoder._iterative_normalization_vector = np.ones(n, np.float32)
+        decoder._iterative_background_vector = np.zeros(n, np.float32)
+    elif normalization_method == "global":
+        decoder._load_global_normalization_vectors()
+    # "iterative": _prepare_normalization_state already prefers the stored
+    # iterative vectors (iterative > global > identity)
+
+    with jax.default_device(device):
+        for tile_idx in tile_indices:
+            decoder.decode_one_tile(
+                int(tile_idx), lowpass_sigma=tuple(lowpass_sigma)
+            )

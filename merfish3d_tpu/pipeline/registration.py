@@ -46,6 +46,15 @@ class GlobalRegistrationConfig:
     quality_threshold: float = 0.2
     diagnostics: bool = False  # `[multiview-registration]` channel
 
+    def registration_binning(self) -> dict[str, int]:
+        """Binning keyed by spatial dimension name (reference
+        `GlobalRegistrationConfig.registration_binning:88-95`)."""
+        return {
+            "z": int(self.binning_zyx[0]),
+            "y": int(self.binning_zyx[1]),
+            "x": int(self.binning_zyx[2]),
+        }
+
 
 @dataclass(frozen=True)
 class GlobalFusionConfig:
@@ -99,7 +108,64 @@ class DataRegistration:
         self._num_devices = int(num_devices)  # 0 = all visible devices
         self._diagnostics = bool(registration_diagnostics)
         self._verbose = verbose
+        self._tile_id: Optional[str] = None
         self._predictor = get_predictor(ufish_model, ufish_checkpoint)
+
+    # -------------------------------------------------- reference accessors
+    # (`DataRegistration.py:1120-1280`: datastore / dataset_path / tile_id /
+    # perform_deformable_registration / overwrite_registered)
+    @property
+    def datastore(self):
+        return self._datastore
+
+    @property
+    def dataset_path(self):
+        return self._datastore.datastore_path
+
+    @property
+    def tile_id(self) -> Optional[str]:
+        """Currently selected tile id (reference `tile_id:1166-1203`)."""
+        return self._tile_id
+
+    @tile_id.setter
+    def tile_id(self, value) -> None:
+        self._tile_id = self._datastore.tile_ids[self._tile_index(value)]
+
+    def _tile_index(self, value) -> int:
+        """Normalize an int index or str tile id to an index."""
+        tile_ids = list(self._datastore.tile_ids)
+        if isinstance(value, (int, np.integer)):
+            if not 0 <= int(value) < len(tile_ids):
+                raise ValueError(
+                    f"tile index {value} out of range [0, {len(tile_ids)})"
+                )
+            return int(value)
+        if value not in tile_ids:
+            raise ValueError(f"unknown tile id {value!r}")
+        return tile_ids.index(value)
+
+    @property
+    def perform_deformable_registration(self) -> bool:
+        return self._deformable
+
+    @perform_deformable_registration.setter
+    def perform_deformable_registration(self, value: bool) -> None:
+        self._deformable = bool(value)
+
+    @property
+    def overwrite_registered(self) -> bool:
+        return self._overwrite
+
+    @overwrite_registered.setter
+    def overwrite_registered(self, value: bool) -> None:
+        self._overwrite = bool(value)
+
+    def apply_registration_to_one_tile(self, tile_id) -> None:
+        """Apply the stored local transforms to one tile's readout bits
+        without re-estimating fiducial registrations (reference
+        `apply_registration_to_one_tile:1456-1464`)."""
+        self.tile_id = tile_id
+        self._apply_registration_to_bits(self._tile_index(tile_id))
 
     def _diag(self, stage: str, **fields) -> None:
         """Structured opt-in diagnostics channel (reference
@@ -603,3 +669,12 @@ def _spot_table_from_probability(
             "tile_x_px": np.asarray(xs, np.float64),
         }
     )
+
+
+def no_op(*args, **kwargs) -> None:
+    """Swallow output — print monkeypatch target (reference
+    `DataRegistration.no_op:2337-2349`)."""
+
+
+# re-export for reference import parity (`DataRegistration.time_stamp`)
+from ..utils.dataio import time_stamp  # noqa: E402,F401

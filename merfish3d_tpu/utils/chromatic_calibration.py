@@ -252,3 +252,156 @@ def run_chromatic_calibration(
     )
     datastore.save_chromatic_affine_transforms_zyx_um(calibration)
     return calibration
+
+
+# ---------------------------------------------------------------- reference
+# name-compatible helpers (`utils/chromatic.py` public surface)
+def parse_csv_floats(value) -> "tuple[float, ...] | None":
+    """Parse '1.0,2.0' strings / float sequences (reference
+    `chromatic.py:25-45`)."""
+    if value is None:
+        return None
+    if isinstance(value, str):
+        return tuple(float(v.strip()) for v in value.split(",") if v.strip())
+    return tuple(float(v) for v in value)
+
+
+def load_bead_channel_stack(
+    image_path,
+    *,
+    channel_axis=None,
+    voxel_size_zyx_um=None,
+    wavelengths_um=None,
+):
+    """Load an OME-TIFF bead acquisition as a (C, Z, Y, X) stack plus
+    metadata (reference `chromatic.py:154-330`; the axis layout comes
+    from the OME DimensionOrder — ``channel_axis`` is accepted for
+    signature parity but the OME metadata is authoritative here)."""
+    from .ometiff import read_ome_tiff_stack
+
+    stack, spacing, wavelengths = read_ome_tiff_stack(image_path)
+    spacing = tuple(float(v) for v in (voxel_size_zyx_um or spacing or (1, 1, 1)))
+    wavelengths = wavelengths_um or wavelengths
+    if wavelengths is None:
+        raise ValueError(
+            "Channel wavelengths are required to generate PSFs. Provide OME "
+            "wavelength metadata or pass wavelengths_um."
+        )
+    meta = {
+        "voxel_size_zyx_um": spacing,
+        "wavelengths_um": tuple(float(w) for w in wavelengths),
+    }
+    return np.asarray(stack), meta
+
+
+def detect_bead_centroids(
+    image_zyx: np.ndarray,
+    *,
+    ufish_model=None,
+    min_intensity_quantile: float = 0.5,
+    max_beads=None,
+    threshold: float = 0.5,
+):
+    """Bead centroid table for one channel (reference
+    `chromatic.py:331-387` returns a DataFrame with z/y/x +
+    sum_decon_pixels; detection runs the spot-probability predictor)."""
+    import pandas as pd
+
+    from ..models.ufish import get_predictor
+
+    predictor = None
+    if ufish_model is not None:
+        predictor = get_predictor("simfish", ufish_model)
+    centers = detect_beads(
+        image_zyx,
+        threshold=threshold,
+        max_beads=int(max_beads) if max_beads else 5000,
+        predictor=predictor,
+    )
+    vol = np.asarray(image_zyx, np.float32)
+    sums = []
+    for z, y, x in np.round(centers).astype(int):
+        zl, zh = max(0, z - 2), min(vol.shape[0], z + 3)
+        yl, yh = max(0, y - 2), min(vol.shape[1], y + 3)
+        xl, xh = max(0, x - 2), min(vol.shape[2], x + 3)
+        sums.append(float(vol[zl:zh, yl:yh, xl:xh].sum()))
+    df = pd.DataFrame(
+        {
+            "z": centers[:, 0] if len(centers) else [],
+            "y": centers[:, 1] if len(centers) else [],
+            "x": centers[:, 2] if len(centers) else [],
+            "sum_decon_pixels": sums,
+        }
+    )
+    if not df.empty:
+        floor = df["sum_decon_pixels"].quantile(float(min_intensity_quantile))
+        df = df[df["sum_decon_pixels"] >= floor]
+        df = df.sort_values("sum_decon_pixels", ascending=False)
+        if max_beads is not None:
+            df = df.head(int(max_beads))
+    return df.reset_index(drop=True)
+
+
+def deconvolve_channels(
+    stack_czyx: np.ndarray,
+    psfs,
+    *,
+    crop_yx: int = 2048,
+    max_iters: int = 30,
+) -> np.ndarray:
+    """RLGC-deconvolve every channel of a (C, Z, Y, X) bead stack
+    (reference `chromatic.py:389-433`)."""
+    from ..ops.rlgc import chunked_rlgc
+
+    if len(psfs) not in (1, stack_czyx.shape[0]):
+        raise ValueError("Provide either one shared PSF or one PSF per channel.")
+    out = []
+    for idx, image in enumerate(stack_czyx):
+        psf = psfs[0] if len(psfs) == 1 else psfs[idx]
+        out.append(
+            chunked_rlgc(
+                np.asarray(image, np.float32),
+                np.asarray(psf, np.float32),
+                crop_yx=crop_yx,
+                max_iters=max_iters,
+            )
+        )
+    return np.stack(out, axis=0)
+
+
+def generate_channel_psfs(
+    *,
+    num_z: int,
+    voxel_size_zyx_um,
+    wavelengths_um,
+    na: float = 1.35,
+    ri: float = 1.51,
+    psf_nx: int = 51,
+):
+    """One vectorial PSF per channel (reference `chromatic.py:435-505`
+    uses psfmodels; here :func:`merfish3d_tpu.models.psf.vectorial_psf`)."""
+    from ..models.psf import make_channel_psfs
+
+    nz = min(int(num_z) | 1, int(psf_nx) | 1)
+    return list(
+        make_channel_psfs(
+            wavelengths_um,
+            na=na,
+            ri=ri,
+            voxel_size_zyx_um=voxel_size_zyx_um,
+            shape_zyx=(nz, int(psf_nx) | 1, int(psf_nx) | 1),
+            model="vectorial",
+        )
+    )
+
+
+def save_calibration_json(calibration: dict, output_path) -> None:
+    """Write the calibration payload as JSON (reference
+    `chromatic.py:729-749`)."""
+    import json
+    from pathlib import Path
+
+    output_path = Path(output_path)
+    output_path.parent.mkdir(parents=True, exist_ok=True)
+    with open(output_path, "w") as handle:
+        json.dump(calibration, handle, indent=2)

@@ -728,6 +728,10 @@ class Qi2labViewer:
     def show(self) -> None:
         self._viewer.show()
 
+    def run(self) -> None:
+        """Blocking event loop (reference `Qi2labViewer.run:1268-1275`)."""
+        self.show()
+
 
 def run_viewer(datastore_path, output_png=None):
     ds = open_datastore(normalize_datastore_path(Path(datastore_path)))
