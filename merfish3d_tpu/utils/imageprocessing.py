@@ -172,3 +172,8 @@ def apply_shading_correction(image: np.ndarray, flatfield: np.ndarray) -> np.nda
     """Divide out the flatfield (broadcast over leading axes)."""
     img = np.asarray(image, np.float32)
     return (img / np.maximum(flatfield, 1e-6)).astype(np.float32)
+
+
+def no_op(*args, **kwargs) -> None:
+    """Swallow output — print monkeypatch target (reference
+    `imageprocessing.py:226-238`)."""
