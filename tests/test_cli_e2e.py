@@ -290,3 +290,41 @@ def test_build_matrix_figure(workspace, tmp_path):
     png = tmp_path / "matrix.png"
     build_matrix_figure([case], png, labels=["0.315 um"])
     assert png.exists() and png.stat().st_size > 5000
+
+
+def test_decode_tiles_worker_functional(workspace):
+    """The device-pinned worker decodes its tile subset end-to-end and
+    persists per-tile spots (reference `PixelDecoder.decode_tiles_worker:
+    208-305` — one worker per GPU; here one thread per device)."""
+    from merfish3d_tpu.pipeline.decoder import decode_tiles_worker
+
+    root, raw, ds = workspace
+    if not ds.datastore_state.get("LocalRegistered"):
+        DataRegistration(
+            ds,
+            decon_fiducial=False,
+            decon_readout=True,
+            decon_max_iters=12,
+            global_registration=True,
+            verbose=0,
+        ).register_all_tiles()
+
+    # wipe any existing per-tile decode so the worker's write is observable
+    out = ds.datastore_path / "decoded" / "tile0000_decoded_features.parquet"
+    if out.exists():
+        out.unlink()
+
+    decode_tiles_worker(
+        ds.datastore_path,
+        [0],
+        gpu_id=0,
+        merfish_bits=16,
+        decode_mode="3d",
+        lowpass_sigma=(1.0, 0.7, 0.7),
+        magnitude_threshold=(0.9, 10.0),
+        minimum_pixels=4,
+        normalization_method="none",
+    )
+    df = qi2labDataStore(ds.datastore_path, validate=False).load_local_decoded_spots(0)
+    assert df is not None and len(df) > 0
+    assert {"gene_id", "z", "y", "x"}.issubset(df.columns)
