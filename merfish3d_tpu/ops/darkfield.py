@@ -268,6 +268,7 @@ def dark_sectioning(
     na: float = 1.35,
     pixel_size: float = 0.098,
     factor: float = 1.0,
+    z_chunk: "int | None" = None,
 ) -> np.ndarray:
     """3D dark-sectioning dehazing (reference `darkfield.py:386-518`):
     normalize to [0, 255], square-pad, symmetric-pad by shape/40, split
@@ -275,9 +276,12 @@ def dark_sectioning(
     with the envelope-driven atmosphere and the `confirm_block` window,
     recombine ``lo/2 + hi``, crop, rescale to uint16.
 
-    TPU-first: the reference's serial per-plane GPU loop becomes one
-    vmapped jitted program over the z axis; filters and the block size
-    are host setup shared by every plane."""
+    TPU-first: the reference's serial per-plane GPU loop becomes a
+    vmapped jitted program over bounded z chunks (one compiled shape, the
+    last chunk padded); filters and the block size are host setup shared
+    by every plane. ``z_chunk=None`` sizes the chunk to a ~2 GiB HBM
+    working-set budget (≈15 live plane-sized buffers per plane), the same
+    static-budget discipline as the RLGC/warp batching."""
     vol = np.asarray(input_image, np.float32)
     if vol.ndim == 2:
         vol = vol[None]
@@ -323,7 +327,20 @@ def dark_sectioning(
 
         return jax.vmap(one)(stack)
 
-    result = np.asarray(plane_program(jnp.asarray(planes, jnp.float32)))
+    if z_chunk is None:
+        per_plane_bytes = 15 * h * w * 4
+        z_chunk = max(1, int(2 * 1024**3 // per_plane_bytes))
+    z_chunk = min(max(1, int(z_chunk)), nz)
+
+    chunks = []
+    for start in range(0, nz, z_chunk):
+        block = planes[start : start + z_chunk]
+        n_pad = z_chunk - block.shape[0]
+        if n_pad:  # pad to the compiled chunk shape (one program for all)
+            block = np.concatenate([block, block[-1:].repeat(n_pad, axis=0)])
+        out = np.asarray(plane_program(jnp.asarray(block, jnp.float32)))
+        chunks.append(out[: z_chunk - n_pad] if n_pad else out)
+    result = np.concatenate(chunks, axis=0)
     result = result[:, pad : pad + ny0, pad : pad + nx0]
     result = result / max(float(result.max()), 1e-12) * 65535.0
     return np.clip(result, 0.0, 65535.0).astype(np.uint16)

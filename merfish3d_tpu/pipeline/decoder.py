@@ -455,6 +455,7 @@ class PixelDecoder:
             lowpass_sigma=lowpass_sigma,
             optimize_normalization_weights=optimize_normalization_weights,
             save=save,
+            stash=True,
         )
 
     def _device_decode(
@@ -521,6 +522,7 @@ class PixelDecoder:
         lowpass_sigma=DEFAULT_DECODE_LOWPASS_SIGMA,
         optimize_normalization_weights: bool = False,
         save: bool = True,
+        stash: bool = False,
     ) -> pd.DataFrame:
         self._apply_tile_state(loaded)
         decoded, mag, dist, intensity = self._device_decode(
@@ -529,12 +531,14 @@ class PixelDecoder:
             optimize_normalization_weights=optimize_normalization_weights,
         )
         df = self._extract_barcodes(decoded, mag, dist, intensity, tile_idx)
-        # last-decode state for the reference's post-hoc accessors
-        # (`PixelDecoder.py:2806-2845`: decoded_barcodes / decoded_image /
-        # save_decoded_barcodes)
-        self._df_barcodes = df
-        self._decoded_image = np.asarray(decoded, np.int16)
-        self._last_decoded_tile_idx = tile_idx
+        if stash:
+            # last-decode state for the reference's post-hoc accessors
+            # (`PixelDecoder.py:2806-2845`). Only the user-facing
+            # single-tile entry pays this: the bulk decode_all_tiles loop
+            # must not pin a full decoded volume per PixelDecoder lifetime
+            self._df_barcodes = df
+            self._decoded_image = np.asarray(decoded, np.int16)
+            self._last_decoded_tile_idx = tile_idx
         if save:
             self._datastore.save_local_decoded_spots(df, tile_idx)
         return df
@@ -1247,7 +1251,20 @@ def decode_tiles_worker(
         decoder._iterative_normalization_vector = np.ones(n, np.float32)
         decoder._iterative_background_vector = np.zeros(n, np.float32)
     elif normalization_method == "global":
-        decoder._load_global_normalization_vectors()
+        # workers must share ONE stored vector set: recomputing here would
+        # run the heavy seeding once per worker from different random tile
+        # samples and race on the datastore write — the reference launches
+        # its workers only after optimization has persisted the vectors
+        stored = datastore.load_decode_normalization_vectors(run_key="global")
+        if stored is None:
+            raise ValueError(
+                "normalization_method='global' requires stored global "
+                "normalization vectors; run optimize_normalization_by_decoding "
+                "(or PixelDecoder._load_global_normalization_vectors once) "
+                "before launching workers"
+            )
+        decoder._global_normalization_vector = stored[0]
+        decoder._global_background_vector = stored[1]
     # "iterative": _prepare_normalization_state already prefers the stored
     # iterative vectors (iterative > global > identity)
 

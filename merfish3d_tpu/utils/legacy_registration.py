@@ -65,7 +65,15 @@ def compute_rigid_transform(
     """Translation estimate via phase cross-correlation (reference
     `registration.py:149-286`): optional max-projection along z/y, an
     SSIM z-`search` mode, shifts rescaled by the downsample factors, and
-    a (transform, shift_xyz) return."""
+    a (transform, shift_xyz) return.
+
+    All modes return PULL offsets (the sitk TranslationTransform
+    convention `apply_transform` consumes: output point → moving point),
+    and shift_xyz is always 3 elements [x, y, z]. The reference leaves
+    its projection modes in the raw push convention (and never converts
+    projection="y" at all, `registration.py:244-260` — shift_xyz is
+    unbound there); a compute-then-apply round trip only works in the
+    pull convention, so that is the contract here, round-trip-tested."""
     import jax.numpy as jnp
 
     from ..ops.phase_corr import phase_cross_correlation, ssim
@@ -79,29 +87,43 @@ def compute_rigid_transform(
     if projection == "z":
         img1p = img1.max(axis=0)
         img2p = img2.max(axis=0)
-        shift = np.asarray(
+        # projected axes are (y, x); push → pull is a negation
+        push = np.asarray(
             phase_cross_correlation(
                 jnp.asarray(img1p), jnp.asarray(img2p), upsample_factor=10
             )
         )
         shift_xyz = [
-            float(shift[1] * downsample_factors[2]),
-            float(shift[0] * downsample_factors[1]),
+            float(-push[1] * downsample_factors[2]),
+            float(-push[0] * downsample_factors[1]),
             0.0,
+        ]
+    elif projection == "y":
+        img1p = img1.max(axis=1)
+        img2p = img2.max(axis=1)
+        # projected axes are (z, x)
+        push = np.asarray(
+            phase_cross_correlation(
+                jnp.asarray(img1p), jnp.asarray(img2p), upsample_factor=10
+            )
+        )
+        shift_xyz = [
+            float(-push[1] * downsample_factors[2]),
+            0.0,
+            float(-push[0] * downsample_factors[0]),
         ]
     elif projection == "search":
         ref_idx = img1.shape[0] // 2
         ref_slice = jnp.asarray(img1[ref_idx], jnp.float32)
         scores = [
             float(ssim(ref_slice, jnp.asarray(img2[z], jnp.float32)))
-            for z in range(img1.shape[0])
+            for z in range(img2.shape[0])
         ]
-        found = float(ref_idx - int(np.argmax(scores)))
+        # the matching moving plane sits at argmax; pulling the moving
+        # volume by (argmax - ref_idx) brings it onto the reference slice
+        found = float(int(np.argmax(scores)) - ref_idx)
         shift_xyz = [0.0, 0.0, float(downsample_factors[0] * found)]
     else:
-        if projection == "y":
-            img1 = img1.max(axis=1)
-            img2 = img2.max(axis=1)
         shift = np.asarray(
             phase_cross_correlation(
                 jnp.asarray(img1), jnp.asarray(img2), upsample_factor=10

@@ -198,17 +198,65 @@ class TestLegacyRegistrationCompat:
         out = apply_transform(vol, moved, transform)
         np.testing.assert_allclose(out[3:-3], vol[3:-3], atol=1.0)
 
-    def test_projection_z_mode(self):
-        from merfish3d_tpu.utils.legacy_registration import compute_rigid_transform
+    def test_projection_z_mode_round_trips(self):
+        from merfish3d_tpu.utils.legacy_registration import (
+            apply_transform,
+            compute_rigid_transform,
+        )
 
         vol = _bead_volume()
         moved = np.roll(vol, (3, -2), axis=(1, 2))
-        _t, shift_xyz = compute_rigid_transform(
+        t, shift_xyz = compute_rigid_transform(
             vol, moved, downsample_factors=[1, 1, 1], projection="z"
         )
-        assert shift_xyz[0] == pytest.approx(2.0, abs=0.2)  # x
-        assert shift_xyz[1] == pytest.approx(-3.0, abs=0.2)  # y
+        # pull convention: offsets equal the displacement of the moving image
+        assert shift_xyz[0] == pytest.approx(-2.0, abs=0.2)  # x
+        assert shift_xyz[1] == pytest.approx(3.0, abs=0.2)  # y
         assert shift_xyz[2] == 0.0
+        out = apply_transform(vol, moved, t)
+        np.testing.assert_allclose(
+            out[:, 4:-4, 4:-4], vol[:, 4:-4, 4:-4], atol=1.0
+        )
+
+    def test_projection_y_mode_round_trips(self):
+        from merfish3d_tpu.utils.legacy_registration import (
+            apply_transform,
+            compute_rigid_transform,
+        )
+
+        vol = _bead_volume()
+        moved = np.roll(vol, (2, 3), axis=(0, 2))
+        t, shift_xyz = compute_rigid_transform(
+            vol, moved, downsample_factors=[1, 1, 1], projection="y"
+        )
+        assert len(shift_xyz) == 3
+        assert shift_xyz[0] == pytest.approx(3.0, abs=0.2)  # x
+        assert shift_xyz[1] == 0.0
+        assert shift_xyz[2] == pytest.approx(2.0, abs=0.2)  # z
+        out = apply_transform(vol, moved, t)
+        np.testing.assert_allclose(
+            out[3:-3, :, 4:-4], vol[3:-3, :, 4:-4], atol=1.0
+        )
+
+    def test_search_mode_round_trips(self):
+        from merfish3d_tpu.utils.legacy_registration import (
+            apply_transform,
+            compute_rigid_transform,
+        )
+
+        vol = _bead_volume()
+        moved = np.roll(vol, 2, axis=0)
+        t, shift_xyz = compute_rigid_transform(
+            vol, moved, downsample_factors=[1, 1, 1], projection="search"
+        )
+        assert shift_xyz[2] == pytest.approx(2.0, abs=0.2)
+        out = apply_transform(vol, moved, t)
+        np.testing.assert_allclose(out[3:-3], vol[3:-3], atol=1.0)
+        # different z extents: the search scores every moving plane
+        _t2, shift2 = compute_rigid_transform(
+            vol, moved[:-2], downsample_factors=[1, 1, 1], projection="search"
+        )
+        assert len(shift2) == 3
 
 
 class TestOrchestratorCompat:
