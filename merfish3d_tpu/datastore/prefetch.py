@@ -46,3 +46,49 @@ class TilePrefetcher:
             for f in futures.values():
                 f.cancel()
             self._pool.shutdown(wait=False)
+
+
+class BoundedWriter:
+    """Write-behind queue: saves run on one background thread while the
+    caller keeps computing, with at most ``depth`` writes (and their
+    array references) pending — the write half of the host/device
+    pipeline (the reference hides writes inside per-GPU worker processes;
+    TensorStore writes release the GIL, so one thread suffices).
+
+    Use as a context manager; exit drains the queue and re-raises the
+    first write error. Writes targeting disjoint datastore arrays are
+    safe to overlap with reads elsewhere (same structural guarantee the
+    decode extraction thread relies on).
+    """
+
+    def __init__(self, depth: int = 2):
+        from collections import deque
+
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._pending = deque()
+        self._depth = max(1, depth)
+
+    def submit(self, fn: Callable, /, *args, **kwargs) -> None:
+        while len(self._pending) >= self._depth:
+            self._pending.popleft().result()  # blocks; re-raises failures
+        self._pending.append(self._pool.submit(fn, *args, **kwargs))
+
+    def drain(self) -> None:
+        while self._pending:
+            self._pending.popleft().result()
+
+    def __enter__(self) -> "BoundedWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        try:
+            if exc_type is None:
+                self.drain()
+            else:  # don't mask the original error; still reap the queue
+                while self._pending:
+                    try:
+                        self._pending.popleft().result()
+                    except Exception:
+                        pass
+        finally:
+            self._pool.shutdown(wait=True)

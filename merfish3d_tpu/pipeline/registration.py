@@ -377,93 +377,109 @@ class DataRegistration:
             batch_cap = min(
                 batch_cap, max_vmap_batch(sample_shape, fid_psf.shape)
             )
-        for start in range(0, len(moving_rounds), max(batch_cap, 1)):
-            batch_rounds = moving_rounds[start : start + max(batch_cap, 1)]
-            t0 = time.perf_counter()
-            raws = np.stack(
+        from ..datastore.prefetch import BoundedWriter, TilePrefetcher
+
+        batches = [
+            moving_rounds[s : s + max(batch_cap, 1)]
+            for s in range(0, len(moving_rounds), max(batch_cap, 1))
+        ]
+
+        def load_batch(batch_idx: int) -> np.ndarray:
+            return np.stack(
                 [
                     np.asarray(
                         ds.load_local_corrected_image(tile=tile_idx, round=r),
                         np.float32,
                     )
-                    for r in batch_rounds
+                    for r in batches[batch_idx]
                 ]
             )
-            if fid_psf is None:
-                decons = raws
-            elif len(batch_rounds) > 1 and raws.shape[2] <= (self._crop_yx_decon or 1024):
-                decons = rlgc_batch(
-                    raws, fid_psf, seed=42 + tile_idx + 1000 + start,
-                    max_iters=self._decon_max_iters,
-                )
-            else:
-                decons = np.stack(
-                    [
-                        self._deconvolve(
-                            raws[i], fid_psf,
-                            seed=42 + tile_idx + (batch_rounds[i]) * 1000,
-                        )
-                        for i in range(len(batch_rounds))
-                    ]
-                )
-            del raws
-            self._diag(
-                "moving-decon-batch", tile=tile_idx, rounds=batch_rounds,
-                elapsed=f"{time.perf_counter() - t0:.2f}s",
-            )
 
-            for i, round_idx in enumerate(batch_rounds):
+        # read/compute/write pipeline over round batches: next batch's
+        # zarr reads and previous rounds' registered-image writes overlap
+        # the device decon+registration (see `_apply_registration_to_bits`)
+        prefetcher = TilePrefetcher(load_batch, range(len(batches)), depth=1)
+        with BoundedWriter(depth=2) as writer:
+            for batch_idx, raws in prefetcher:
+                batch_rounds = batches[batch_idx]
+                start = batch_idx * max(batch_cap, 1)
                 t0 = time.perf_counter()
-                moving = decons[i]
-                transform = register_pair_to_fixed(
-                    reference, moving, spacing_zyx_um=self._spacing
-                )
-                ds.save_local_round_transform_zyx_um(
-                    transform, tile=tile_idx, round=round_idx
-                )
-                warped = None
-                if self._deformable or self._save_all_fiducial_registered:
-                    warped = warp_affine(
-                        moving,
-                        transform_zyx_um=transform,
-                        spacing_zyx_um=self._spacing,
-                        reference_shape=reference.shape,
+                if fid_psf is None:
+                    decons = raws
+                elif len(batch_rounds) > 1 and raws.shape[2] <= (self._crop_yx_decon or 1024):
+                    decons = rlgc_batch(
+                        raws, fid_psf, seed=42 + tile_idx + 1000 + start,
+                        max_iters=self._decon_max_iters,
                     )
-                if self._save_all_fiducial_registered and warped is not None:
-                    ds.save_local_registered_image(
-                        np.clip(warped, 0, 65535).astype(np.uint16),
-                        tile=tile_idx,
-                        round=round_idx,
-                        deconvolution=self._decon_fiducial,
+                else:
+                    decons = np.stack(
+                        [
+                            self._deconvolve(
+                                raws[i], fid_psf,
+                                seed=42 + tile_idx + (batch_rounds[i]) * 1000,
+                            )
+                            for i in range(len(batch_rounds))
+                        ]
                     )
+                del raws
                 self._diag(
-                    "round-registered", tile=tile_idx, round=round_idx,
-                    shift_um=np.round(transform[:3, 3], 3).tolist(),
+                    "moving-decon-batch", tile=tile_idx, rounds=batch_rounds,
                     elapsed=f"{time.perf_counter() - t0:.2f}s",
                 )
-                if self._deformable and warped is not None:
+
+                for i, round_idx in enumerate(batch_rounds):
                     t0 = time.perf_counter()
-                    flow, meta = estimate_sofima_flow_field_xyz_px(
-                        reference, warped, self._sofima_config
+                    moving = decons[i]
+                    transform = register_pair_to_fixed(
+                        reference, moving, spacing_zyx_um=self._spacing
                     )
-                    ds.save_local_sofima_flow_field(
-                        flow,
-                        tile=tile_idx,
-                        round=round_idx,
-                        map_stride_zyx_px=meta["map_stride_zyx_px"],
-                        map_box_start_xyz_px=meta["map_box_start_xyz_px"],
-                        map_box_size_xyz_px=meta["map_box_size_xyz_px"],
-                        reference_shape_zyx_px=meta["reference_shape_zyx_px"],
-                        moving_shape_zyx_px=meta["moving_shape_zyx_px"],
-                        sofima_status=meta["sofima_status"],
-                        valid_flow_vectors=meta["valid_flow_vectors"],
+                    ds.save_local_round_transform_zyx_um(
+                        transform, tile=tile_idx, round=round_idx
                     )
+                    warped = None
+                    if self._deformable or self._save_all_fiducial_registered:
+                        warped = warp_affine(
+                            moving,
+                            transform_zyx_um=transform,
+                            spacing_zyx_um=self._spacing,
+                            reference_shape=reference.shape,
+                        )
+                    if self._save_all_fiducial_registered and warped is not None:
+                        writer.submit(
+                            ds.save_local_registered_image,
+                            np.clip(warped, 0, 65535).astype(np.uint16),
+                            tile=tile_idx,
+                            round=round_idx,
+                            deconvolution=self._decon_fiducial,
+                        )
                     self._diag(
-                        "sofima-flow", tile=tile_idx, round=round_idx,
-                        valid_vectors=meta["valid_flow_vectors"],
+                        "round-registered", tile=tile_idx, round=round_idx,
+                        shift_um=np.round(transform[:3, 3], 3).tolist(),
                         elapsed=f"{time.perf_counter() - t0:.2f}s",
                     )
-            del decons
+                    if self._deformable and warped is not None:
+                        t0 = time.perf_counter()
+                        flow, meta = estimate_sofima_flow_field_xyz_px(
+                            reference, warped, self._sofima_config
+                        )
+                        ds.save_local_sofima_flow_field(
+                            flow,
+                            tile=tile_idx,
+                            round=round_idx,
+                            map_stride_zyx_px=meta["map_stride_zyx_px"],
+                            map_box_start_xyz_px=meta["map_box_start_xyz_px"],
+                            map_box_size_xyz_px=meta["map_box_size_xyz_px"],
+                            reference_shape_zyx_px=meta["reference_shape_zyx_px"],
+                            moving_shape_zyx_px=meta["moving_shape_zyx_px"],
+                            sofima_status=meta["sofima_status"],
+                            valid_flow_vectors=meta["valid_flow_vectors"],
+                        )
+                        self._diag(
+                            "sofima-flow", tile=tile_idx, round=round_idx,
+                            valid_vectors=meta["valid_flow_vectors"],
+                            elapsed=f"{time.perf_counter() - t0:.2f}s",
+                        )
+                del decons
 
     # ----------------------------------------------------------- readout bits
     def _apply_registration_to_bits(
@@ -505,6 +521,11 @@ class DataRegistration:
             psf_idx = self._psf_idx_for_bit(tile_idx, bit_id) if self._decon_readout else -1
             groups.setdefault(psf_idx, []).append((bit_idx, bit_id))
 
+        # flatten into device-sized chunks so the loader can run one chunk
+        # ahead of the device while the writer drains one chunk behind —
+        # a 3-stage read/compute/write pipeline per tile (the reference
+        # hides this IO inside its per-GPU worker processes)
+        chunks: list[tuple[Optional[np.ndarray], list[tuple[int, str]]]] = []
         for psf_idx, members in groups.items():
             psf = self._psf_for_channel(psf_idx) if psf_idx >= 0 else None
             group_batch = bit_batch_size
@@ -513,16 +534,26 @@ class DataRegistration:
                     group_batch, max_vmap_batch(core, psf.shape)
                 )
             for start in range(0, len(members), max(group_batch, 1)):
-                chunk = members[start : start + max(group_batch, 1)]
-                raws = np.stack(
-                    [
-                        np.asarray(
-                            ds.load_local_corrected_image(tile=tile_idx, bit=b),
-                            np.float32,
-                        )
-                        for b, _ in chunk
-                    ]
-                )
+                chunks.append((psf, members[start : start + max(group_batch, 1)]))
+
+        from ..datastore.prefetch import BoundedWriter, TilePrefetcher
+
+        def load_chunk(chunk_idx: int) -> np.ndarray:
+            return np.stack(
+                [
+                    np.asarray(
+                        ds.load_local_corrected_image(tile=tile_idx, bit=b),
+                        np.float32,
+                    )
+                    for b, _ in chunks[chunk_idx][1]
+                ]
+            )
+
+        with BoundedWriter(depth=2) as writer:
+            for chunk_idx, raws in TilePrefetcher(
+                load_chunk, range(len(chunks)), depth=1
+            ):
+                psf, chunk = chunks[chunk_idx]
                 if psf is None:
                     decons = raws
                 elif len(chunk) > 1 and raws[0].shape[1] <= (self._crop_yx_decon or 1024):
@@ -544,22 +575,26 @@ class DataRegistration:
                     if hasattr(self._predictor, "predict_batch")
                     else np.stack([self._predictor.predict(d) for d in decons])
                 )
-                for i, (bit_idx, _bit_id) in enumerate(chunk):
-                    ds.save_local_registered_image(
-                        np.clip(decons[i], 0, 65535).astype(np.uint16),
-                        tile=tile_idx,
-                        bit=bit_idx,
-                        deconvolution=self._decon_readout,
-                    )
-                    ds.save_local_feature_predictor_image(
-                        probs[i], tile=tile_idx, bit=bit_idx
-                    )
-                    spots = _spot_table_from_probability(
-                        decons[i], probs[i], tile_idx=tile_idx, bit_idx=bit_idx
-                    )
-                    ds.save_local_feature_predictor_spots(
-                        spots, tile=tile_idx, bit=bit_idx
-                    )
+
+                def save_chunk(chunk=chunk, decons=decons, probs=probs):
+                    for i, (bit_idx, _bit_id) in enumerate(chunk):
+                        ds.save_local_registered_image(
+                            np.clip(decons[i], 0, 65535).astype(np.uint16),
+                            tile=tile_idx,
+                            bit=bit_idx,
+                            deconvolution=self._decon_readout,
+                        )
+                        ds.save_local_feature_predictor_image(
+                            probs[i], tile=tile_idx, bit=bit_idx
+                        )
+                        spots = _spot_table_from_probability(
+                            decons[i], probs[i], tile_idx=tile_idx, bit_idx=bit_idx
+                        )
+                        ds.save_local_feature_predictor_spots(
+                            spots, tile=tile_idx, bit=bit_idx
+                        )
+
+                writer.submit(save_chunk)
 
     # ------------------------------------------------------------- global
     def global_register(self) -> None:

@@ -497,3 +497,20 @@ def test_estimate_shading_darkfield_option():
     assert flat.shape == (96, 96) and dark.shape == (96, 96)
     assert flat[48, 48] > flat[4, 4] * 1.15  # vignette shape recovered
     assert 0.0 <= dark.mean() <= 80.0  # additive floor in a sane range
+
+
+def test_bounded_writer_drains_and_reraises():
+    from merfish3d_tpu.datastore.prefetch import BoundedWriter
+
+    written = []
+    with BoundedWriter(depth=2) as w:
+        for i in range(6):
+            w.submit(written.append, i)
+    assert written == list(range(6))
+
+    with pytest.raises(ValueError, match="boom"):
+        with BoundedWriter(depth=1) as w:
+            def fail():
+                raise ValueError("boom")
+            w.submit(fail)
+            w.submit(fail)  # blocks on the first future -> re-raises
