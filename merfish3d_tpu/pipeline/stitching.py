@@ -313,57 +313,68 @@ def stream_fuse(
     separable product of per-axis ramps), so no full tile-sized weight
     volume is ever materialized.
     """
+    from ..datastore.prefetch import BoundedWriter
+
     out_shape = np.asarray(out_shape, int)
     tile_shape_px = np.asarray(tile_shape_px, int)
     ramps = [_feather_ramp(int(n), feather_px) for n in tile_shape_px]
     chunk = np.asarray([chunk_z, chunk_px, chunk_px], int)
     n_chunks = -(-out_shape // chunk)
 
-    for cz in range(n_chunks[0]):
-        for cy in range(n_chunks[1]):
-            for cx in range(n_chunks[2]):
-                c_lo = np.asarray([cz, cy, cx]) * chunk
-                c_hi = np.minimum(c_lo + chunk, out_shape)
-                acc = np.zeros(c_hi - c_lo, np.float32)
-                wacc = np.zeros(c_hi - c_lo, np.float32)
-                for t, start in enumerate(tile_starts_px):
-                    t_lo = np.maximum(c_lo, start)
-                    t_hi = np.minimum(c_hi, start + tile_shape_px)
-                    if np.any(t_hi <= t_lo):
-                        continue
-                    img = tile_cache.get(t)
-                    if img is None:
-                        continue
-                    win = tuple(
-                        slice(int(t_lo[ax] - start[ax]), int(t_hi[ax] - start[ax]))
+    # chunk writes drain behind the accumulation of the next chunk
+    # (write-behind, bounded at 2 pending chunk buffers)
+    writer = BoundedWriter(depth=2)
+
+    try:
+        for cz in range(n_chunks[0]):
+            for cy in range(n_chunks[1]):
+                for cx in range(n_chunks[2]):
+                    c_lo = np.asarray([cz, cy, cx]) * chunk
+                    c_hi = np.minimum(c_lo + chunk, out_shape)
+                    acc = np.zeros(c_hi - c_lo, np.float32)
+                    wacc = np.zeros(c_hi - c_lo, np.float32)
+                    for t, start in enumerate(tile_starts_px):
+                        t_lo = np.maximum(c_lo, start)
+                        t_hi = np.minimum(c_hi, start + tile_shape_px)
+                        if np.any(t_hi <= t_lo):
+                            continue
+                        img = tile_cache.get(t)
+                        if img is None:
+                            continue
+                        win = tuple(
+                            slice(int(t_lo[ax] - start[ax]), int(t_hi[ax] - start[ax]))
+                            for ax in range(3)
+                        )
+                        dst = tuple(
+                            slice(int(t_lo[ax] - c_lo[ax]), int(t_hi[ax] - c_lo[ax]))
+                            for ax in range(3)
+                        )
+                        w = (
+                            ramps[0][win[0]][:, None, None]
+                            * ramps[1][win[1]][None, :, None]
+                            * ramps[2][win[2]][None, None, :]
+                        )
+                        acc[dst] += img[win] * w
+                        wacc[dst] += w
+                    fused = np.clip(acc / np.maximum(wacc, 1e-9), 0, 65535).astype(
+                        np.uint16
+                    )
+                    dst_global = tuple(
+                        slice(int(out_offset[ax] + c_lo[ax]), int(out_offset[ax] + c_hi[ax]))
                         for ax in range(3)
                     )
-                    dst = tuple(
-                        slice(int(t_lo[ax] - c_lo[ax]), int(t_hi[ax] - c_lo[ax]))
-                        for ax in range(3)
+                    writer.submit(
+                        out_array.__setitem__, dst_global, fused
                     )
-                    w = (
-                        ramps[0][win[0]][:, None, None]
-                        * ramps[1][win[1]][None, :, None]
-                        * ramps[2][win[2]][None, None, :]
-                    )
-                    acc[dst] += img[win] * w
-                    wacc[dst] += w
-                fused = np.clip(acc / np.maximum(wacc, 1e-9), 0, 65535).astype(
-                    np.uint16
-                )
-                dst_global = tuple(
-                    slice(int(out_offset[ax] + c_lo[ax]), int(out_offset[ax] + c_hi[ax]))
-                    for ax in range(3)
-                )
-                out_array[dst_global] = fused
-                if max_projection is not None:
-                    mp_win = (dst_global[1], dst_global[2])
-                    np.maximum(
-                        max_projection[mp_win],
-                        np.max(fused, axis=0),
-                        out=max_projection[mp_win],
-                    )
+                    if max_projection is not None:
+                        mp_win = (dst_global[1], dst_global[2])
+                        np.maximum(
+                            max_projection[mp_win],
+                            np.max(fused, axis=0),
+                            out=max_projection[mp_win],
+                        )
+    finally:
+        writer.__exit__(None, None, None)
 
 
 def _global_layout(ds, n_tiles, spacing):
