@@ -64,10 +64,12 @@ def next_smooth_fft_size(x: int) -> int:
     XLA FFT path: 2,3-smooth cover (:func:`_next_23_smooth`). Matmul FFT
     path: small axes round to a multiple of 8 (sublane-friendly dense
     MXU matmul); large axes prefer the smallest n1·128 length the fused
-    single-pass Pallas kernels accept (`ops/pfft.py`) when it is within
-    ~15% of the 2,3-smooth cover — one HBM sweep per axis beats a
-    slightly smaller volume at 2-3 sweeps — otherwise the cheapest
-    balanced composite in [x, cover].
+    single-pass Pallas kernels accept (`ops/pfft.py`) whenever it does
+    not exceed BOTH the 2,3-smooth cover and ~1.15·x — one HBM sweep per
+    axis beats a slightly smaller volume at 2-3 sweeps, so a lane length
+    at or below the cover always wins, and one up to 15% past the
+    request still wins when the cover is smaller — otherwise the
+    cheapest balanced composite in [x, cover].
     """
     if x <= 1:
         return 1
@@ -323,13 +325,3 @@ def fft_conv_full(image: jnp.ndarray, H_pair) -> jnp.ndarray:
     real inputs."""
     yr, _yi = fft_conv_spec(image, None, H_pair, real_output=True)
     return yr.astype(jnp.float32)
-
-
-@partial(jax.jit, static_argnames=("image_shape",))
-def psf_otfs(psf: jnp.ndarray, image_shape: tuple[int, int, int]):
-    """Precompute (otf, conj(otf), otf*conj(otf)) for the padded image shape
-    (reference `rlgc.py:593-595`)."""
-    padded_psf = pad_psf(psf, image_shape)
-    otf = jnp.fft.rfftn(padded_psf)
-    otf_t = jnp.conj(otf)
-    return otf, otf_t, otf * otf_t

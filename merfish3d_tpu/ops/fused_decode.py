@@ -256,7 +256,7 @@ def fused_lowpass_decode(
     *,
     sigma=(3.0, 1.0, 1.0),
     magnitude_threshold=(1.5, 10.0),
-    distance_threshold: float = 0.5176,
+    distance_threshold: float = 0.5172,  # match decode_planes' default
     tile_y: int = 8,   # pass-1 y block (scan window carries the halo)
     tile_z3: int = 1,  # pass-2 z block
     tile_y3: int = 16, # pass-2 y block (>=16: int16/bf16 sublane tiling)
@@ -461,8 +461,18 @@ def fused_decode_volume(
         magnitude_threshold=tuple(magnitude_threshold),
         distance_threshold=float(distance_threshold),
     )
-    # working set ≈ input + intermediate + bf16 outputs ≈ 3.5x volume
-    if 4 * vol.nbytes <= hbm_budget_bytes:
+    # Working set ≈ input + padded intermediate + padded zy_out + bf16
+    # outputs. The intermediates are PADDED (bits→multiple of 8, nx→128
+    # lanes, ny→block lcm), so a 9-bit codebook inflates them 16/9 even
+    # when the input volume itself fits — gate on the padded estimate,
+    # not raw nbytes (review r3: 4x raw passed shapes that OOM'd padded).
+    bits_p_est = max(8, -(-bits // 8) * 8)
+    inflation = (
+        (bits_p_est / bits)
+        * ((-(-nx // 128) * 128) / nx)
+        * ((ny + 64) / ny)  # conservative y block-lcm allowance
+    )
+    if (1 + 3.0 * inflation) * vol.nbytes <= hbm_budget_bytes:
         d, m, di, s = fused_lowpass_decode(jnp.asarray(vol), cb_t, bg, norm, **kw)
         if scaled_as == "gather":
             d_host = np.asarray(d)

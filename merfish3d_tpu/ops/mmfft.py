@@ -411,7 +411,8 @@ def fftn_pair_s(xr: jnp.ndarray, xi=None, axes=None):
     if xi is not None:
         xi = xi.astype(jnp.float32)
     nd = xr.ndim
-    if axes is not None and tuple(axes) != tuple(range(nd)):
+    axes = tuple(axes) if axes is not None else None  # may be a one-shot iterable
+    if axes is not None and axes != tuple(range(nd)):
         for ax in axes:
             xr, xi = _einsum_axis_fwd(xr, xi, ax)
         return xr, xi
@@ -476,9 +477,12 @@ def ifftn_pair_s(xr: jnp.ndarray, xi, axes=None, real_output: bool = False):
     xr = xr.astype(jnp.float32)
     xi = xi.astype(jnp.float32) if xi is not None else None
     nd = xr.ndim
-    if axes is not None and tuple(axes) != tuple(range(nd)):
-        for ax in axes:
-            xr, xi = _einsum_axis_inv(xr, xi, ax)
+    axes = tuple(axes) if axes is not None else None  # may be a one-shot iterable
+    if axes is not None and axes != tuple(range(nd)):
+        for pos, ax in enumerate(axes):
+            xr, xi = _einsum_axis_inv(
+                xr, xi, ax, real_output=real_output and pos == len(axes) - 1
+            )
         return xr, xi
     if nd == 3 and use_pfft():
         from . import pfft

@@ -106,3 +106,28 @@ def test_spectrum_freqs_matches_impl_order(monkeypatch):
             spec = np.fft.fft(x)
         expect = np.exp(-2j * np.pi * freqs * d)
         np.testing.assert_allclose(spec, expect, atol=1e-4)
+
+
+def test_pair_s_one_shot_axes_iterable():
+    """A generator/iterator passed as ``axes`` must transform the listed
+    axes (review r3: ``tuple(axes)`` exhausted the iterable, silently
+    returning the input untransformed)."""
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(4, 32)).astype(np.float32)
+    fr_t, fi_t = mmfft.fftn_pair_s(jnp.asarray(x), axes=(1,))
+    fr_g, fi_g = mmfft.fftn_pair_s(jnp.asarray(x), axes=iter((1,)))
+    np.testing.assert_allclose(np.asarray(fr_g), np.asarray(fr_t), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fi_g), np.asarray(fi_t), atol=1e-5)
+    yr, yi = mmfft.ifftn_pair_s(fr_g, fi_g, axes=iter((1,)))
+    np.testing.assert_allclose(np.asarray(yr), x, atol=1e-4)
+
+
+def test_ifftn_pair_s_explicit_axes_real_output():
+    """real_output must drop the imaginary channel on the LAST explicit
+    axis too (review r3: the explicit-axes branch ignored the flag)."""
+    rng = np.random.default_rng(10)
+    x = rng.normal(size=(8, 16)).astype(np.float32)
+    fr, fi = mmfft.fftn_pair_s(jnp.asarray(x))
+    yr, yi = mmfft.ifftn_pair_s(fr, fi, axes=(1, 0), real_output=True)
+    assert yi is None
+    np.testing.assert_allclose(np.asarray(yr), x, atol=1e-4)
