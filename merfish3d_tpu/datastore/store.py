@@ -1046,7 +1046,7 @@ class qi2labDataStore:
         extra: Optional[Mapping[str, Any]] = None,
     ) -> None:
         """float32 ``(3, z, y, x)`` flow map, channels X,Y,Z, values in
-        reference px; metadata per `docs/datastore.md:176-209` and
+        reference px; metadata per `docs/datastore.md:46-51` and
         `qi2labDataStore.py:4307-4463`. Round-trip must be exact (float32)."""
         d = self._fiducial_dir(tile, round)
         attrs = {

@@ -21,7 +21,7 @@ residual deformable flow field is estimated as
    re-estimate, and compose the fields on the same lattice
    (`_compose_flow_fields_same_grid:151-214`).
 
-Output convention matches the datastore contract (docs/datastore.md:176-209):
+Output convention matches the datastore contract (docs/datastore.md:46-51):
 shape ``(3, fz, fy, fx)``, channels X, Y, Z, values = displacement in
 reference px (ref coordinate + flow = coordinate in the affine-initialized
 moving image), lattice origin at the patch centers.
@@ -225,6 +225,11 @@ def _patch_xcorr_flow(
         second = jnp.max(jnp.where(neigh, -jnp.inf, corr_m))
         ratio = best / jnp.maximum(second, 1e-12)
         ratio = jnp.where(second <= 0, jnp.inf, ratio)
+        # degenerate tiny patch: the exclusion neighborhood covers the
+        # whole patch (second = -inf over an all-masked array) — there is
+        # no evidence the peak is distinct, so REJECT rather than pass
+        # an inf ratio (review r3)
+        ratio = jnp.where(jnp.isneginf(second), 0.0, ratio)
         ratio = jnp.where(masked_frac > max_masked, 0.0, ratio)
 
         # peak sharpness: best / mean correlation magnitude in the
@@ -235,6 +240,9 @@ def _patch_xcorr_flow(
         sharpness = best / jnp.maximum(
             ring_sum / jnp.maximum(ring_cnt, 1.0), 1e-12
         )
+        # empty ring (patch ≤ exclusion neighborhood): no sharpness
+        # evidence either — reject (same rationale as the ratio gate)
+        sharpness = jnp.where(ring_cnt == 0, 0.0, sharpness)
 
         # 3-point parabolic subpixel refinement per axis
         sub = []
@@ -317,7 +325,11 @@ def _relax_field(
                 ok = ok[..., None].astype(jnp.float32)
                 total = total + jnp.where(ok > 0, shifted, 0.0)
                 count = count + ok[..., :1]
-        return total / jnp.maximum(count, 1.0)
+        # a site with NO neighbors (1x1x1 lattice) has no smoothness
+        # evidence: pulling it toward an artificial zero would shrink a
+        # valid measurement by smoothness/(1+smoothness) (review r3) —
+        # use the site's own value (pure data term) instead
+        return jnp.where(count > 0, total / jnp.maximum(count, 1.0), f)
 
     def cond(carry):
         f, delta, it = carry
@@ -411,6 +423,7 @@ def estimate_sofima_flow_field_xyz_px(
         moving_shape_zyx_px=[int(v) for v in moving.shape],
     )
 
+    best_valid_count = 0
     for iteration in range(max(1, cfg.residual_iterations)):
         flow_zyx, ratios, sharps = _patch_xcorr_flow(
             ref_j,
@@ -428,6 +441,10 @@ def estimate_sofima_flow_field_xyz_px(
         sharps = np.asarray(sharps)
         valid = _clean_flow(flow_zyx, ratios, sharps, cfg)
         valid_count = int(valid.sum())
+        # status reflects the BEST pass: a productive first pass whose
+        # residual re-estimate converges to zero fresh vectors is a
+        # success, not "no_valid_vectors" (review r3)
+        best_valid_count = max(best_valid_count, valid_count)
         if valid_count == 0:
             break
         med = np.median(flow_zyx[valid], axis=0)
@@ -497,6 +514,6 @@ def estimate_sofima_flow_field_xyz_px(
                 )
 
     meta = dict(meta_common)
-    meta["sofima_status"] = "ok" if valid_count else "no_valid_vectors"
-    meta["valid_flow_vectors"] = valid_count
+    meta["sofima_status"] = "ok" if best_valid_count else "no_valid_vectors"
+    meta["valid_flow_vectors"] = best_valid_count
     return total_xyz.astype(np.float32), meta

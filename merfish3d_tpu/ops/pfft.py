@@ -194,6 +194,12 @@ def dft_trailing(xr, xi, *, inverse=False, real_output=False):
     grid = (rows // tb,)
     spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     real_in = xi is None
+    if real_in and inverse:
+        # the inverse kernel has no real_in fast path and reads full xi
+        # blocks — a thin placeholder block mis-shapes the contraction
+        # (review r3); a zero imaginary channel is the correct input
+        xi = jnp.zeros_like(xr)
+        real_in = False
     if real_in:
         xi = jnp.zeros((8, n), jnp.float32)  # placeholder, never read
         xi_spec = pl.BlockSpec((8, n), lambda i: (0, 0),
@@ -688,6 +694,11 @@ def dft_zx(xr, xi, *, inverse=False, real_output=False):
     spec = pl.BlockSpec((nz, _ZX_TY, nx), lambda j: (0, j, 0),
                         memory_space=pltpu.VMEM)
     real_in = xi is None
+    if real_in and inverse:
+        # inverse stages read full xi blocks (see dft_trailing) — feed a
+        # real zero imaginary channel instead of the thin placeholder
+        xi = jnp.zeros_like(xr)
+        real_in = False
     if real_in:
         xi = jnp.zeros((8, 8, nx), jnp.float32)  # placeholder, never read
         xi_spec = pl.BlockSpec((8, 8, nx), lambda j: (0, 0, 0),
@@ -722,7 +733,13 @@ def axis_supported(shape, axis: int) -> bool:
     n = shape[axis]
     axis = axis % 3
     if axis == 0:
-        return supported_dense_axis(n) and shape[2] % _LANE == 0
+        # ny must tile the row blocks (min 8) or the grid silently drops
+        # the tail rows (review r3) — ragged ny falls back to einsum
+        return (
+            supported_dense_axis(n)
+            and shape[2] % _LANE == 0
+            and shape[1] % 8 == 0
+        )
     if axis == 1:
         return supported_ct_axis(n) and shape[2] % _LANE == 0
     return supported_ct_axis(n) and (shape[0] * shape[1]) % 8 == 0

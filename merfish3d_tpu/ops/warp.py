@@ -419,7 +419,7 @@ def warp_affine_plus_flow(
 ) -> np.ndarray:
     """Composed affine + SOFIMA-flow warp with a single resample of the
     native moving image. ``flow_xyz`` is ``(3, fz, fy, fx)`` with channels
-    X, Y, Z and values in reference px (docs/datastore.md:176-209).
+    X, Y, Z and values in reference px (docs/datastore.md:46-51).
 
     ``method``: ``'auto'`` routes diagonal pixel affines (the production
     decode-warp case: round translation ∘ chromatic per-axis scale) to

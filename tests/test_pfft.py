@@ -182,3 +182,32 @@ def test_full_conv_through_pfft_dispatch(vol, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(yr), ref, atol=3e-3 * np.abs(ref).max()
     )
+
+
+def test_axis0_rejects_ragged_ny():
+    """axis_supported(…, 0) must require ny % 8 == 0: the leading-axis
+    grid tiles y in blocks of >= 8 rows, and a non-dividing ny silently
+    dropped the tail rows (review r3)."""
+    from merfish3d_tpu.ops import pfft
+
+    assert not pfft.axis_supported((48, 100, 256), 0)
+    assert pfft.axis_supported((48, 96, 256), 0)
+
+
+def test_inverse_with_real_input_pair():
+    """dft_trailing/dft_zx accept xi=None with inverse=True (review r3:
+    the thin forward placeholder mis-shaped the inverse contraction)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from merfish3d_tpu.ops import pfft
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(16, 256)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        fr, fi = pfft.dft_trailing(jnp.asarray(x), None)
+        yr, _ = pfft.dft_trailing(fr, None, inverse=True)
+        # inverse of (real part of spectrum) = even part of x
+        x_rev = np.concatenate([x[:, :1], x[:, :0:-1]], axis=1)
+        np.testing.assert_allclose(
+            np.asarray(yr), 0.5 * (x + x_rev), atol=1e-3
+        )
