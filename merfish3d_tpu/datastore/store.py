@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import gzip
 import json
+import os
 import re
 import shutil
 from pathlib import Path
@@ -30,21 +31,11 @@ from . import zarrio
 
 ArrayLike = Union[np.ndarray, Sequence]
 
-_ID_RE = re.compile(r"^(tile|round|bit)(\d+)$")
-
-
 def _maybe_float(value):
     try:
         return float(value)
     except (TypeError, ValueError):
         return None
-
-
-def _strict_id_sort_key(name: str) -> tuple[str, int]:
-    m = _ID_RE.match(name)
-    if not m:
-        raise ValueError(f"Invalid datastore id: {name!r}")
-    return (m.group(1), int(m.group(2)))
 
 
 _STATE_KEYS = (
@@ -135,8 +126,14 @@ class qi2labDataStore:
         self._save_calibration_attrs({})
 
     def _write_state(self) -> None:
-        with (self._datastore_path / "datastore_state.json").open("w") as fh:
+        # write-temp-then-rename: the state file is the durable
+        # checkpoint gate every reopen parses BEFORE validation — a kill
+        # mid-dump must never leave a truncated JSON (review r3)
+        target = self._datastore_path / "datastore_state.json"
+        tmp = target.with_suffix(".json.tmp")
+        with tmp.open("w") as fh:
             json.dump(self._datastore_state, fh, indent=2)
+        os.replace(tmp, target)
 
     @property
     def datastore_state(self) -> dict:
@@ -162,8 +159,11 @@ class qi2labDataStore:
         entity_dir.mkdir(parents=True, exist_ok=True)
         attrs = self._load_attrs(entity_dir)
         attrs.update(zarrio._json_safe(dict(updates)))
-        with self._attrs_path(entity_dir).open("w", encoding="utf-8") as fh:
+        target = self._attrs_path(entity_dir)
+        tmp = target.with_suffix(".json.tmp")
+        with tmp.open("w", encoding="utf-8") as fh:
             json.dump(attrs, fh, indent=2)
+        os.replace(tmp, target)  # atomic: no truncated sidecars on kill
 
     def _load_entity_attributes(self, entity_dir: Path, image_name: str | None = None) -> dict:
         """Sidecar attrs merged with per-image extra attrs
@@ -385,15 +385,23 @@ class qi2labDataStore:
             ).exists():
                 raise FileNotFoundError("Cellpose cell outlines missing.")
 
+        # decode outputs may be namespaced under a decode_run_key
+        # subdirectory; at open time the key is not yet known, so accept
+        # the root layout OR any keyed run that wrote the file
+        # (review r3: a keyed decode made the store unopenable)
         if state.get("DecodedSpots", False):
             for tid in tile_ids:
-                p = self._decoded_run_root() / (tid + "_decoded_features.parquet")
-                if not p.exists():
+                name = tid + "_decoded_features.parquet"
+                if not (self._decoded_path / name).exists() and not any(
+                    self._decoded_path.glob(f"*/{name}")
+                ):
                     raise FileNotFoundError(f"{tid}: decoded spots missing")
 
         if state.get("FilteredSpots", False):
-            p = self._filtered_path / "decoded_features.parquet"
-            if not p.exists():
+            name = "decoded_features.parquet"
+            if not (self._filtered_path / name).exists() and not any(
+                self._filtered_path.glob(f"*/{name}")
+            ):
                 raise FileNotFoundError("filtered decoded spots missing")
 
     # ------------------------------------------------------------------- IDs

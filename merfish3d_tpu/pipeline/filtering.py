@@ -152,8 +152,14 @@ def filter_blank_fraction(
                 flat = np.ravel_multi_index(tuple(idx.T), shape)
                 bf = np.full(len(out), np.nan)
                 bf[in_range] = bf_hist.ravel()[flat]
+                # clip BOTH ends: a NaN/inf feature row (excluded by
+                # in_range) otherwise lands at bin == shape and
+                # ravel_multi_index raises on the whole column (review r3)
+                bins_safe = np.minimum(
+                    bins.clip(0), np.asarray(shape) - 1
+                )
                 out["blank_fraction_bin"] = np.where(
-                    in_range, np.ravel_multi_index(tuple(bins.clip(0).T), shape), -1
+                    in_range, np.ravel_multi_index(tuple(bins_safe.T), shape), -1
                 )
                 out["blank_fraction"] = bf
                 chosen, achieved, reached = np.nan, np.inf, False
@@ -244,7 +250,11 @@ def filter_lr(
     n_total = n_total_codewords or len(out)
     df_true = out[out["X"]][["X"] + features]
     df_false = out[~out["X"]][["X"] + features]
-    if len(df_false) <= 1:
+    # the regression needs both classes populated enough to survive the
+    # 10% test split — too few blanks OR too few coding rows both fall
+    # back to keep-everything (review r3: an all-blank table crashed
+    # LogisticRegression.fit with a single-class y)
+    if len(df_false) <= 1 or len(df_true) <= 1:
         filtered = out.copy()
         filtered["cell_id"] = -1
         return filtered.drop(columns=["X"]).reset_index(drop=True)
@@ -339,12 +349,22 @@ def remove_duplicates_in_tile_overlap(
     dist = df["distance_min"].to_numpy(dtype=float)
     tree = cKDTree(coords)
     drop = set()
-    for i, j in tree.query_pairs(radius_um):
-        if tiles[i] != tiles[j]:
-            if (dist[i], i) <= (dist[j], j):
-                drop.add(j)
-            else:
-                drop.add(i)
+    # resolve pairs best-first so a row is only ever dropped against a
+    # SURVIVING duplicate — greedy per-pair deletion in arbitrary order
+    # could drop c against an already-dead b in an a–b–c chain even when
+    # a–c are not duplicates (review r3)
+    pairs = [
+        (min((dist[i], i), (dist[j], j)), i, j)
+        for i, j in tree.query_pairs(radius_um)
+        if tiles[i] != tiles[j]
+    ]
+    for _, i, j in sorted(pairs):
+        if i in drop or j in drop:
+            continue
+        if (dist[i], i) <= (dist[j], j):
+            drop.add(j)
+        else:
+            drop.add(i)
     return df.drop(sorted(drop)).reset_index(drop=True)
 
 

@@ -69,6 +69,13 @@ def _load_fiducial(datastore, tile_idx) -> np.ndarray:
     img = datastore.load_local_registered_image(tile=tile_idx, round=0)
     if img is None:
         img = datastore.load_local_corrected_image(tile=tile_idx, round=0)
+    if img is None:
+        # np.asarray(None) would yield a 0-d NaN that crashes far
+        # downstream (review r3) — fail loudly at the source instead
+        raise FileNotFoundError(
+            f"tile {tile_idx}: no registered or corrected round-0 "
+            "fiducial image in the datastore (run preprocessing first)"
+        )
     return np.asarray(img, np.float32)
 
 
@@ -222,8 +229,18 @@ def global_register(datastore, *, config=None, fusion_config=None, verbose=1):
                     )
                 continue
             # if sub_j(x) = sub_i(x - δ) then push = -δ and tile j's stage
-            # origin overshoots by δ: correction_j - correction_i = push·s
-            measured_um = np.asarray(shift_px, np.float64) * spacing_binned
+            # origin overshoots by δ: correction_j - correction_i = push·s.
+            # The two crops were floored to their own pixel grids, so even
+            # at ZERO stage error the PCC measures push = -base_px, where
+            # base_px is the sub-pixel offset between the crops' global
+            # start positions — subtract that baseline or it is baked
+            # into every correction as fake stage error (review r3)
+            base_px = (origins[i] - origins[j]) / spacing_binned + (
+                np.asarray(lo_i, np.float64) - np.asarray(lo_j, np.float64)
+            )
+            measured_um = (
+                np.asarray(shift_px, np.float64) + base_px
+            ) * spacing_binned
             row_block = np.zeros((3, 3 * n_tiles))
             for ax in range(3):
                 row_block[ax, 3 * j + ax] = 1.0
@@ -245,7 +262,10 @@ def global_register(datastore, *, config=None, fusion_config=None, verbose=1):
     if rows:
         A = np.concatenate(rows, axis=0)
         b = np.concatenate(rhs, axis=0)
-        w = np.repeat(np.asarray(weights), 3)
+        # scale rows by sqrt(quality) so the LSQ objective is
+        # sum(qualityₖ · rₖ²) — scaling by quality itself would weight by
+        # quality² and nearly ignore low-quality pairs (review r3)
+        w = np.sqrt(np.repeat(np.asarray(weights), 3))
         # anchor tile 0
         A = A[:, 3:]
         sol, *_ = np.linalg.lstsq(A * w[:, None], b * w, rcond=None)
@@ -269,16 +289,6 @@ def global_register(datastore, *, config=None, fusion_config=None, verbose=1):
 def _feather_ramp(n: int, edge: int) -> np.ndarray:
     ramp = np.minimum(np.arange(n) + 1, np.arange(n)[::-1] + 1).astype(np.float32)
     return np.minimum(ramp / max(min(edge, n // 2), 1), 1.0)
-
-
-def _feather_weights(shape_px, edge: int = 64) -> np.ndarray:
-    """Linear edge feathering (reference fusion overlap 64 px)."""
-    w = np.ones(shape_px, np.float32)
-    for ax, n in enumerate(shape_px):
-        shape = [1, 1, 1]
-        shape[ax] = n
-        w = w * _feather_ramp(n, edge).reshape(shape)
-    return w
 
 
 # Tiny LRU of loaded (possibly warped) tiles keyed by tile index, so a

@@ -417,3 +417,37 @@ def test_parse_detects_missing_decoded_parquet(tmp_path):
     ds.datastore_state = state
     with pytest.raises(FileNotFoundError, match="decoded spots missing"):
         qi2labDataStore(ds.datastore_path)
+
+
+def test_keyed_decode_reopens_with_validation(store):
+    """Decode outputs written under a decode_run_key must satisfy
+    open-time validation (review r3: the DecodedSpots/FilteredSpots
+    checks looked only at the root layout, making a keyed store
+    unopenable with validate=True)."""
+    df = pd.DataFrame(
+        {"gene_id": ["geneA"], "global_x": [1.0], "global_y": [2.0],
+         "global_z": [3.0]}
+    )
+    store.decode_run_key = "runA"
+    for t in range(store.num_tiles):
+        store.save_local_decoded_spots(df, tile=t)
+    store.save_global_filtered_decoded_spots(df)
+    state = store.datastore_state
+    state.update({"DecodedSpots": True, "FilteredSpots": True})
+    store.datastore_state = state
+    reopened = qi2labDataStore(store.datastore_path)  # validate=True
+    assert reopened.datastore_state["FilteredSpots"] is True
+
+
+def test_state_write_is_atomic(store):
+    """datastore_state.json is written via temp+rename; no .tmp residue
+    and the file parses after every write."""
+    import json
+
+    state = store.datastore_state
+    state.update({"Calibrated": True})
+    store.datastore_state = state
+    root = store.datastore_path
+    assert not (root / "datastore_state.json.tmp").exists()
+    with (root / "datastore_state.json").open() as fh:
+        assert json.load(fh)["Calibrated"] is True

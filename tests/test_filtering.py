@@ -148,3 +148,48 @@ def test_assign_cells():
     }
     out = assign_cells(df, outlines)
     assert out["cell_id"].tolist() == [7, -1]
+
+
+def test_blank_fraction_tolerates_non_finite_feature_rows():
+    """A NaN/inf feature row must be excluded, not crash the whole stage
+    (review r3: ravel_multi_index raised on the unclipped upper bin)."""
+    df = _synthetic_barcodes(n_coding=200, n_blank=20)
+    df.loc[7, "distance_min"] = np.nan
+    df.loc[11, "magnitude_mean"] = np.inf
+    out = filter_blank_fraction(
+        df, n_blank_codewords=4, n_total_codewords=24, target_misid_rate=0.05
+    )
+    assert len(out) > 0
+    # the poisoned rows never pass the filter
+    assert 7 not in out.index or np.isfinite(out.loc[7, "distance_min"])
+
+
+def test_lr_filter_all_blank_falls_back():
+    """A table with <=1 coding transcript cannot train a 2-class LR —
+    fall back to keep-everything like the blank-starved path
+    (review r3: single-class y crashed LogisticRegression.fit)."""
+    df = _synthetic_barcodes(n_coding=1, n_blank=50)
+    out = filter_lr(df, target_misid_rate=0.05)
+    assert len(out) == len(df)
+
+
+def test_overlap_dedup_chain_keeps_non_duplicate():
+    """a–b and b–c within radius, a–c not: c must survive (review r3:
+    greedy pair order dropped c against the already-dead b)."""
+    base = dict(
+        gene_id="geneA", magnitude_mean=1.0, area=10,
+        signal_mean=1.0, **{"s-b_mean": 1.0},
+        **{f"inertia_tensor_eigvals-{i}": 1.0 for i in range(3)},
+        global_z=0.0, global_y=0.0,
+    )
+    df = pd.DataFrame(
+        [
+            {**base, "tile_idx": 0, "global_x": 0.0, "distance_min": 0.1},   # a
+            {**base, "tile_idx": 1, "global_x": 0.6, "distance_min": 0.2},   # b
+            {**base, "tile_idx": 0, "global_x": 1.2, "distance_min": 0.3},   # c
+        ]
+    )
+    out = remove_duplicates_in_tile_overlap(df, radius_um=0.75)
+    # b dropped against a; c survives (its only in-radius neighbor died)
+    assert len(out) == 2
+    assert set(out["distance_min"]) == {0.1, 0.3}
