@@ -16,6 +16,7 @@ Shift convention matches skimage: the returned "push" shift applied to
 
 from __future__ import annotations
 
+import itertools
 from functools import partial
 
 import jax
@@ -90,22 +91,31 @@ def _upsampled_dft(
     return shifts + (loc - dftshift) / up
 
 
+def _roll_with_validity(
+    moving: jnp.ndarray, shift: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Roll by the rounded shift and build the wrap-validity mask —
+    shared by the NCC and SSIM candidate scorers (one definition so the
+    validity predicate cannot drift between them)."""
+    ishift = jnp.round(shift).astype(jnp.int32)
+    rolled = moving
+    mask = jnp.ones(moving.shape, jnp.float32)
+    for ax in range(moving.ndim):
+        rolled = jnp.roll(rolled, ishift[ax], axis=ax)
+        n = moving.shape[ax]
+        pos = jax.lax.broadcasted_iota(jnp.int32, moving.shape, ax)
+        s = ishift[ax]
+        valid = jnp.where(s >= 0, pos >= s, pos < n + s)
+        mask = mask * valid.astype(jnp.float32)
+    return rolled, mask
+
+
 def _masked_ncc_for_shift(
     fixed: jnp.ndarray, moving: jnp.ndarray, shift: jnp.ndarray
 ) -> jnp.ndarray:
     """Normalized cross-correlation of the valid overlap after rolling
     ``moving`` by ``shift`` (static shapes: roll + validity mask)."""
-    ndim = fixed.ndim
-    ishift = jnp.round(shift).astype(jnp.int32)
-    rolled = moving
-    mask = jnp.ones(fixed.shape, jnp.float32)
-    for ax in range(ndim):
-        rolled = jnp.roll(rolled, ishift[ax], axis=ax)
-        n = fixed.shape[ax]
-        pos = jax.lax.broadcasted_iota(jnp.int32, fixed.shape, ax)
-        s = ishift[ax]
-        valid = jnp.where(s >= 0, pos >= s, pos < n + s)
-        mask = mask * valid.astype(jnp.float32)
+    rolled, mask = _roll_with_validity(moving, shift)
     w = jnp.maximum(jnp.sum(mask), 1.0)
     fm = jnp.sum(fixed * mask) / w
     mm = jnp.sum(rolled * mask) / w
@@ -147,7 +157,13 @@ def phase_cross_correlation(
                 alt.append(s)
             cands.append(jnp.stack(alt))
         cands = jnp.stack(cands)  # (2^d, d)
-        nccs = jax.vmap(lambda s: _masked_ncc_for_shift(fixed, moving, s))(cands)
+        # lax.map (sequential): the 2^d rolled volumes + masks must not
+        # coexist in HBM — a vmap here batches (2^d, z, y, x) buffers,
+        # >10 GB on production fiducial overlaps (review r3; same
+        # discipline as _score_candidates_batch below)
+        nccs = jax.lax.map(
+            lambda s: _masked_ncc_for_shift(fixed, moving, s), cands
+        )
         shift = cands[jnp.argmax(nccs)]
 
     if upsample_factor > 1:
@@ -227,17 +243,7 @@ def _rolled_candidate_score(
     SSIM is computed over the full frame — mirroring the reference plugin,
     which translates with NaN fill then scores ``nan_to_num`` images
     (`multiview_registration.py:766-817`)."""
-    ndim = fixed.ndim
-    ishift = jnp.round(shift).astype(jnp.int32)
-    rolled = moving
-    mask = jnp.ones(fixed.shape, jnp.float32)
-    for ax in range(ndim):
-        rolled = jnp.roll(rolled, ishift[ax], axis=ax)
-        n = fixed.shape[ax]
-        pos = jax.lax.broadcasted_iota(jnp.int32, fixed.shape, ax)
-        s = ishift[ax]
-        valid = jnp.where(s >= 0, pos >= s, pos < n + s)
-        mask = mask * valid.astype(jnp.float32)
+    rolled, mask = _roll_with_validity(moving, shift)
     rolled = rolled * mask
     frac = jnp.sum(mask) / float(np.prod(fixed.shape))
     if win >= 3:
@@ -254,31 +260,35 @@ def _rolled_candidate_score(
 @jax.jit
 def _dual_normalization_peaks(
     fixed: jnp.ndarray, moving: jnp.ndarray
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Integer correlation peaks under phase normalization and plain
     cross-correlation (the reference plugin tries both,
-    `multiview_registration.py:701-711`)."""
+    `multiview_registration.py:701-711`). Also returns the
+    phase-normalized cross-power pair so the subpixel refinement reuses
+    it instead of paying two more full-volume forward FFTs per tile pair."""
     F = fftn_spec(fixed.astype(jnp.float32))
     M = fftn_spec(moving.astype(jnp.float32))
     rr, ri = c_mul(F, c_conj(M))
     mag = jnp.maximum(jnp.sqrt(rr * rr + ri * ri), 1e-20)
-    pr, pi = ifftn_spec(rr / mag, ri / mag)
+    nr, ni = rr / mag, ri / mag
+    pr, pi = ifftn_spec(nr, ni)
     peak_phase = _integer_peak(jnp.sqrt(pr * pr + pi * pi))
     qr, qi = ifftn_spec(rr, ri)
     peak_plain = _integer_peak(jnp.sqrt(qr * qr + qi * qi))
-    return peak_phase, peak_plain
+    return peak_phase, peak_plain, nr, ni
 
 
 @partial(jax.jit, static_argnames=("upsample_factor",))
 def _refine_subpixel(
-    fixed: jnp.ndarray,
-    moving: jnp.ndarray,
+    rr: jnp.ndarray,
+    ri: jnp.ndarray,
     shift: jnp.ndarray,
     *,
     upsample_factor: int,
 ) -> jnp.ndarray:
-    R = _cross_power_spectrum(fixed, moving)
-    return _upsampled_dft(R, shift, upsample_factor)
+    """Upsampled-DFT refinement from a precomputed phase-normalized
+    cross-power pair (the caller already built it for peak finding)."""
+    return _upsampled_dft((rr, ri), shift, upsample_factor)
 
 
 def _spearman(a: np.ndarray, b: np.ndarray) -> float:
@@ -306,8 +316,9 @@ def register_translation_with_quality(
     (`multiview_registration.py:624-832`).
 
     Candidate set: integer peaks from both the phase-normalized and plain
-    cross-power spectra, each expanded per axis into
-    {+s, -s, -(s-size), -s-size} (4 options when s != 0). Each candidate is
+    cross-power spectra, each expanded per axis into the wrap aliases
+    {s, s±size} and their sign flips, filtered to range (≤4 live options
+    per axis when s != 0). Each candidate is
     scored by SSIM of the fixed image vs the rolled/masked moving image;
     the winner's quality is the Spearman correlation over the valid overlap.
 
@@ -326,15 +337,20 @@ def register_translation_with_quality(
     ndim = fixed.ndim
     shape = np.asarray(fixed.shape, np.float64)
 
-    peak_phase, peak_plain = _dual_normalization_peaks(fixed, moving)
+    peak_phase, peak_plain, cross_rr, cross_ri = _dual_normalization_peaks(
+        fixed, moving
+    )
     base_shifts = [np.asarray(peak_phase), np.asarray(peak_plain)]
 
-    # 4^d expansion in PUSH convention: {s, s-size} are the two aliases of
-    # the measured wrap-around peak, {-s, size-s} their sign flips (the
-    # reference enumerates the same four in the PULL convention of
-    # `affine_transform`, `multiview_registration.py:735-751` —
-    # translating its literals without flipping sign drops the true wrap
-    # candidate and made shifts beyond half the overlap unrecoverable)
+    # Wrap-alias expansion in PUSH convention: {s, s-size, s+size} are
+    # the aliases of the measured wrap-around peak (whichever lands in
+    # range — BOTH signs of s need an alias, review r3: with s < 0 the
+    # true positive shift is s+size and listing only s-size made shifts
+    # beyond half the overlap unrecoverable in one direction), plus the
+    # sign flips {-s, size-s, -s-size}. Out-of-range options filter out,
+    # leaving ≤4 live options per axis (the reference enumerates the
+    # same set in the PULL convention of `affine_transform`,
+    # `multiview_registration.py:735-751`).
     max_shift = float(max(fixed.shape))
     candidates: list[tuple[float, ...]] = []
     seen = set()
@@ -346,10 +362,9 @@ def register_translation_with_quality(
                 opts_per_axis.append([0.0])
             else:
                 opts_per_axis.append(
-                    [s, s - shape[d], -s, shape[d] - s]
+                    [s, s - shape[d], s + shape[d],
+                     -s, shape[d] - s, -s - shape[d]]
                 )
-        import itertools
-
         for combo in itertools.product(*opts_per_axis):
             if max(abs(c) for c in combo) >= max_shift:
                 continue
@@ -382,6 +397,13 @@ def register_translation_with_quality(
     scores_np = np.asarray(scores_j)[:k]
     fracs_np = np.asarray(fracs_j)[:k]
     scores_np = np.where(fracs_np >= 0.1, scores_np, -1.0)
+    if not (scores_np > -1.0).any():
+        # NO candidate has a usable overlap — the pair is unregistrable
+        # (wrong adjacency metadata, blank tile). Returning an arbitrary
+        # argmax-0 candidate with a tiny-overlap Spearman let garbage
+        # through the quality gate (review r3); NaN quality marks the
+        # pair unusable like the reference does.
+        return np.zeros(ndim, np.float32), float("nan")
     best_idx = int(np.argmax(scores_np))
 
     winner = np.asarray(candidates[best_idx], np.float64)
@@ -398,11 +420,12 @@ def register_translation_with_quality(
             np.asarray(fixed)[ov], np.asarray(rolled)[ov]
         )
 
-    # subpixel refinement around the winner on the phase-normalized spectrum
+    # subpixel refinement around the winner on the phase-normalized
+    # spectrum (reused from peak finding — no extra forward FFTs)
     if upsample_factor > 1:
         refined = _refine_subpixel(
-            fixed,
-            moving,
+            cross_rr,
+            cross_ri,
             jnp.asarray(
                 np.round(winner * upsample_factor) / upsample_factor, jnp.float32
             ),

@@ -499,12 +499,20 @@ def auto_crop_yx(
     (`rlgc.py:1152-1171` catches GPU OOM and reduces ``crop_yx`` by 128):
     XLA memory planning is static, so the tile size is chosen up front
     from the padded-FFT working-set size instead of reactively.
+
+    The budgeted extent per lateral axis is crop + 2·PSF-support — the
+    discarded halo `chunked_rlgc` adds around each retained tile. There
+    is no runtime OOM fallback, so the budget must hold for the tile
+    actually solved, not just the retained region (review r3).
     """
     nz = int(image_shape[0])
     pz = nz + sum(axis_linear_fft_padding(nz, psf_shape[0]))
+    halo_y, halo_x = 2 * int(psf_shape[1]), 2 * int(psf_shape[2])
     for crop in (4096, 3072, 2048, 1536, 1280, 1024, 768, 512, 384, 256):
-        py = crop + sum(axis_linear_fft_padding(crop, psf_shape[1]))
-        px = crop + sum(axis_linear_fft_padding(crop, psf_shape[2]))
+        ey = crop + halo_y
+        ex = crop + halo_x
+        py = ey + sum(axis_linear_fft_padding(ey, psf_shape[1]))
+        px = ex + sum(axis_linear_fft_padding(ex, psf_shape[2]))
         if pz * py * px <= budget_padded_voxels:
             return crop
     return 256

@@ -504,10 +504,18 @@ def _affine_flow_warp_core_batch(
     )(images, flows_xyz, matrices_px, offsets_px, strides_zyx, box_starts_zyx)
 
 
-def _sub_batches(n_items: int, item_bytes: int, hbm_budget_bytes: int):
+def _sub_batches(
+    n_items: int, item_bytes: int, hbm_budget_bytes: int,
+    live_per_item: int = 3,
+):
     """Yield (start, stop) covering range(n_items) with ≤budget live bytes
-    per dispatch (~3x item: input + output + gather scratch)."""
-    max_b = max(1, int(hbm_budget_bytes // max(1, 3 * item_bytes)))
+    per dispatch. ``live_per_item`` is the number of item-sized buffers
+    the vmapped path keeps resident simultaneously: ~3 for the gather
+    warps (input + output + scratch), ~6 for the separable flow path
+    (input, output accumulator, upsampled flow channel, shift field,
+    rolled temp, blend — review r3: sizing the flow path at 3x admitted
+    batches ~1.7x over budget)."""
+    max_b = max(1, int(hbm_budget_bytes // max(1, live_per_item * item_bytes)))
     for s in range(0, n_items, max_b):
         yield s, min(n_items, s + max_b)
 
@@ -549,7 +557,12 @@ def warp_affine_batch(
     for idx, kind in classes:
         if idx.size == 0:
             continue
-        for s, e in _sub_batches(idx.size, item_bytes, hbm_budget_bytes):
+        # roll-blend classes keep more item-sized buffers live than the
+        # gather path (rolled copies per axis + blend accumulator)
+        live = 3 if kind == "general" else 5
+        for s, e in _sub_batches(
+            idx.size, item_bytes, hbm_budget_bytes, live_per_item=live
+        ):
             sel = idx[s:e]
             imgs = jnp.asarray(images[sel])
             if kind == "translate":
@@ -616,7 +629,9 @@ def warp_affine_plus_flow_batch(
                 out_shape=images.shape[1:],
             )
         )
-        for s, e in _sub_batches(n, images[0].nbytes, hbm_budget_bytes):
+        for s, e in _sub_batches(
+            n, images[0].nbytes, hbm_budget_bytes, live_per_item=6
+        ):
             out[s:e] = np.asarray(
                 core(
                     jnp.asarray(images[s:e]),

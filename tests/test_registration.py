@@ -395,3 +395,48 @@ def test_separable_flow_warp_rejects_rotation():
         warp_affine_plus_flow(vol, flow, method="separable", **kwargs)
     out = warp_affine_plus_flow(vol, flow, **kwargs)  # auto → gather
     assert out.shape == vol.shape and np.isfinite(out).all()
+
+
+def test_large_positive_shift_recovered():
+    """Shifts beyond half the axis size must be recoverable in BOTH
+    directions (review r3: the wrap-alias expansion listed s-size but not
+    s+size, so a negative measured peak hid a true large positive shift)."""
+    import jax.numpy as jnp
+
+    from merfish3d_tpu.ops.phase_corr import register_translation_with_quality
+
+    rng = np.random.default_rng(7)
+    scene = rng.normal(size=(300, 300)).astype(np.float32)
+    n = 96
+    for true_push in ((60, 0), (-60, 0), (0, 60), (58, -30)):
+        # NON-periodic content: fixed and moving are two windows of one
+        # scene (a np.roll pair is perfectly periodic, making s and
+        # s-size genuinely indistinguishable)
+        fy, fx = 120, 120
+        fixed = scene[fy : fy + n, fx : fx + n]
+        # push rolls moving onto fixed: moving window starts at f + push
+        moving = scene[fy + true_push[0] : fy + true_push[0] + n,
+                       fx + true_push[1] : fx + true_push[1] + n]
+        est, quality = register_translation_with_quality(
+            jnp.asarray(fixed), jnp.asarray(moving), upsample_factor=2
+        )
+        np.testing.assert_allclose(est, true_push, atol=0.5)
+        assert quality > 0.9
+
+
+def test_no_overlap_pair_flagged_unusable():
+    """When no candidate has usable overlap the pair must return NaN
+    quality, not an arbitrary refined shift (review r3)."""
+    import jax.numpy as jnp
+
+    from merfish3d_tpu.ops.phase_corr import register_translation_with_quality
+
+    rng = np.random.default_rng(8)
+    a = np.zeros((64, 64), np.float32)
+    b = rng.normal(size=(64, 64)).astype(np.float32)
+    # constant fixed image: every SSIM/NCC candidate score is forced out;
+    # quality must come back non-finite so stitching drops the pair
+    _est, quality = register_translation_with_quality(
+        jnp.asarray(a), jnp.asarray(b), upsample_factor=2
+    )
+    assert not np.isfinite(quality) or quality < 0.2
