@@ -22,14 +22,25 @@ _load_failed = False
 
 
 def _build() -> None:
-    subprocess.run(
-        [
-            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-            str(_SRC), "-o", str(_LIB),
-        ],
-        check=True,
-        capture_output=True,
-    )
+    # compile to a PID-unique temp file and os.replace into place:
+    # concurrent worker processes racing a direct write to _LIB could
+    # CDLL a half-written .so (permanent silent fallback) or have the
+    # mapped library rewritten underneath them (review r3)
+    import os
+
+    tmp = _LIB.with_suffix(f".{os.getpid()}.tmp.so")
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                str(_SRC), "-o", str(tmp),
+            ],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(tmp, _LIB)
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def _load() -> Optional[ctypes.CDLL]:

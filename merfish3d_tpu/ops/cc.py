@@ -119,10 +119,19 @@ def component_stats(
     # searchsorted (jnp.unique pads at the END); background (-1) sorts first
     uniq = jnp.unique(flat_labels, size=capacity + 1, fill_value=_SENTINEL)
     dense = jnp.searchsorted(uniq, flat_labels).astype(jnp.int32)
+    # overflow guard: with more unique labels than capacity, jnp.unique
+    # truncates and searchsorted would map the DROPPED labels into other
+    # components' slots, silently corrupting their stats (review r3).
+    # Voxels whose label is not actually present in uniq route to a
+    # dedicated overflow segment past every returned slot.
+    dense_clamped = jnp.minimum(dense, capacity)
+    dense = jnp.where(
+        uniq[dense_clamped] == flat_labels, dense_clamped, capacity + 1
+    ).astype(jnp.int32)
     valid_slot = (uniq >= 0) & (uniq < _SENTINEL)
 
     ones = jnp.ones_like(flat_labels, jnp.float32)
-    num = capacity + 1
+    num = capacity + 2  # + the overflow segment (sliced off below)
     seg_sum = lambda v: jax.ops.segment_sum(v, dense, num_segments=num)
     seg_min = lambda v: jax.ops.segment_min(v, dense, num_segments=num)
 
@@ -166,17 +175,20 @@ def component_stats(
     m_zx = seg_sum(zz * xx) / safe_area - cz * cx
     m_yx = seg_sum(yy * xx) / safe_area - cy * cx
 
+    n_out = capacity + 1  # drop the overflow segment
     return {
         "valid": valid_slot,
-        "area": area,
-        "centroid_zyx": jnp.stack([cz, cy, cx], axis=1),
-        "codeword": codeword,
-        "distance_min": dist_min,
-        "magnitude_mean": mag_mean,
-        "bit_means": bit_means,
-        "bit_sums": bit_sums,
-        "bit_w_coord_sums": bit_w_coord_sums,
-        "moments": jnp.stack([m_zz, m_yy, m_xx, m_zy, m_zx, m_yx], axis=1),
+        "area": area[:n_out],
+        "centroid_zyx": jnp.stack([cz, cy, cx], axis=1)[:n_out],
+        "codeword": codeword[:n_out],
+        "distance_min": dist_min[:n_out],
+        "magnitude_mean": mag_mean[:n_out],
+        "bit_means": bit_means[:, :n_out],
+        "bit_sums": bit_sums[:, :n_out],
+        "bit_w_coord_sums": bit_w_coord_sums[:, :n_out],
+        "moments": jnp.stack(
+            [m_zz, m_yy, m_xx, m_zy, m_zx, m_yx], axis=1
+        )[:n_out],
     }
 
 

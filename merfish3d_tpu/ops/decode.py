@@ -220,10 +220,16 @@ def decode_volume(
     distance_threshold: float,
     z_chunk: int = 8,
     use_pallas: bool | None = None,
+    return_scaled: bool = True,
 ):
     """Decode a full tile volume in z-chunks (bounding device memory to
     ``bits × z_chunk × Y × X``, the TPU analog of the reference per-z-plane
-    loop `PixelDecoder.py:2187-2253`)."""
+    loop `PixelDecoder.py:2187-2253`).
+
+    ``return_scaled=False`` skips materializing + reading back the
+    ``(bits, Z, Y, X)`` scaled-trace array (the normalization-optimization
+    path discards it — review r3: ~bits× the volume of wasted device→host
+    transfer per tile per iteration)."""
     if use_pallas is None:
         use_pallas = _use_pallas()
     cb_t = jnp.asarray(normalize_codebook(codebook_matrix).T)
@@ -234,7 +240,9 @@ def decode_volume(
     decoded = np.empty((nz, ny, nx), np.int16)
     mag = np.empty((nz, ny, nx), np.float16)
     dist = np.empty((nz, ny, nx), np.float16)
-    scaled = np.empty((bits, nz, ny, nx), np.float16)
+    scaled = (
+        np.empty((bits, nz, ny, nx), np.float16) if return_scaled else None
+    )
     for z0 in range(0, nz, z_chunk):
         z1 = min(z0 + z_chunk, nz)
         p = z1 - z0
@@ -253,5 +261,6 @@ def decode_volume(
         decoded[z0:z1] = np.asarray(d)[:p]
         mag[z0:z1] = np.asarray(m)[:p]
         dist[z0:z1] = np.asarray(di)[:p]
-        scaled[:, z0:z1] = np.asarray(sc)[:, :p]
+        if scaled is not None:
+            scaled[:, z0:z1] = np.asarray(sc)[:, :p]
     return decoded, mag, dist, scaled

@@ -64,7 +64,6 @@ class PixelDecoder:
         minimum_pixels: int = 16,
         maximum_pixels: int = 500,
         decode_run_key: Optional[str] = None,
-        component_capacity: int = 65536,
         num_devices: int = 0,  # 0 = all visible devices for tile fan-out
         estimate_chromatic_affines: bool = False,
         chromatic_affine_config: ChromaticAffineEstimationConfig = ChromaticAffineEstimationConfig(),
@@ -77,7 +76,6 @@ class PixelDecoder:
         self._magnitude_threshold = tuple(magnitude_threshold)
         self._minimum_pixels = float(minimum_pixels)
         self._maximum_pixels = float(maximum_pixels)
-        self._component_capacity = int(component_capacity)
         self._num_devices = int(num_devices)
         self._decode_run_key = decode_run_key
         if decode_run_key is not None:
@@ -179,8 +177,13 @@ class PixelDecoder:
             np.arange(nx, dtype=np.float64),
             indexing="ij",
         )
+        # probe plane z must be in the SAME frame as the barcode
+        # coordinates `_warp_pixels` receives (full-stack: cropped z +
+        # offset), or a z-coupled global/camera affine shears the mask
+        # footprint relative to the warped barcodes (review r3)
+        probe_z = nz / 2.0 + float(state.get("z_crop_offset", 0) or 0)
         pts = np.stack(
-            [np.full(yy.size, nz / 2.0), yy.ravel(), xx.ravel()], axis=1
+            [np.full(yy.size, probe_z), yy.ravel(), xx.ravel()], axis=1
         )
         glob = self._warp_pixels(pts, state)
         homo = np.concatenate([glob, np.ones((len(glob), 1))], axis=1)
@@ -506,6 +509,9 @@ class PixelDecoder:
                 norm[: self._n_merfish_bits],
                 magnitude_threshold=self._magnitude_threshold,
                 distance_threshold=self._pixel_distance_threshold,
+                # the optimization path reads intensities from image_lp —
+                # don't materialize/read back the discarded scaled traces
+                return_scaled=not optimize_normalization_weights,
             )
             # intensity source: raw lowpassed data during normalization
             # optimization, scaled traces otherwise (`PixelDecoder.py:2503-2510`)
@@ -683,6 +689,12 @@ class PixelDecoder:
                     bit_w_coord_sums[bits0[ok], rows[ok]] / w[ok, None]
                 )
                 wsums[bits0[ok], rows[ok]] = w[ok]
+            if state["z_crop_offset"]:
+                # same z-crop re-offset the z column gets: the chromatic
+                # affine is fitted and APPLIED in full-stack coordinates
+                # (review r3: cropped-frame centers mis-translated any
+                # fitted z-coupling by (I-A)·offset)
+                centers[:, :, 0] += float(state["z_crop_offset"])
             for b in range(self._n_merfish_bits):
                 cols[f"bit{b + 1:02d}_center_z"] = centers[b, :, 0]
                 cols[f"bit{b + 1:02d}_center_y"] = centers[b, :, 1]
@@ -817,6 +829,12 @@ class PixelDecoder:
         # previous run with different thresholds — replaying stale frames
         # would silently feed the old parameters' decodes into the new
         # run's normalization vectors.
+        import hashlib
+
+        codebook_digest = hashlib.sha256(
+            self._codebook_matrix.tobytes()
+            + "|".join(self._gene_ids).encode()
+        ).hexdigest()[:16]
         fingerprint = {
             "magnitude_threshold": list(self._magnitude_threshold),
             "minimum_pixels": self._minimum_pixels,
@@ -825,6 +843,11 @@ class PixelDecoder:
             "is_3D": self._is_3D,
             "n_merfish_bits": self._n_merfish_bits,
             "z_range": list(self._z_range) if self._z_range else None,
+            # a codebook edit or toggling chromatic estimation changes the
+            # decoded frames' content/columns — stale replays would feed
+            # the OLD codebook's decodes into the new run (review r3)
+            "codebook_sha": codebook_digest,
+            "estimate_chromatic": self._estimate_chromatic,
         }
         state_path = (
             ds._decoded_run_root() / "temporary" / "optimization_state.json"
@@ -1024,13 +1047,24 @@ class PixelDecoder:
             decoded = np.asarray(decoded)
             mag = np.asarray(mag)
             dist = np.asarray(dist)
-            intensity = np.asarray(intensity, np.float32)
+            # keep the device dtype (f16): casting the whole group's
+            # (n_dev, bits, z, y, x) intensity to f32 on host doubled the
+            # readback the sparse gather path exists to avoid (review r3;
+            # extraction casts per-foreground voxel). Per-tile copies let
+            # the group-sized buffers free as soon as this group ends
+            # instead of being pinned by pending extraction futures.
+            intensity = np.asarray(intensity)
             for k in range(n_real):
                 tile_idx, loaded = group[k]
                 self._apply_tile_state(loaded)
                 yield (
                     tile_idx,
-                    (decoded[k], mag[k], dist[k], intensity[k]),
+                    (
+                        decoded[k].copy(),
+                        mag[k].copy(),
+                        dist[k].copy(),
+                        intensity[k].copy(),
+                    ),
                     self._tile_state_snapshot(),
                 )
 
@@ -1132,9 +1166,9 @@ class PixelDecoder:
             while pending:
                 _drain(pending.popleft())
         frames = [
-            ds.load_local_decoded_spots(t)
+            f
             for t in range(len(ds.tile_ids))
-            if ds.load_local_decoded_spots(t) is not None
+            if (f := ds.load_local_decoded_spots(t)) is not None
         ]
         df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
         self._df_barcodes_loaded = df
@@ -1177,9 +1211,9 @@ class PixelDecoder:
         (reference `optimize_filtering:4506-4584`)."""
         ds = self._datastore
         frames = [
-            ds.load_local_decoded_spots(t)
+            f
             for t in range(len(ds.tile_ids))
-            if ds.load_local_decoded_spots(t) is not None
+            if (f := ds.load_local_decoded_spots(t)) is not None
         ]
         df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
         df = self._apply_filter_method(df, filter_method, target_misid_rate)

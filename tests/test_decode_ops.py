@@ -374,3 +374,29 @@ def test_fused_decode_volume_scaled_gather():
         np.testing.assert_allclose(
             sparse(sub), expected[:, ::3], atol=2e-3, err_msg=label
         )
+
+
+def test_component_stats_overflow_does_not_corrupt_survivors():
+    """With more unique labels than capacity, dropped labels must NOT be
+    absorbed into surviving components' slots (review r3: searchsorted
+    mapped them to neighbors' indices, silently corrupting stats)."""
+    import jax.numpy as jnp
+
+    from merfish3d_tpu.ops.cc import component_stats
+
+    decoded = np.full((1, 8, 40), -1, np.int16)
+    labels = np.full((1, 8, 40), -1, np.int32)
+    for i in range(40):
+        decoded[0, 2:5, i] = i % 7
+        labels[0, 2:5, i] = i  # 40 single-column components, area 3 each
+    stats = component_stats(
+        jnp.asarray(decoded),
+        jnp.asarray(labels),
+        jnp.ones((1, 8, 40), jnp.float32),
+        jnp.ones((1, 8, 40), jnp.float32),
+        jnp.ones((2, 1, 8, 40), jnp.float32),
+        capacity=16,
+    )
+    valid = np.asarray(stats["valid"])
+    area = np.asarray(stats["area"])
+    assert set(np.unique(area[valid])) == {3.0}
