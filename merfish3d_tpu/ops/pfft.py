@@ -44,6 +44,14 @@ _LANE = 128
 _MAX_N1 = 24
 _VMEM_BUDGET = 8 * 1024 * 1024  # per-buffer-set budget for block sizing
 
+# Mosaic's default scoped-VMEM stack limit is 16 MiB; its allocator needs
+# more headroom than the block-sizing models above account for (observed:
+# 16.18 MiB requested for a modeled ~10 MiB set at (40, 1152, 1152)).
+# Raise the per-kernel limit to half the chip's 128 MiB VMEM — the
+# _VMEM_BUDGET gates above remain the coarse sizing control.
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 
 def supported_ct_axis(n: int) -> bool:
     """Trailing/middle axis lengths the fused CT kernels accept."""
@@ -214,6 +222,7 @@ def dft_trailing(xr, xi, *, inverse=False, real_output=False):
     yr, yi = pl.pallas_call(
         kern,
         grid=grid,
+        compiler_params=_compiler_params(),
         in_specs=[spec, xi_spec] + _const_specs(n1),
         out_specs=(spec, spec),
         out_shape=(
@@ -339,6 +348,7 @@ def dft_middle(xr, xi, *, inverse=False, real_output=False):
     yr, yi = pl.pallas_call(
         kern,
         grid=grid,
+        compiler_params=_compiler_params(),
         in_specs=[spec, xi_spec] + _mid_const_specs(n1),
         out_specs=(spec, spec),
         out_shape=(
@@ -415,6 +425,7 @@ def dft_leading(xr, xi, *, inverse=False, real_output=False):
     yr, yi = pl.pallas_call(
         kern,
         grid=grid,
+        compiler_params=_compiler_params(),
         in_specs=[spec, xi_spec, wspec, wspec],
         out_specs=(spec, spec),
         out_shape=(
@@ -531,6 +542,7 @@ def dft_mid_conv(xr, xi, hr, hi):
     yr, yi = pl.pallas_call(
         kern,
         grid=grid,
+        compiler_params=_compiler_params(),
         in_specs=[spec, spec, spec, spec]
         + _mid_const_specs(n1) + _mid_const_specs(n1),
         out_specs=(spec, spec),
@@ -715,6 +727,7 @@ def dft_zx(xr, xi, *, inverse=False, real_output=False):
     yr, yi = pl.pallas_call(
         kern,
         grid=grid,
+        compiler_params=_compiler_params(),
         in_specs=[spec, xi_spec] + _const_specs(n1) + [wz_spec, wz_spec],
         out_specs=(spec, spec),
         out_shape=(

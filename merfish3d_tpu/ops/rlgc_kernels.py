@@ -73,13 +73,16 @@ def _mask2d(j, blk, shape, bounds):
     )
 
 
-def _stat_row(stats):
-    """Pack scalar (1,1) stats into lanes [0..k) of a (1, 128) row."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
-    row = jnp.zeros((1, _LANE), jnp.float32)
+def _stat_tile(stats):
+    """Pack scalar (1,1) stats into lanes [0..k) of row 0 of an
+    (8, 128) tile (8 sublanes is the minimum f32 tile height Mosaic
+    accepts for an output block; rows 1-7 stay zero)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 0)
+    tile = jnp.zeros((8, _LANE), jnp.float32)
     for k, s in enumerate(stats):
-        row = row + jnp.where(lane == k, s, 0.0)
-    return row
+        tile = tile + jnp.where((row == 0) & (lane == k), s, 0.0)
+    return tile
 
 
 def _ratio_kld_kernel(hu_ref, s1_ref, s2_ref, r1_ref, r2_ref, st_ref, *,
@@ -102,9 +105,17 @@ def _ratio_kld_kernel(hu_ref, s1_ref, s2_ref, r1_ref, r2_ref, st_ref, *,
     t2 = jnp.where(keep, p * (lg - jnp.log(s2 + _EPS_KLD)), 0.0)
     pk = jnp.where(keep, p, 0.0)
     ssum = lambda a: jnp.sum(a, axis=(0, 1), keepdims=True)
-    st_ref[:] = _stat_row(
+    tile = _stat_tile(
         [ssum(p), ssum(q1), ssum(q2), ssum(pk), ssum(t1), ssum(t2)]
     )
+    # persistent accumulator: the output block's index map is constant, so
+    # the same (8, 128) VMEM tile is revisited by every grid step and only
+    # flushed to HBM at the end (the Pallas TPU reduction idiom)
+    @pl.when(j == 0)
+    def _init():
+        st_ref[:] = jnp.zeros_like(st_ref)
+
+    st_ref[:] += tile
 
 
 def ratio_kld(hu, split1, split2, pad_width):
@@ -121,7 +132,7 @@ def ratio_kld(hu, split1, split2, pad_width):
     blk = _rows_block(rows, nx, 12)
     grid = (rows // blk,)
     spec = pl.BlockSpec((blk, nx), lambda j: (j, 0), memory_space=pltpu.VMEM)
-    st_spec = pl.BlockSpec((1, _LANE), lambda j: (j, 0),
+    st_spec = pl.BlockSpec((8, _LANE), lambda j: (0, 0),
                            memory_space=pltpu.VMEM)
     bounds = tuple((int(b), int(a)) for b, a in pad_width)
     kern = partial(_ratio_kld_kernel, shape=shape, bounds=bounds, blk=blk)
@@ -134,10 +145,10 @@ def ratio_kld(hu, split1, split2, pad_width):
         out_shape=(
             jax.ShapeDtypeStruct((rows, nx), jnp.float32),
             jax.ShapeDtypeStruct((rows, nx), jnp.float32),
-            jax.ShapeDtypeStruct((grid[0], _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((8, _LANE), jnp.float32),
         ),
     )(flat(hu), flat(split1), flat(split2))
-    sums = jnp.sum(st, axis=0)
+    sums = st[0]
     sp, sq1, sq2, spp, st1, st2 = (sums[k] for k in range(6))
     frac = spp / sp
     kld1 = st1 / sp - jnp.log(sp / sq1) * frac
@@ -161,11 +172,21 @@ def _update_select_kernel(c_ref, rec_ref, prev_ref, ht_ref, flag_ref,
     np_ref[:] = jnp.where(restore, prev, rec)
     ssum = lambda a: jnp.sum(a, axis=(0, 1), keepdims=True)
     smax = lambda a: jnp.max(a, axis=(0, 1), keepdims=True)
-    st_ref[:] = _stat_row([
+    tile = _stat_tile([
         ssum((c >= 0.0).astype(jnp.float32) * mf),
         smax(upd * mf),
         smax(jnp.abs(upd - rec) * mf),
     ])
+    # persistent (8, 128) accumulator block (constant index map): lane 0
+    # folds by sum, lanes 1-2 by max (all stats are >= 0, so a zero init
+    # is the identity for both folds)
+    @pl.when(j == 0)
+    def _init():
+        st_ref[:] = jnp.zeros_like(st_ref)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 1)
+    acc = st_ref[:]
+    st_ref[:] = jnp.where(lane == 0, acc + tile, jnp.maximum(acc, tile))
 
 
 def update_select(consensus, recon, prev_recon, ht, should_restore,
@@ -184,7 +205,7 @@ def update_select(consensus, recon, prev_recon, ht, should_restore,
     blk = _rows_block(rows, nx, 14)
     grid = (rows // blk,)
     spec = pl.BlockSpec((blk, nx), lambda j: (j, 0), memory_space=pltpu.VMEM)
-    st_spec = pl.BlockSpec((1, _LANE), lambda j: (j, 0),
+    st_spec = pl.BlockSpec((8, _LANE), lambda j: (0, 0),
                            memory_space=pltpu.VMEM)
     flag_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     bounds = tuple((int(b), int(a)) for b, a in pad_width)
@@ -200,11 +221,11 @@ def update_select(consensus, recon, prev_recon, ht, should_restore,
         out_shape=(
             jax.ShapeDtypeStruct((rows, nx), jnp.float32),
             jax.ShapeDtypeStruct((rows, nx), jnp.float32),
-            jax.ShapeDtypeStruct((grid[0], _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((8, _LANE), jnp.float32),
         ),
     )(flat(consensus), flat(recon), flat(prev_recon), flat(ht), flag)
-    num_updated = jnp.sum(st[:, 0])
-    max_new = jnp.max(st[:, 1])
-    max_abs_delta = jnp.max(st[:, 2])
+    num_updated = st[0, 0]
+    max_new = st[0, 1]
+    max_abs_delta = st[0, 2]
     unflat = lambda a: a.reshape(nz, ny, nx)
     return unflat(nr), unflat(np_), num_updated, max_new, max_abs_delta
