@@ -439,6 +439,21 @@ def fused_decode_volume(
     from .cc import SparseIntensity
     from .decode import normalize_codebook
 
+    def _packed_readback(d, m, di):
+        """(decoded, mag, dist) in ONE blocking device→host transfer:
+        int16 labels and bf16 stats bitcast to a common uint16 stack on
+        device (each blocking transfer costs seconds of link latency on a
+        tunneled device; bytes are comparatively free)."""
+        packed = jnp.stack(
+            [
+                jax.lax.bitcast_convert_type(d, jnp.uint16),
+                jax.lax.bitcast_convert_type(m, jnp.uint16),
+                jax.lax.bitcast_convert_type(di, jnp.uint16),
+            ]
+        )
+        host = np.asarray(packed)
+        return host[0].view(np.int16), host[1].view(bf16), host[2].view(bf16)
+
     def _bucketed_take(s2d, lin: np.ndarray) -> np.ndarray:
         """Device gather at a power-of-two padded length so the program
         compiles once per bucket, not once per tile's foreground count
@@ -475,19 +490,15 @@ def fused_decode_volume(
     if (1 + 3.0 * inflation) * vol.nbytes <= hbm_budget_bytes:
         d, m, di, s = fused_lowpass_decode(jnp.asarray(vol), cb_t, bg, norm, **kw)
         if scaled_as == "gather":
-            d_host = np.asarray(d)
+            d_host, m_host, di_host = _packed_readback(d, m, di)
             f = np.flatnonzero(d_host >= 0)
             if f.size:
                 vals = _bucketed_take(s.reshape(bits, -1), f)
             else:
                 vals = np.zeros((bits, 0), np.float32)
-            return (
-                d_host,
-                np.asarray(m),
-                np.asarray(di),
-                SparseIntensity(f, vals),
-            )
-        return (np.asarray(d), np.asarray(m), np.asarray(di), np.asarray(s))
+            return (d_host, m_host, di_host, SparseIntensity(f, vals))
+        d_host, m_host, di_host = _packed_readback(d, m, di)
+        return (d_host, m_host, di_host, np.asarray(s))
 
     ry = int(4.0 * sigma[1] + 0.5) if sigma[1] > 0 else 0
     decoded = np.empty((nz, ny, nx), np.int16)
@@ -512,10 +523,10 @@ def fused_decode_volume(
         d, m, di, s = fused_lowpass_decode(jnp.asarray(block), cb_t, bg, norm, **kw)
         lo = y0 - ys
         hi = lo + (y1 - y0)
-        d_host = np.asarray(d)
+        d_host, m_host, di_host = _packed_readback(d, m, di)
         decoded[:, y0:y1] = d_host[:, lo:hi]
-        mag[:, y0:y1] = np.asarray(m)[:, lo:hi]
-        dist[:, y0:y1] = np.asarray(di)[:, lo:hi]
+        mag[:, y0:y1] = m_host[:, lo:hi]
+        dist[:, y0:y1] = di_host[:, lo:hi]
         if gather:
             # foreground of this slab's interior: the decoded slab itself
             # marks it, so only (bits, n_fg_slab) scaled values come back

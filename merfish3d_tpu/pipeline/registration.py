@@ -31,9 +31,8 @@ import pandas as pd
 
 from ..models.ufish import get_predictor
 from ..ops.flow import SofimaRegistrationConfig, estimate_sofima_flow_field_xyz_px
-from ..ops.registration import register_pair_to_fixed
+from ..ops.registration import register_rounds_to_fixed
 from ..ops.rlgc import chunked_rlgc
-from ..ops.warp import warp_affine
 
 
 @dataclass(frozen=True)
@@ -399,6 +398,7 @@ class DataRegistration:
         # zarr reads and previous rounds' registered-image writes overlap
         # the device decon+registration (see `_apply_registration_to_bits`)
         prefetcher = TilePrefetcher(load_batch, range(len(batches)), depth=1)
+        need_warped = self._deformable or self._save_all_fiducial_registered
         with BoundedWriter(depth=2) as writer:
             for batch_idx, raws in prefetcher:
                 batch_rounds = batches[batch_idx]
@@ -427,27 +427,46 @@ class DataRegistration:
                     elapsed=f"{time.perf_counter() - t0:.2f}s",
                 )
 
-                for i, round_idx in enumerate(batch_rounds):
-                    t0 = time.perf_counter()
-                    moving = decons[i]
-                    transform = register_pair_to_fixed(
-                        reference, moving, spacing_zyx_um=self._spacing
+                # the whole batch registers (and warps) as ONE device
+                # program: two readbacks per batch instead of ~4 blocking
+                # transfers per round (each ~1.2 s of link latency on a
+                # tunneled device; profiled r3 at 28 s of a 41 s phase).
+                # A ragged last batch pads to the full width by repeating
+                # the final round — one compile variant instead of two
+                # (each costs minutes through a remote compiler)
+                t0 = time.perf_counter()
+                n_rounds = len(batch_rounds)
+                decons_in = decons
+                if len(batches) > 1 and n_rounds < max(batch_cap, 1):
+                    reps = max(batch_cap, 1) - n_rounds
+                    decons_in = np.concatenate(
+                        [decons, np.repeat(decons[-1:], reps, axis=0)]
                     )
+                transforms, warped_stack = register_rounds_to_fixed(
+                    reference,
+                    decons_in,
+                    spacing_zyx_um=self._spacing,
+                    return_warped=need_warped,
+                )
+                transforms = transforms[:n_rounds]
+                if warped_stack is not None:
+                    warped_stack = warped_stack[:n_rounds]
+                self._diag(
+                    "rounds-registered-batch", tile=tile_idx,
+                    rounds=batch_rounds,
+                    elapsed=f"{time.perf_counter() - t0:.2f}s",
+                )
+
+                for i, round_idx in enumerate(batch_rounds):
+                    transform = transforms[i]
                     ds.save_local_round_transform_zyx_um(
                         transform, tile=tile_idx, round=round_idx
                     )
-                    warped = None
-                    if self._deformable or self._save_all_fiducial_registered:
-                        warped = warp_affine(
-                            moving,
-                            transform_zyx_um=transform,
-                            spacing_zyx_um=self._spacing,
-                            reference_shape=reference.shape,
-                        )
+                    warped = warped_stack[i] if warped_stack is not None else None
                     if self._save_all_fiducial_registered and warped is not None:
                         writer.submit(
                             ds.save_local_registered_image,
-                            np.clip(warped, 0, 65535).astype(np.uint16),
+                            warped,
                             tile=tile_idx,
                             round=round_idx,
                             deconvolution=self._decon_fiducial,
@@ -455,12 +474,12 @@ class DataRegistration:
                     self._diag(
                         "round-registered", tile=tile_idx, round=round_idx,
                         shift_um=np.round(transform[:3, 3], 3).tolist(),
-                        elapsed=f"{time.perf_counter() - t0:.2f}s",
                     )
                     if self._deformable and warped is not None:
                         t0 = time.perf_counter()
                         flow, meta = estimate_sofima_flow_field_xyz_px(
-                            reference, warped, self._sofima_config
+                            reference, np.asarray(warped, np.float32),
+                            self._sofima_config,
                         )
                         ds.save_local_sofima_flow_field(
                             flow,

@@ -440,3 +440,52 @@ def test_no_overlap_pair_flagged_unusable():
         jnp.asarray(a), jnp.asarray(b), upsample_factor=2
     )
     assert not np.isfinite(quality) or quality < 0.2
+
+
+def test_register_rounds_batch_matches_single_and_warps():
+    """The batched round program returns the same transforms as the
+    single-pair wrapper, and its warped uint16 stack matches the
+    `warp_affine` translation fast path applied per round."""
+    from merfish3d_tpu.ops.registration import register_rounds_to_fixed
+
+    vol = _gaussian_blobs(shape=(12, 96, 96), n=30, seed=5)
+    spacing = (0.31, 0.098, 0.098)
+    pulls = [
+        np.array([0.0, 4.0, -3.0], np.float32),
+        np.array([1.0, -7.0, 6.0], np.float32),
+        np.array([-1.0, 2.0, 9.0], np.float32),
+    ]
+    movings = np.stack(
+        [
+            _gaussian_blobs(
+                shape=(12, 96, 96), n=30, seed=5, offset=p, noise_seed=200 + i
+            )
+            for i, p in enumerate(pulls)
+        ]
+    )
+    transforms, warped = register_rounds_to_fixed(
+        vol, movings, spacing_zyx_um=spacing, return_warped=True
+    )
+    assert transforms.shape == (3, 4, 4)
+    assert warped.shape == movings.shape and warped.dtype == np.uint16
+    for i, p in enumerate(pulls):
+        est_pull_px = transforms[i][:3, 3] / np.asarray(spacing)
+        np.testing.assert_allclose(est_pull_px, p, atol=0.5)
+        single = register_pair_to_fixed(vol, movings[i], spacing_zyx_um=spacing)
+        np.testing.assert_allclose(transforms[i], single, atol=1e-5)
+        via_warp_affine = np.clip(
+            warp_affine(
+                movings[i],
+                transform_zyx_um=transforms[i],
+                spacing_zyx_um=spacing,
+                reference_shape=vol.shape,
+            ),
+            0,
+            65535,
+        ).astype(np.uint16)
+        # same translate_volume fast path on both sides — tiny f32 jitter
+        # at the uint16 rounding boundary only
+        mismatch = np.mean(
+            np.abs(warped[i].astype(np.int32) - via_warp_affine.astype(np.int32))
+        )
+        assert mismatch <= 1.0, mismatch
