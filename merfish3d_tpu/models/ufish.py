@@ -230,18 +230,23 @@ class UFishPredictor:
         vol = jnp.asarray(volume, jnp.float32)
         return np.asarray(self.predict_device(vol, batch_size), np.float32)
 
-    def predict_batch(
-        self, volumes: np.ndarray, batch_size: int = 8
-    ) -> np.ndarray:
-        """Batched (bits, Z, Y, X) prediction in one program — the CNN is
-        per-plane, so bits×z planes fold into one scan axis (the TPU-first
-        replacement for the reference's per-bit ONNX sessions,
+    def predict_batch_device(self, volumes, batch_size: int = 8):
+        """Device-in/device-out batched (bits, Z, Y, X) prediction — the
+        CNN is per-plane, so bits×z planes fold into one scan axis (the
+        TPU-first replacement for the reference's per-bit ONNX sessions,
         `DataRegistration._apply_bits_on_gpu:886-899`)."""
         vols = jnp.asarray(volumes, jnp.float32)
         nb, nz, ny, nx = vols.shape
         planes = vols.reshape(nb * nz, ny, nx)
-        out = self.predict_device(planes, batch_size)
-        return np.asarray(out, np.float32).reshape(nb, nz, ny, nx)
+        return self.predict_device(planes, batch_size).reshape(nb, nz, ny, nx)
+
+    def predict_batch(
+        self, volumes: np.ndarray, batch_size: int = 8
+    ) -> np.ndarray:
+        """Batched (bits, Z, Y, X) prediction in one program."""
+        return np.asarray(
+            self.predict_batch_device(volumes, batch_size), np.float32
+        )
 
 
 class DoGSpotPredictor:
@@ -281,10 +286,13 @@ class DoGSpotPredictor:
         out = self._fn(jnp.asarray(volume, jnp.float32))
         return np.asarray(out, np.float32)
 
+    def predict_batch_device(self, volumes):
+        """Device-in/device-out batched (bits, Z, Y, X) prediction."""
+        return jax.vmap(self._fn)(jnp.asarray(volumes, jnp.float32))
+
     def predict_batch(self, volumes: np.ndarray) -> np.ndarray:
         """Batched (bits, Z, Y, X) prediction in one fused program."""
-        out = jax.vmap(self._fn)(jnp.asarray(volumes, jnp.float32))
-        return np.asarray(out, np.float32)
+        return np.asarray(self.predict_batch_device(volumes), np.float32)
 
 
 def get_predictor(model_name: str = "simfish", checkpoint_path=None):

@@ -320,11 +320,17 @@ def rlgc_batch(
     limit: float = 0.01,
     max_delta: float = 0.001,
     max_iters: int = 100,
+    out: str = "host",
 ) -> np.ndarray:
     """Deconvolve a batch of same-shaped volumes (e.g. all readout bits of a
     tile) in one fused TPU program. Per-volume seeds are derived from
     ``seed`` by index, matching the reference's per-tile RNG seed offsets
-    (`rlgc.py:996`)."""
+    (`rlgc.py:996`).
+
+    ``out="device"`` returns the f32 result as a device array so downstream
+    device consumers (the U-FISH predictor) chain without a device→host→
+    device bounce — a full readout-bit batch is hundreds of MB, and the
+    link moves ~10-17 MB/s on a tunneled device."""
     images = np.asarray(images, dtype=np.float32)
     psf = np.asarray(psf, dtype=np.float32)
     if psf.ndim == 2:
@@ -342,8 +348,10 @@ def rlgc_batch(
         max_delta=max_delta,
         max_iters=max_iters,
     )
-    out = jax.vmap(lambda r: remove_padding_zyx(r, pad_width))(recon)
-    return np.asarray(out, dtype=np.float32)
+    result = jax.vmap(lambda r: remove_padding_zyx(r, pad_width))(recon)
+    if out == "device":
+        return result
+    return np.asarray(result, dtype=np.float32)
 
 
 def rlgc_diagnostics(
