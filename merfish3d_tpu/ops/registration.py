@@ -110,8 +110,13 @@ def register_rounds_to_fixed(
     Returns ``(transforms, warped)``: (R, 4, 4) physical µm transforms and,
     when ``return_warped``, the (R, z, y, x) uint16 stack of the moving
     rounds resampled into the fixed frame (else ``None``). The whole batch
-    runs as one device program with two blocking readbacks total."""
-    movings = np.asarray(movings)
+    runs as one device program with two blocking readbacks total.
+
+    Device arrays pass through without a host bounce (`np.asarray` on a
+    device-resident stack would download + re-upload the full volume —
+    ~13 s for an 8-round stack through a tunneled link)."""
+    if not hasattr(movings, "ndim"):
+        movings = np.stack(movings)
     if movings.ndim != 4 or movings.shape[1:] != tuple(fixed.shape):
         raise ValueError(
             f"expected (R, *{tuple(fixed.shape)}) movings, got {movings.shape}"
