@@ -85,8 +85,13 @@ REFERENCE_PIPELINE_VOXELS_PER_SEC = (
 )  # ~9.7e3 out-vox/s
 
 # v5e single-chip peaks for the roofline account (public specs)
-PEAK_F32_FLOPS = 49.1e12  # MXU bf16 197 TFLOP/s, f32 ~1/4
+PEAK_BF16_FLOPS = 197e12  # MXU bf16 pass rate
+PEAK_F32_FLOPS = 49.1e12  # legacy f32-equivalent figure (197/4)
 PEAK_HBM_BYTES_PER_S = 819e9
+# bf16 MXU passes per f32-precision matmul, by pfft dot mode
+# (`ops/pfft.py:_dot_mode`): Mosaic HIGHEST = 6-pass emulation, the
+# manual bf16x3 split = 3-pass, raw bf16 = 1
+_DOT_MODE_PASSES = {"highest": 6.0, "bf16x3": 3.0, "bf16": 1.0}
 
 NZ, NY, NX = 32, 1024, 1024  # production slab; shrunk off-TPU (CPU smoke)
 TILE_VOXELS = NZ * NY * NX
@@ -306,13 +311,24 @@ def _rlgc_roofline(padded_shape, elapsed_per_iter: float) -> dict:
 
     flops = 2.0 * fft_macs * n + 30.0 * n
     bytes_total = (fft_sweeps + ew_sweeps) * 4 * n
-    flop_bound = flops / PEAK_F32_FLOPS
+    # the DFT matmuls run as bf16 MXU passes; their count per f32 matmul
+    # depends on the active dot mode (HIGHEST 6, bf16x3 3, bf16 1), so
+    # the chip-time bound is (matmul flops) / (197e12 / passes)
+    from merfish3d_tpu.ops.pfft import _dot_mode
+
+    dot_mode = _dot_mode()
+    passes = _DOT_MODE_PASSES.get(dot_mode, 6.0)
+    mxu_rate = PEAK_BF16_FLOPS / passes
+    flop_bound = 2.0 * fft_macs * n / mxu_rate + 30.0 * n / PEAK_F32_FLOPS
     hbm_bound = bytes_total / PEAK_HBM_BYTES_PER_S
     return {
         "padded_shape": list(padded_shape),
+        "dot_mode": dot_mode,
         "gflops_per_iteration": round(flops / 1e9, 1),
         "hbm_gbytes_per_iteration": round(bytes_total / 1e9, 2),
-        "mfu": round(flops / elapsed_per_iter / PEAK_F32_FLOPS, 4),
+        "mxu_fraction": round(
+            (2.0 * fft_macs * n / mxu_rate) / elapsed_per_iter, 4
+        ),
         "hbm_fraction": round(
             bytes_total / elapsed_per_iter / PEAK_HBM_BYTES_PER_S, 3
         ),

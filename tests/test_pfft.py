@@ -211,3 +211,25 @@ def test_inverse_with_real_input_pair():
         np.testing.assert_allclose(
             np.asarray(yr), 0.5 * (x + x_rev), atol=1e-3
         )
+
+
+@pytest.mark.parametrize("mode", ["bf16x3", "bf16"])
+def test_dot_mode_accuracy(vol, mode, monkeypatch):
+    """The reduced-pass stage-2 matmul modes (`pfft._dot_mode`) stay
+    within their documented error envelopes vs the HIGHEST path: bf16x3
+    (the TPU default) well under the pipeline's f16 storage rounding
+    (5e-4 relative), single-pass bf16 under ~5e-3."""
+    xr, xi = vol
+    monkeypatch.setenv("MERFISH3D_PFFT_DOT", "highest")
+    with pltpu.force_tpu_interpret_mode():
+        rr, ri = pfft.dft_axis_3d(jnp.asarray(xr), jnp.asarray(xi), 1)
+    monkeypatch.setenv("MERFISH3D_PFFT_DOT", mode)
+    with pltpu.force_tpu_interpret_mode():
+        yr, yi = pfft.dft_axis_3d(jnp.asarray(xr), jnp.asarray(xi), 1)
+    scale = float(np.abs(np.asarray(rr)).max())
+    tol = (1e-4 if mode == "bf16x3" else 5e-3) * scale
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(rr), atol=tol)
+    np.testing.assert_allclose(np.asarray(yi), np.asarray(ri), atol=tol)
+    if mode == "bf16x3":
+        err = float(np.abs(np.asarray(yr) - np.asarray(rr)).max())
+        assert err < 5e-4 * scale
