@@ -152,6 +152,26 @@ def _DOT(a, b):
     return _DOT_BF16(ah, bh) + _DOT_BF16(ah, bl) + _DOT_BF16(al, bh)
 
 
+def _cdot(ar, ai, br, bi):
+    """Complex matmul ``(ar + i·ai) @ (br + i·bi)`` → (real, imag).
+
+    The reduced-pass dot modes use the 3-multiplication Karatsuba form
+    (t3 = (ar+ai)@(br+bi); re = t1−t2, im = t3−t1−t2) — 9 bf16 MXU
+    passes per complex product instead of 12 under bf16x3. ``highest``
+    keeps the plain 4-dot form so the bit-exact triage mode stays
+    bit-identical to its historical outputs.
+    """
+    if _dot_mode() == "highest":
+        return (
+            _DOT(ar, br) - _DOT(ai, bi),
+            _DOT(ar, bi) + _DOT(ai, br),
+        )
+    t1 = _DOT(ar, br)
+    t2 = _DOT(ai, bi)
+    t3 = _DOT(ar + ai, br + bi)
+    return t1 - t2, t3 - t1 - t2
+
+
 # --------------------------------------------------------- trailing axis
 def _dft_last_fwd_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref,
                          w2i_ref, or_ref, oi_ref, *, n, w1, real_in):
@@ -180,12 +200,9 @@ def _dft_last_fwd_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref,
         cr = br * twr - bi * twi
         ci = br * twi + bi * twr
         # stage 2: 128-point DFT on the MXU
-        or_ref[:, k * _LANE:(k + 1) * _LANE] = (
-            _DOT(cr, w2r) - _DOT(ci, w2i)
-        )
-        oi_ref[:, k * _LANE:(k + 1) * _LANE] = (
-            _DOT(cr, w2i) + _DOT(ci, w2r)
-        )
+        dr, di = _cdot(cr, ci, w2r, w2i)
+        or_ref[:, k * _LANE:(k + 1) * _LANE] = dr
+        oi_ref[:, k * _LANE:(k + 1) * _LANE] = di
 
 
 def _dft_last_inv_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref,
@@ -200,8 +217,7 @@ def _dft_last_inv_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref,
     for k in range(n1):
         cr = xr_ref[:, k * _LANE:(k + 1) * _LANE]
         ci = xi_ref[:, k * _LANE:(k + 1) * _LANE]
-        dr = _DOT(cr, w2r) - _DOT(ci, w2i)
-        di = _DOT(cr, w2i) + _DOT(ci, w2r)
+        dr, di = _cdot(cr, ci, w2r, w2i)
         twr = twr_ref[k:k + 1, :]
         twi = twi_ref[k:k + 1, :]
         es_r.append(dr * twr - di * twi)
@@ -316,12 +332,9 @@ def _dft_mid_fwd_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref,
         twi = twi_ref[:, k:k + 1]
         cr = br * twr - bi * twi
         ci = br * twi + bi * twr
-        or_ref[0, k * _LANE:(k + 1) * _LANE, :] = (
-            _DOT(w2r, cr) - _DOT(w2i, ci)
-        )
-        oi_ref[0, k * _LANE:(k + 1) * _LANE, :] = (
-            _DOT(w2r, ci) + _DOT(w2i, cr)
-        )
+        dr, di = _cdot(w2r, w2i, cr, ci)
+        or_ref[0, k * _LANE:(k + 1) * _LANE, :] = dr
+        oi_ref[0, k * _LANE:(k + 1) * _LANE, :] = di
 
 
 def _dft_mid_inv_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref,
@@ -333,8 +346,7 @@ def _dft_mid_inv_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref,
     for k in range(n1):
         cr = xr_ref[0, k * _LANE:(k + 1) * _LANE, :]
         ci = xi_ref[0, k * _LANE:(k + 1) * _LANE, :]
-        dr = _DOT(w2r, cr) - _DOT(w2i, ci)
-        di = _DOT(w2r, ci) + _DOT(w2i, cr)
+        dr, di = _cdot(w2r, w2i, cr, ci)
         twr = twr_ref[:, k:k + 1]
         twi = twi_ref[:, k:k + 1]
         es_r.append(dr * twr - di * twi)
@@ -532,16 +544,14 @@ def _dft_mid_conv_kernel(xr_ref, xi_ref, hr_ref, hi_ref,
         cr = br * twr - bi * twi
         ci = br * twi + bi * twr
         # forward stage 2 (128-point MXU matmul over sublanes)
-        dr = _DOT(w2fr, cr) - _DOT(w2fi, ci)
-        di = _DOT(w2fr, ci) + _DOT(w2fi, cr)
+        dr, di = _cdot(w2fr, w2fi, cr, ci)
         # pointwise OTF multiply at the group's spectrum coordinates
         hr = hr_ref[0, k * _LANE:(k + 1) * _LANE, :]
         hi = hi_ref[0, k * _LANE:(k + 1) * _LANE, :]
         mr = dr * hr - di * hi
         mi = dr * hi + di * hr
         # inverse stage 2 + conj-twiddle (1/n folded into the twiddle)
-        er = _DOT(w2ir, mr) - _DOT(w2ii, mi)
-        ei = _DOT(w2ir, mi) + _DOT(w2ii, mr)
+        er, ei = _cdot(w2ir, w2ii, mr, mi)
         tir = twir_ref[:, k:k + 1]
         tii = twii_ref[:, k:k + 1]
         es_r.append(er * tir - ei * tii)
@@ -650,13 +660,11 @@ def _dft_zx_fwd_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
         twi = twi_ref[k:k + 1, :]
         cr = br * twr - bi * twi
         ci = br * twi + bi * twr
-        dr = _DOT(cr, w2r) - _DOT(ci, w2i)
-        di = _DOT(cr, w2i) + _DOT(ci, w2r)
+        dr, di = _cdot(cr, ci, w2r, w2i)
         # z-axis dense DFT on this lane group
         gr = dr.reshape(nz, ty * _LANE)
         gi = di.reshape(nz, ty * _LANE)
-        zr = _DOT(wzr, gr) - _DOT(wzi, gi)
-        zi = _DOT(wzr, gi) + _DOT(wzi, gr)
+        zr, zi = _cdot(wzr, wzi, gr, gi)
         or_ref[:, :, k * _LANE:(k + 1) * _LANE] = zr.reshape(nz, ty, _LANE)
         oi_ref[:, :, k * _LANE:(k + 1) * _LANE] = zi.reshape(nz, ty, _LANE)
 
@@ -693,12 +701,10 @@ def _zx_inv_stages(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
     for k in range(n1):
         ar = xr_ref[:, :, k * _LANE:(k + 1) * _LANE].reshape(nz, ty * _LANE)
         ai = xi_ref[:, :, k * _LANE:(k + 1) * _LANE].reshape(nz, ty * _LANE)
-        zr = _DOT(wzr, ar) - _DOT(wzi, ai)
-        zi = _DOT(wzr, ai) + _DOT(wzi, ar)
+        zr, zi = _cdot(wzr, wzi, ar, ai)
         cr = zr.reshape(nz * ty, _LANE)
         ci = zi.reshape(nz * ty, _LANE)
-        dr = _DOT(cr, w2r) - _DOT(ci, w2i)
-        di = _DOT(cr, w2i) + _DOT(ci, w2r)
+        dr, di = _cdot(cr, ci, w2r, w2i)
         twr = twr_ref[k:k + 1, :]
         twi = twi_ref[k:k + 1, :]
         es_r.append(dr * twr - di * twi)
