@@ -460,8 +460,13 @@ def conv_pair_s(xr: jnp.ndarray, xi, H_pair, real_output: bool = False):
         from . import pfft
 
         if pfft.zx_supported(xr.shape) and pfft.mid_conv_supported(xr.shape):
-            fr, fi = pfft.dft_zx(xr, xi)
-            gr, gi = pfft.dft_mid_conv(fr, fi, hr, hi)
+            # intermediate spectra exist only between the three kernel
+            # passes; bf16 halves their HBM traffic (`pfft.spec_bf16`).
+            # 16-bit blocks need 16-row sublane tiles → requires ny % 16.
+            spec16 = pfft.spec_bf16() and xr.shape[1] % 16 == 0
+            mid = jnp.bfloat16 if spec16 else jnp.float32
+            fr, fi = pfft.dft_zx(xr, xi, out_dtype=mid)
+            gr, gi = pfft.dft_mid_conv(fr, fi, hr, hi, out_dtype=mid)
             return pfft.dft_zx(gr, gi, inverse=True, real_output=real_output)
     fr, fi = fftn_pair_s(xr, xi)
     yr = fr * hr - fi * hi

@@ -141,6 +141,28 @@ def _bf16_split(a):
     return hi, lo
 
 
+def spec_bf16() -> bool:
+    """Store the INTERMEDIATE conv spectra (between the zx and y passes
+    of `mmfft.conv_pair_s`) and the resident OTFs in bf16?
+
+    8 of the 12 f32 sweeps of each real convolution carry spectrum pairs
+    that exist only between kernel passes; bf16 halves their bytes. On
+    the measured chip this bought NOTHING (36.7 vs 35.6 ms/iter with f32
+    spectra at (40, 1152, 1152)) — the conv kernels sit above the
+    ~413 GB/s sustained-bandwidth bound, i.e. they are scheduling/VPU
+    limited, not HBM limited — so the mode stays OFF by default and the
+    machinery is kept for bandwidth-starved parts. Accuracy when on:
+    ~2e-3 max relative conv error (validated on hardware), and the
+    `rlgc` ht normalization guards against the padding-region error
+    amplification it exposed (see `rlgc.py`).
+
+    ``MERFISH3D_PFFT_SPEC=f32|bf16`` overrides (auto: f32).
+    """
+    import os
+
+    return os.environ.get("MERFISH3D_PFFT_SPEC", "f32") == "bf16"
+
+
 def _DOT(a, b):
     mode = _dot_mode()
     if mode == "highest":
@@ -522,8 +544,14 @@ def _dft_mid_conv_kernel(xr_ref, xi_ref, hr_ref, hi_ref,
     shared `mmfft.fft_axis_split` policy), and consumed by the inverse
     stage without ever leaving VMEM."""
     n1 = n // _LANE
-    xs_r = [xr_ref[0, p * _LANE:(p + 1) * _LANE, :] for p in range(n1)]
-    xs_i = [xi_ref[0, p * _LANE:(p + 1) * _LANE, :] for p in range(n1)]
+    xs_r = [
+        xr_ref[0, p * _LANE:(p + 1) * _LANE, :].astype(jnp.float32)
+        for p in range(n1)
+    ]
+    xs_i = [
+        xi_ref[0, p * _LANE:(p + 1) * _LANE, :].astype(jnp.float32)
+        for p in range(n1)
+    ]
     w2fr = w2fr_ref[:]
     w2fi = w2fi_ref[:]
     w2ir = w2ir_ref[:]
@@ -546,8 +574,8 @@ def _dft_mid_conv_kernel(xr_ref, xi_ref, hr_ref, hi_ref,
         # forward stage 2 (128-point MXU matmul over sublanes)
         dr, di = _cdot(w2fr, w2fi, cr, ci)
         # pointwise OTF multiply at the group's spectrum coordinates
-        hr = hr_ref[0, k * _LANE:(k + 1) * _LANE, :]
-        hi = hi_ref[0, k * _LANE:(k + 1) * _LANE, :]
+        hr = hr_ref[0, k * _LANE:(k + 1) * _LANE, :].astype(jnp.float32)
+        hi = hi_ref[0, k * _LANE:(k + 1) * _LANE, :].astype(jnp.float32)
         mr = dr * hr - di * hi
         mi = dr * hi + di * hr
         # inverse stage 2 + conj-twiddle (1/n folded into the twiddle)
@@ -564,8 +592,8 @@ def _dft_mid_conv_kernel(xr_ref, xi_ref, hr_ref, hi_ref,
             yr = yr - es_i[k] * float(w1i[k, p].imag)
             yi = yi + es_r[k] * float(w1i[k, p].imag)
             yi = yi + es_i[k] * float(w1i[k, p].real)
-        or_ref[0, p * _LANE:(p + 1) * _LANE, :] = yr
-        oi_ref[0, p * _LANE:(p + 1) * _LANE, :] = yi
+        or_ref[0, p * _LANE:(p + 1) * _LANE, :] = yr.astype(or_ref.dtype)
+        oi_ref[0, p * _LANE:(p + 1) * _LANE, :] = yi.astype(oi_ref.dtype)
 
 
 def mid_conv_supported(shape) -> bool:
@@ -585,11 +613,13 @@ def mid_conv_supported(shape) -> bool:
     return ny * tx * 4 * 12 <= 14 * 1024 * 1024
 
 
-def dft_mid_conv(xr, xi, hr, hi):
+def dft_mid_conv(xr, xi, hr, hi, out_dtype=jnp.float32):
     """Spectrum-domain convolution along axis 1 of a 3D complex pair:
     ``idft_y(dft_y(x) * h)`` in one HBM pass; caller checked
     :func:`mid_conv_supported`. ``h`` is the full-spectrum OTF pair in
-    `fftn_pair_s` order (its axis-1 layout matches this kernel's)."""
+    `fftn_pair_s` order (its axis-1 layout matches this kernel's).
+    Inputs/`h` may be bf16 (cast to f32 on load); ``out_dtype`` selects
+    the stored spectrum dtype (see :func:`spec_bf16`)."""
     nz, n, nx = xr.shape
     n1 = n // _LANE
     w1f, consts_f = _mid_const_args(n, False)
@@ -614,8 +644,8 @@ def dft_mid_conv(xr, xi, hr, hi):
         + _mid_const_specs(n1) + _mid_const_specs(n1),
         out_specs=(spec, spec),
         out_shape=(
-            jax.ShapeDtypeStruct((nz, n, nx), jnp.float32),
-            jax.ShapeDtypeStruct((nz, n, nx), jnp.float32),
+            jax.ShapeDtypeStruct((nz, n, nx), out_dtype),
+            jax.ShapeDtypeStruct((nz, n, nx), out_dtype),
         ),
     )(xr, xi, hr, hi, *consts_f, *consts_i)
     return yr, yi
@@ -635,12 +665,12 @@ def _dft_zx_fwd_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
     nz, ty, nx = xr_ref.shape
     n1 = n // _LANE
     rows = nz * ty
-    x2r = xr_ref[:].reshape(rows, n)
+    x2r = xr_ref[:].astype(jnp.float32).reshape(rows, n)
     xs_r = [x2r[:, p * _LANE:(p + 1) * _LANE] for p in range(n1)]
     if real_in:
         xs_i = None
     else:
-        x2i = xi_ref[:].reshape(rows, n)
+        x2i = xi_ref[:].astype(jnp.float32).reshape(rows, n)
         xs_i = [x2i[:, p * _LANE:(p + 1) * _LANE] for p in range(n1)]
     w2r = w2r_ref[:]
     w2i = w2i_ref[:]
@@ -665,8 +695,14 @@ def _dft_zx_fwd_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
         gr = dr.reshape(nz, ty * _LANE)
         gi = di.reshape(nz, ty * _LANE)
         zr, zi = _cdot(wzr, wzi, gr, gi)
-        or_ref[:, :, k * _LANE:(k + 1) * _LANE] = zr.reshape(nz, ty, _LANE)
-        oi_ref[:, :, k * _LANE:(k + 1) * _LANE] = zi.reshape(nz, ty, _LANE)
+        # reshape in 32-bit, cast at the store (16-bit shape casts are
+        # rejected by Mosaic)
+        or_ref[:, :, k * _LANE:(k + 1) * _LANE] = (
+            zr.reshape(nz, ty, _LANE).astype(or_ref.dtype)
+        )
+        oi_ref[:, :, k * _LANE:(k + 1) * _LANE] = (
+            zi.reshape(nz, ty, _LANE).astype(oi_ref.dtype)
+        )
 
 
 def _zx_inv_group(p, es_r, es_i, w1, want_imag):
@@ -699,8 +735,14 @@ def _zx_inv_stages(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
     wzi = wzi_ref[:]
     es_r, es_i = [], []
     for k in range(n1):
-        ar = xr_ref[:, :, k * _LANE:(k + 1) * _LANE].reshape(nz, ty * _LANE)
-        ai = xi_ref[:, :, k * _LANE:(k + 1) * _LANE].reshape(nz, ty * _LANE)
+        ar = (
+            xr_ref[:, :, k * _LANE:(k + 1) * _LANE]
+            .astype(jnp.float32).reshape(nz, ty * _LANE)
+        )
+        ai = (
+            xi_ref[:, :, k * _LANE:(k + 1) * _LANE]
+            .astype(jnp.float32).reshape(nz, ty * _LANE)
+        )
         zr, zi = _cdot(wzr, wzi, ar, ai)
         cr = zr.reshape(nz * ty, _LANE)
         ci = zi.reshape(nz * ty, _LANE)
@@ -725,9 +767,13 @@ def _dft_zx_inv_kernel(xr_ref, xi_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
     )
     for p in range(n1):
         yr, yi = _zx_inv_group(p, es_r, es_i, w1, want_imag=not real_out)
-        or_ref[:, :, p * _LANE:(p + 1) * _LANE] = yr.reshape(nz, ty, _LANE)
+        or_ref[:, :, p * _LANE:(p + 1) * _LANE] = (
+            yr.reshape(nz, ty, _LANE).astype(or_ref.dtype)
+        )
         if yi is not None:
-            oi_ref[:, :, p * _LANE:(p + 1) * _LANE] = yi.reshape(nz, ty, _LANE)
+            oi_ref[:, :, p * _LANE:(p + 1) * _LANE] = (
+                yi.reshape(nz, ty, _LANE).astype(oi_ref.dtype)
+            )
 
 
 _ZX_TY = 8  # sublane-minimal y rows per block: nz and nx are both full
@@ -756,17 +802,27 @@ def zx_supported(shape) -> bool:
     return io_bytes + live_bytes <= 12 * 1024 * 1024
 
 
-def dft_zx(xr, xi, *, inverse=False, real_output=False):
+def dft_zx(xr, xi, *, inverse=False, real_output=False,
+           out_dtype=jnp.float32):
     """Fused DFT along axes 0 and 2 of a 3D pair (one HBM pass for both);
-    caller checked :func:`zx_supported`."""
+    caller checked :func:`zx_supported`. Inputs may be bf16 (cast to f32
+    on load); ``out_dtype`` selects the stored dtype. 16-bit blocks need
+    16-row sublane tiles, so ty doubles when either side is 16-bit
+    (caller guarantees ``ny % 16 == 0`` via :func:`zx_supported` +
+    `mmfft.conv_pair_s`'s bf16 gate)."""
     nz, ny, nx = xr.shape
     n1 = nx // _LANE
     w1, consts = _ct_const_args(nx, inverse)
     wz = _consts_dense(nz, inverse)
     wzr = jnp.asarray(wz.real.copy())
     wzi = jnp.asarray(wz.imag.copy())
-    grid = (ny // _ZX_TY,)
-    spec = pl.BlockSpec((nz, _ZX_TY, nx), lambda j: (0, j, 0),
+    any16 = (
+        jnp.dtype(out_dtype).itemsize == 2
+        or jnp.dtype(xr.dtype).itemsize == 2
+    )
+    ty = 2 * _ZX_TY if any16 and ny % (2 * _ZX_TY) == 0 else _ZX_TY
+    grid = (ny // ty,)
+    spec = pl.BlockSpec((nz, ty, nx), lambda j: (0, j, 0),
                         memory_space=pltpu.VMEM)
     real_in = xi is None
     if real_in and inverse:
@@ -775,7 +831,7 @@ def dft_zx(xr, xi, *, inverse=False, real_output=False):
         xi = jnp.zeros_like(xr)
         real_in = False
     if real_in:
-        xi = jnp.zeros((8, 8, nx), jnp.float32)  # placeholder, never read
+        xi = jnp.zeros((8, 8, nx), xr.dtype)  # placeholder, never read
         xi_spec = pl.BlockSpec((8, 8, nx), lambda j: (0, 0, 0),
                                memory_space=pltpu.VMEM)
     else:
@@ -794,8 +850,8 @@ def dft_zx(xr, xi, *, inverse=False, real_output=False):
         in_specs=[spec, xi_spec] + _const_specs(n1) + [wz_spec, wz_spec],
         out_specs=(spec, spec),
         out_shape=(
-            jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32),
-            jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((nz, ny, nx), out_dtype),
+            jax.ShapeDtypeStruct((nz, ny, nx), out_dtype),
         ),
     )(xr, xi, *consts, wzr, wzi)
     return yr, (None if (inverse and real_output) else yi)

@@ -134,8 +134,27 @@ def _rlgc_core(
     otf_full = fftn_spec(padded_psf)
     otf_t_full = c_conj(otf_full)
     otf2_full = c_mul(otf_full, otf_t_full)
-    # Hᵀ·mask normalization, clamped (reference `rlgc.py:598-601`)
+    # Hᵀ·mask normalization, clamped (reference `rlgc.py:598-601`),
+    # computed from the f32 OTFs before any narrowing
     update_norm = jnp.maximum(fft_conv_full(mask, otf_t_full), 1e-6)
+
+    # resident OTF pairs in bf16 when the fused conv path stores bf16
+    # spectra (`pfft.spec_bf16`): 6 of the iteration's sweeps read OTFs,
+    # and the iteration is HBM-bound on the measured chip
+    from .mmfft import use_pfft as _use_pfft
+
+    if shape[1] % 16 == 0 and _use_pfft():
+        from . import pfft as _pfft
+
+        if (
+            _pfft.spec_bf16()
+            and _pfft.zx_supported(shape)
+            and _pfft.mid_conv_supported(shape)
+        ):
+            cast = lambda pair: tuple(a.astype(jnp.bfloat16) for a in pair)
+            otf_full = cast(otf_full)
+            otf_t_full = cast(otf_t_full)
+            otf2_full = cast(otf2_full)
 
     init_recon = jnp.full(
         shape, jnp.sum(observed * mask) / num_pixels, dtype=jnp.float32
@@ -180,8 +199,17 @@ def _rlgc_core(
             ratio1 = mask * (split1 / denom)
             ratio2 = mask * (split2 / denom)
         gr, gi = fft_conv_spec(ratio1, ratio2, otf_t_full)
-        ht1 = gr / update_norm
-        ht2 = gi / update_norm
+        # neutralize ht where the adjoint has no mask support: deep in
+        # the padding update_norm = H^T(mask) decays to its 1e-6 clamp
+        # (reference `rlgc.py:598-601`), so g/norm there is pure FFT
+        # rounding error amplified by up to 1e6 (with bf16 spectra it
+        # reached +-8e3 and its square leaked through the consensus
+        # convolution into border voxels, tripping the split-KLD stop
+        # on the first iteration). ht := 1 is the no-op update and
+        # contributes (ht-1) = 0 to the consensus, in every dot/spec
+        # mode.
+        ht1 = jnp.where(update_norm >= 1e-3, gr / update_norm, 1.0)
+        ht2 = jnp.where(update_norm >= 1e-3, gi / update_norm, 1.0)
         ht = ht1 + ht2
         consensus = fft_conv_full((ht1 - 1.0) * (ht2 - 1.0), otf2_full)
         if fused_ew:
@@ -380,7 +408,10 @@ def rlgc_diagnostics(
     pad_width = linear_fft_pad_width(image.shape, psf.shape)
     padded = pad_symmetric(jnp.asarray(image), pad_width)
     shape = padded.shape
-    mask = jnp.asarray(observed_region_mask(shape, pad_width))
+    # iota-built on device: a host mask constant closed over by the jitted
+    # iteration is embedded in the compile payload (~212 MB at production
+    # shapes), which the remote-compile relay rejects or stalls on
+    mask = observed_region_mask_device(shape, pad_width)
     num_pixels = float(np.prod([s - b - a for s, (b, a) in zip(shape, pad_width)]))
     padded_psf = pad_psf(jnp.asarray(psf), shape)
     # same dispatched full-spectrum pair transforms as `_rlgc_core` so the
@@ -391,8 +422,12 @@ def rlgc_diagnostics(
     update_norm = jnp.maximum(fft_conv_full(mask, otf_t_full), 1e-6)
     observed_int = padded.astype(jnp.int32)
 
+    # every array travels as an explicit argument — closure-captured
+    # concrete arrays become jaxpr constants embedded in the compile
+    # payload (the tunneled relay rejects >~100 MB bodies with HTTP 413)
     @jax.jit
-    def iteration(recon, key):
+    def iteration(recon, key, padded, observed_int, mask, otf_full,
+                  otf_t_full, otf2_full, update_norm):
         split1 = _binomial_half(key, observed_int)
         split2 = padded - split1
         Hu = fft_conv_full(recon, otf_full)
@@ -402,8 +437,17 @@ def rlgc_diagnostics(
         ratio1 = mask * (split1 / denom)
         ratio2 = mask * (split2 / denom)
         gr, gi = fft_conv_spec(ratio1, ratio2, otf_t_full)
-        ht1 = gr / update_norm
-        ht2 = gi / update_norm
+        # neutralize ht where the adjoint has no mask support: deep in
+        # the padding update_norm = H^T(mask) decays to its 1e-6 clamp
+        # (reference `rlgc.py:598-601`), so g/norm there is pure FFT
+        # rounding error amplified by up to 1e6 (with bf16 spectra it
+        # reached +-8e3 and its square leaked through the consensus
+        # convolution into border voxels, tripping the split-KLD stop
+        # on the first iteration). ht := 1 is the no-op update and
+        # contributes (ht-1) = 0 to the consensus, in every dot/spec
+        # mode.
+        ht1 = jnp.where(update_norm >= 1e-3, gr / update_norm, 1.0)
+        ht2 = jnp.where(update_norm >= 1e-3, gi / update_norm, 1.0)
         ht = ht1 + ht2
         consensus = fft_conv_full((ht1 - 1.0) * (ht2 - 1.0), otf2_full)
         new_recon = jnp.where(consensus < 0, recon, recon * ht)
@@ -421,7 +465,8 @@ def rlgc_diagnostics(
     prev_kld1 = prev_kld2 = np.inf
     for it in range(max_iters):
         new_recon, kld1, kld2, ht_min, ht_max, frac, max_rel = iteration(
-            recon, jax.random.fold_in(key, it)
+            recon, jax.random.fold_in(key, it), padded, observed_int,
+            mask, otf_full, otf_t_full, otf2_full, update_norm,
         )
         kld1, kld2 = float(kld1), float(kld2)
         restore = (

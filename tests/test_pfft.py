@@ -233,3 +233,25 @@ def test_dot_mode_accuracy(vol, mode, monkeypatch):
     if mode == "bf16x3":
         err = float(np.abs(np.asarray(yr) - np.asarray(rr)).max())
         assert err < 5e-4 * scale
+
+
+def test_conv_pair_s_bf16_spectra(vol, monkeypatch):
+    """bf16 intermediate spectra (`pfft.spec_bf16`) stay within ~1%
+    of the f32-spectrum convolution — the HBM-diet mode the TPU default
+    uses (docs/kernels.md r3f)."""
+    from merfish3d_tpu.ops import mmfft
+
+    monkeypatch.setenv("MERFISH3D_PFFT", "1")
+    monkeypatch.setattr(mmfft, "_PFFT_ENV", "1")
+    xr, _ = vol
+    rng = np.random.default_rng(11)
+    kern = rng.standard_normal(SHAPE).astype(np.float32)
+    monkeypatch.setenv("MERFISH3D_PFFT_SPEC", "f32")
+    with pltpu.force_tpu_interpret_mode():
+        H = mmfft.fftn_pair_s(jnp.asarray(kern))
+        rr, _ = mmfft.conv_pair_s(jnp.asarray(xr), None, H, real_output=True)
+    monkeypatch.setenv("MERFISH3D_PFFT_SPEC", "bf16")
+    with pltpu.force_tpu_interpret_mode():
+        yr, _ = mmfft.conv_pair_s(jnp.asarray(xr), None, H, real_output=True)
+    scale = float(np.abs(np.asarray(rr)).max())
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(rr), atol=1e-2 * scale)
