@@ -130,6 +130,137 @@ class UFishNet(nn.Module):
         return nn.sigmoid(x)
 
 
+def _use_fast_convs() -> bool:
+    """Route inference through the lane-packed Pallas convolutions
+    (`ops/conv2d.py`)? XLA's TPU conv runs the 3x3 C=32 layers at ~6% of
+    the measured MXU peak (32/128 of the array's rows AND columns busy);
+    the lane-packed kernel reaches the clean (M,128)@(128,128) shape.
+    ``MERFISH3D_UFISH_FAST=0|1`` overrides (auto: on TPU)."""
+    import os
+
+    env = os.environ.get("MERFISH3D_UFISH_FAST", "auto")
+    if env in ("0", "1"):
+        return env == "1"
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _fold_bn(kernel, bias, bn, stats, eps=1e-5):
+    """Fold inference-mode BatchNorm into the preceding conv's
+    kernel/bias: y = scale*(conv(x)+b-mean)/sqrt(var+eps) + shift."""
+    s = np.asarray(bn["scale"], np.float32) / np.sqrt(
+        np.asarray(stats["var"], np.float32) + eps
+    )
+    k = np.asarray(kernel, np.float32) * s
+    b = (np.asarray(bias, np.float32) - np.asarray(stats["mean"], np.float32)
+         ) * s + np.asarray(bn["bias"], np.float32)
+    return k, b
+
+
+class _FastUNet:
+    """U-FishNet inference via lane-packed Pallas convolutions.
+
+    Mirrors `UFishNet.__call__` layer-for-layer on the SAME param tree
+    (BN folded into conv weights at construction; bias+relu fused into
+    the kernel epilogue). Layers the kernel cannot take (Cin=1 first
+    conv, the 1-channel final conv) fall back to `lax.conv`.
+    """
+
+    def __init__(self, variables, net: "UFishNet"):
+        p = variables["params"]
+        stats = variables.get("batch_stats", {})
+        self.up_mode = net.up_mode
+        self.f = [net.base_features * d for d in net.depths]
+        self.n_levels = len(self.f)
+
+        def block(i):
+            bp, bs = p[f"ConvBlock_{i}"], stats.get(f"ConvBlock_{i}", {})
+            out = []
+            for j in (0, 1):
+                k = bp[f"Conv_{j}"]["kernel"]
+                b = bp[f"Conv_{j}"]["bias"]
+                if f"BatchNorm_{j}" in bs:
+                    out.append(_fold_bn(k, b, bp[f"BatchNorm_{j}"],
+                                        bs[f"BatchNorm_{j}"]))
+                else:  # stats absent (e.g. folded at export): BN = affine
+                    bn = bp[f"BatchNorm_{j}"]
+                    out.append(_fold_bn(k, b, bn, {
+                        "mean": np.zeros_like(bn["bias"]),
+                        "var": np.ones_like(bn["scale"]),
+                    }))
+            return out
+
+        self.blocks = [block(i) for i in range(2 * self.n_levels - 1)]
+        self.ups = []
+        n_up = self.n_levels - 1
+        for i in range(n_up):
+            name = ("ConvTranspose_" if self.up_mode == "convtranspose"
+                    else "Conv_") + str(i)
+            self.ups.append((
+                np.asarray(p[name]["kernel"], np.float32),
+                np.asarray(p[name]["bias"], np.float32),
+            ))
+        final_name = ("Conv_0" if self.up_mode == "convtranspose"
+                      else f"Conv_{n_up}")
+        self.final = (
+            np.asarray(p[final_name]["kernel"], np.float32),
+            np.asarray(p[final_name]["bias"], np.float32),
+        )
+
+    def _conv(self, x, k, b, act):
+        from ..ops.conv2d import conv2d_lanepack, supported
+
+        if supported(x.shape, k.shape):
+            return conv2d_lanepack(x, k, b, act=act)
+        y = jax.lax.conv_general_dilated(
+            x, jnp.asarray(k, x.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ) + jnp.asarray(b, jnp.float32)
+        if act == "relu":
+            y = jnp.maximum(y, 0.0)
+        elif act == "sigmoid":
+            y = jax.nn.sigmoid(y)
+        return y.astype(x.dtype)
+
+    def _up(self, x, idx):
+        k, b = self.ups[idx]
+        if self.up_mode == "convtranspose":
+            # k2 s2 transposed conv = 1x1 conv to (2*2*Co) channels +
+            # depth-to-space; flax places K[1-a, 1-b] at output
+            # sub-position (a, b) (transposed-conv kernel flip)
+            kh, kw, cin, co = k.shape
+            k = k[::-1, ::-1]
+            k1 = k.transpose(2, 0, 1, 3).reshape(1, 1, cin, kh * kw * co)
+            b1 = np.tile(b, kh * kw).reshape(kh * kw, co).reshape(-1)
+            y = self._conv(x, k1, b1, "none")
+            n, h, w, _ = y.shape
+            y = y.reshape(n, h, w, kh, kw, co)
+            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * kh, w * kw, co)
+            return y
+        n, h, w, c = x.shape
+        x = jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
+        return self._conv(x, k, b, "none")
+
+    def __call__(self, x):
+        skips = []
+        for i in range(self.n_levels - 1):
+            for k, b in self.blocks[i]:
+                x = self._conv(x, k, b, "relu")
+            skips.append(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        for k, b in self.blocks[self.n_levels - 1]:
+            x = self._conv(x, k, b, "relu")
+        for idx in range(self.n_levels - 1):
+            x = self._up(x, idx)
+            x = jnp.concatenate([x, skips[-1 - idx]], axis=-1)
+            for k, b in self.blocks[self.n_levels + idx]:
+                x = self._conv(x, k, b, "relu")
+        return self._conv(x, *self.final, "sigmoid")
+
+
 def _percentile_normalize(plane: jnp.ndarray) -> jnp.ndarray:
     """U-FISH input normalization: robust percentile scaling per plane.
 
@@ -182,11 +313,18 @@ class UFishPredictor:
             params = self.net.init(key, dummy)
         self.params = params
 
+        self._fast = _FastUNet(params, self.net) if _use_fast_convs() else None
+
         def _apply_net(params, chunk):
             # conv path in ``compute_dtype`` (default bf16: MXU-native, 2x
             # f32 throughput; probabilities in [0,1] keep ~3 significant
             # digits, far inside what a multiplicative spot weighting
             # needs). Normalization and the returned map stay f32.
+            # On TPU the convs run through the lane-packed Pallas kernel
+            # (`_FastUNet`); the Flax apply is the portable fallback.
+            if self._fast is not None:
+                out = self._fast(chunk[..., None].astype(self.compute_dtype))
+                return out[..., 0].astype(jnp.float32)
             p = jax.tree_util.tree_map(
                 lambda a: a.astype(self.compute_dtype), params
             )
