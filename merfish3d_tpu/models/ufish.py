@@ -132,19 +132,16 @@ class UFishNet(nn.Module):
 
 def _use_fast_convs() -> bool:
     """Route inference through the lane-packed Pallas convolutions
-    (`ops/conv2d.py`)? XLA's TPU conv runs the 3x3 C=32 layers at ~6% of
-    the measured MXU peak (32/128 of the array's rows AND columns busy);
-    the lane-packed kernel reaches the clean (M,128)@(128,128) shape.
-    ``MERFISH3D_UFISH_FAST=0|1`` overrides (auto: on TPU)."""
+    (`ops/conv2d.py`)? Off by default: the kernel beats `lax.conv` 1.8x
+    in ISOLATION (11.8 vs 6.5 TFLOP/s on the 3x3 C=32 layer), but on the
+    whole U-Net XLA wins 1.6x (77.8 vs 49.0 Mvox/s measured on v5e) —
+    with no custom-call fusion barriers XLA keeps one internal conv
+    layout across the chain and fuses BN/relu, while every Pallas call
+    re-materializes its packed operands. ``MERFISH3D_UFISH_FAST=1``
+    opts in (kernel-level probes; docs/kernels.md)."""
     import os
 
-    env = os.environ.get("MERFISH3D_UFISH_FAST", "auto")
-    if env in ("0", "1"):
-        return env == "1"
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    return os.environ.get("MERFISH3D_UFISH_FAST", "0") == "1"
 
 
 def _fold_bn(kernel, bias, bn, stats, eps=1e-5):
@@ -166,6 +163,14 @@ class _FastUNet:
     (BN folded into conv weights at construction; bias+relu fused into
     the kernel epilogue). Layers the kernel cannot take (Cin=1 first
     conv, the 1-channel final conv) fall back to `lax.conv`.
+
+    Activations flow between layers in the PACKED (N, H*W*C/128, 128)
+    byte view: the Pallas custom call materializes its operands/results
+    in the default layout of their stated shape, and a C<128-minor NHWC
+    shape pads lanes — measured 14 ms of relayout per full-res conv at
+    (4,2048,2048,32), 2.2x the kernel itself. Pool/upsample/concat run
+    as jnp ops on transient NHWC *views* (XLA picks internal layouts
+    freely when no custom call sees the NHWC shape).
     """
 
     def __init__(self, variables, net: "UFishNet"):
@@ -209,11 +214,38 @@ class _FastUNet:
             np.asarray(p[final_name]["bias"], np.float32),
         )
 
-    def _conv(self, x, k, b, act):
-        from ..ops.conv2d import conv2d_lanepack, supported
+    # -- packed helpers: (xp, h, w, c) where xp = NHWC bytes viewed as
+    #    (N, H*W*C/128, 128) when (W*C) % 128 == 0, else xp is NHWC --
 
-        if supported(x.shape, k.shape):
-            return conv2d_lanepack(x, k, b, act=act)
+    @staticmethod
+    def _packable(w, c):
+        return (w * c) % 128 == 0
+
+    @staticmethod
+    def _as_nhwc(xp, h, w, c):
+        n = xp.shape[0]
+        return xp if xp.ndim == 4 else xp.reshape(n, h, w, c)
+
+    @staticmethod
+    def _repack(x):
+        n, h, w, c = x.shape
+        if _FastUNet._packable(w, c):
+            return x.reshape(n, h * w * c // 128, 128)
+        return x
+
+    def _conv(self, xp, h, w, cin, k, b, act):
+        from ..ops.conv2d import conv2d_lanepack_packed, supported
+
+        n = xp.shape[0]
+        co = k.shape[-1]
+        if (
+            supported((n, h, w, cin), k.shape)
+            and self._packable(w, cin)
+            and self._packable(w, co)
+            and xp.ndim == 3
+        ):
+            return conv2d_lanepack_packed(xp, (h, w, cin), k, b, act=act)
+        x = self._as_nhwc(xp, h, w, cin)
         y = jax.lax.conv_general_dilated(
             x, jnp.asarray(k, x.dtype), (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -223,42 +255,69 @@ class _FastUNet:
             y = jnp.maximum(y, 0.0)
         elif act == "sigmoid":
             y = jax.nn.sigmoid(y)
-        return y.astype(x.dtype)
+        return self._repack(y.astype(x.dtype))
 
-    def _up(self, x, idx):
+    def _pool(self, xp, h, w, c):
+        x = self._as_nhwc(xp, h, w, c)
+        n = x.shape[0]
+        y = x.reshape(n, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
+        return self._repack(y)
+
+    def _up(self, xp, h, w, cin, idx):
         k, b = self.ups[idx]
         if self.up_mode == "convtranspose":
             # k2 s2 transposed conv = 1x1 conv to (2*2*Co) channels +
             # depth-to-space; flax places K[1-a, 1-b] at output
             # sub-position (a, b) (transposed-conv kernel flip)
-            kh, kw, cin, co = k.shape
-            k = k[::-1, ::-1]
-            k1 = k.transpose(2, 0, 1, 3).reshape(1, 1, cin, kh * kw * co)
+            kh, kw, _, co = k.shape
+            kf = k[::-1, ::-1]
+            k1 = kf.transpose(2, 0, 1, 3).reshape(1, 1, cin, kh * kw * co)
             b1 = np.tile(b, kh * kw).reshape(kh * kw, co).reshape(-1)
-            y = self._conv(x, k1, b1, "none")
-            n, h, w, _ = y.shape
+            yp = self._conv(xp, h, w, cin, k1, b1, "none")
+            n = yp.shape[0]
+            y = self._as_nhwc(yp, h, w, kh * kw * co)
             y = y.reshape(n, h, w, kh, kw, co)
             y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * kh, w * kw, co)
-            return y
-        n, h, w, c = x.shape
-        x = jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
-        return self._conv(x, k, b, "none")
+            return self._repack(y), co
+        x = self._as_nhwc(xp, h, w, cin)
+        n = x.shape[0]
+        x = jax.image.resize(x, (n, h * 2, w * 2, cin), method="nearest")
+        co = k.shape[-1]
+        return (
+            self._conv(self._repack(x), h * 2, w * 2, cin, k, b, "none"),
+            co,
+        )
 
     def __call__(self, x):
-        skips = []
+        n, h, w, c = x.shape
+        skips = []  # (xp, h, w, c)
+        xp = self._repack(x)
         for i in range(self.n_levels - 1):
             for k, b in self.blocks[i]:
-                x = self._conv(x, k, b, "relu")
-            skips.append(x)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                xp = self._conv(xp, h, w, c, k, b, "relu")
+                c = k.shape[-1]
+            skips.append((xp, h, w, c))
+            xp = self._pool(xp, h, w, c)
+            h, w = h // 2, w // 2
         for k, b in self.blocks[self.n_levels - 1]:
-            x = self._conv(x, k, b, "relu")
+            xp = self._conv(xp, h, w, c, k, b, "relu")
+            c = k.shape[-1]
         for idx in range(self.n_levels - 1):
-            x = self._up(x, idx)
-            x = jnp.concatenate([x, skips[-1 - idx]], axis=-1)
+            xp, c = self._up(xp, h, w, c, idx)
+            h, w = h * 2, w * 2
+            sp, sh, sw, sc = skips[-1 - idx]
+            xcat = jnp.concatenate(
+                [self._as_nhwc(xp, h, w, c), self._as_nhwc(sp, sh, sw, sc)],
+                axis=-1,
+            )
+            c = c + sc
+            xp = self._repack(xcat)
             for k, b in self.blocks[self.n_levels + idx]:
-                x = self._conv(x, k, b, "relu")
-        return self._conv(x, *self.final, "sigmoid")
+                xp = self._conv(xp, h, w, c, k, b, "relu")
+                c = k.shape[-1]
+        out = self._conv(xp, h, w, c, *self.final, "sigmoid")
+        co = self.final[0].shape[-1]
+        return self._as_nhwc(out, h, w, co)
 
 
 def _percentile_normalize(plane: jnp.ndarray) -> jnp.ndarray:

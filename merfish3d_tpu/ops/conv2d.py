@@ -153,9 +153,37 @@ def _conv_scan_kernel(x_ref, b_ref, *refs, tap_keys, wg, pad_lo_y,
 def conv2d_lanepack(x, w, b, *, act: str = "none", out_dtype=None):
     """Stride-1 SAME 2D convolution, (N, H, W, Cin) x (kh, kw, Cin, Co)
     -> (N, H, W, Co); caller checked :func:`supported`. ``w``/``b`` are
-    numpy (host) arrays — tap matrices are built at trace time."""
+    numpy (host) arrays — tap matrices are built at trace time.
+
+    NOTE the NHWC boundary cost: XLA materializes custom-call operands
+    and results in the default layout of their STATED shape, and a
+    C<128-minor NHWC shape pads the lane dimension (measured 25.7 vs
+    11.6 ms per (4,2048,2048,32) conv — the packed carry wins 2.2x).
+    Chains of convolutions should stay in the packed view between
+    layers via :func:`conv2d_lanepack_packed` (`_FastUNet` does)."""
     n, h, wd, cin = x.shape
+    co = w.shape[-1]
+    out = conv2d_lanepack_packed(
+        x.reshape(n, h * wd * cin // _LANE, _LANE), (h, wd, cin), w, b,
+        act=act, out_dtype=out_dtype,
+    )
+    return out.reshape(n, h, wd, co)
+
+
+def conv2d_lanepack_packed(xp, hwc, w, b, *, act: str = "none",
+                           out_dtype=None):
+    """Packed-I/O lane-packed conv: ``xp`` is the (N, H*W*Cin/128, 128)
+    byte view of an NHWC activation (a pure reshape of contiguous NHWC),
+    ``hwc`` its logical (H, W, Cin). Returns the packed view of the
+    (N, H, W, Co) output, ``(N, H*W*Co/128, 128)``. Keeping the custom
+    call's operands/results at 128-lane-minor shapes avoids the padded
+    NHWC layout materialization entirely. Requires (W*Co) % 128 == 0 in
+    addition to :func:`supported` on the logical shapes."""
+    h, wd, cin = (int(v) for v in hwc)
+    n = xp.shape[0]
     kh, kw, _, co = w.shape
+    if (wd * co) % _LANE != 0:
+        raise ValueError(f"packed output needs W*Co % 128 == 0, got {wd}x{co}")
     g = _LANE // cin
     wg = wd // g
     pad_lo_y = (kh - 1) // 2
@@ -173,7 +201,7 @@ def conv2d_lanepack(x, w, b, *, act: str = "none", out_dtype=None):
     n_blocks = h // ty
     grid = (n, n_blocks + 1)  # one step past the end (output lag)
 
-    xv = x.reshape(n, h * wg, _LANE)
+    xv = xp
     in_spec = pl.BlockSpec(
         (1, m_rows, _LANE),
         lambda b_, j: (b_, jnp.minimum(j, n_blocks - 1), 0),
@@ -194,12 +222,12 @@ def conv2d_lanepack(x, w, b, *, act: str = "none", out_dtype=None):
     )[None, :]
     b_spec = pl.BlockSpec((1, nl), lambda b_, j: (0, 0),
                           memory_space=pltpu.VMEM)
-    dtype = out_dtype or x.dtype
+    dtype = out_dtype or xp.dtype
     kern = partial(
         _conv_scan_kernel, tap_keys=tap_keys, wg=wg, pad_lo_y=pad_lo_y,
         n_blocks=n_blocks, act=act, out_dtype=dtype,
     )
-    tap_args = [jnp.asarray(mats[k], x.dtype) for k in tap_keys]
+    tap_args = [jnp.asarray(mats[k], xp.dtype) for k in tap_keys]
     halo = wg + 8
     out = pl.pallas_call(
         kern,
@@ -209,8 +237,9 @@ def conv2d_lanepack(x, w, b, *, act: str = "none", out_dtype=None):
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n, h * wg, nl), dtype),
         scratch_shapes=[
-            pltpu.VMEM((m_rows, _LANE), x.dtype),
-            pltpu.VMEM((halo, _LANE), x.dtype),
+            pltpu.VMEM((m_rows, _LANE), xp.dtype),
+            pltpu.VMEM((halo, _LANE), xp.dtype),
         ],
     )(xv, bias_tiled, *tap_args)
-    return out.reshape(n, h, wd, co)
+    # (n, h*wg, g*co) row-major == NHWC bytes: re-view as packed lanes
+    return out.reshape(n, h * wd * co // _LANE, _LANE)
