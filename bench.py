@@ -482,16 +482,16 @@ def bench_sofima(jax, jnp, sync) -> float:
         indexing="ij",
     )
     kern = np.exp(-(zz**2) / (2 * 1.0**2) - (yy**2 + xx**2) / (2 * 1.5**2))
-    fixed = np.asarray(
-        fft_conv_full(
-            impulses,
-            fftn_spec(pad_psf(jnp.asarray(kern, jnp.float32), impulses.shape)),
-        )
-        + 40.0,
-        np.float32,
-    )
-    moving = np.roll(fixed, (0, 3, -2), axis=(0, 1, 2))
+    fixed = fft_conv_full(
+        impulses,
+        fftn_spec(pad_psf(jnp.asarray(kern, jnp.float32), impulses.shape)),
+    ) + 40.0
+    moving = jnp.roll(fixed, (3, -2), axis=(1, 2))
 
+    # both volumes DEVICE-resident, as the production orchestrator passes
+    # them (pipeline/registration.py keeps reference_dev + the warped
+    # stack on device) — re-uploading two f32 volumes measures 4.8 s
+    # through the tunneled link, 4x the estimator itself
     cfg = SofimaRegistrationConfig(residual_iterations=1)
     flow, meta = estimate_sofima_flow_field_xyz_px(fixed, moving, cfg)  # warm
 

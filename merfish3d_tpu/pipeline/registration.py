@@ -363,6 +363,7 @@ class DataRegistration:
             ds.load_local_corrected_image(tile=tile_idx, round=0), np.float32
         )
         reference = self._deconvolve(ref_raw, fid_psf, seed=42 + tile_idx)
+        reference_dev = None  # lazy device copy for the deformable path
         ds.save_local_registered_image(
             np.clip(reference, 0, 65535).astype(np.uint16),
             tile=tile_idx,
@@ -492,9 +493,16 @@ class DataRegistration:
                     )
                     if self._deformable and warped is not None:
                         t0 = time.perf_counter()
+                        # both volumes stay device-resident: jnp.asarray
+                        # passes device arrays through, and re-uploading
+                        # two f32 volumes measures 4.8 s/pair through a
+                        # tunneled link (bench_sofima r3 probe)
+                        if reference_dev is None:
+                            reference_dev = jnp.asarray(
+                                reference, jnp.float32
+                            )
                         flow, meta = estimate_sofima_flow_field_xyz_px(
-                            reference, np.asarray(warped, np.float32),
-                            self._sofima_config,
+                            reference_dev, warped, self._sofima_config,
                         )
                         ds.save_local_sofima_flow_field(
                             flow,
