@@ -23,6 +23,7 @@ replacement for the reference's per-bit, per-plane ONNX sessions.
 
 from __future__ import annotations
 
+from functools import partial
 from pathlib import Path
 from typing import Optional, Sequence
 
@@ -156,6 +157,7 @@ def _fold_bn(kernel, bias, bn, stats, eps=1e-5):
     return k, b
 
 
+@jax.tree_util.register_pytree_node_class
 class _FastUNet:
     """U-FishNet inference via lane-packed Pallas convolutions.
 
@@ -214,6 +216,24 @@ class _FastUNet:
             np.asarray(p[final_name]["bias"], np.float32),
         )
 
+    # Registered as a pytree (weights = leaves, structure = aux) so jitted
+    # entry points take the net as an ARGUMENT instead of closing over it:
+    # a second predictor instance with the same shapes then hits the jit
+    # cache instead of re-tracing a U-Net full of baked weight constants
+    # (measured 13.8 s retrace+rehash per DataRegistration instance).
+    def tree_flatten(self):
+        children = (self.blocks, self.ups, self.final)
+        aux = (self.up_mode, tuple(self.f), self.n_levels)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.up_mode, f, obj.n_levels = aux
+        obj.f = list(f)
+        obj.blocks, obj.ups, obj.final = children
+        return obj
+
     # -- packed helpers: (xp, h, w, c) where xp = NHWC bytes viewed as
     #    (N, H*W*C/128, 128) when (W*C) % 128 == 0, else xp is NHWC --
 
@@ -270,9 +290,9 @@ class _FastUNet:
             # depth-to-space; flax places K[1-a, 1-b] at output
             # sub-position (a, b) (transposed-conv kernel flip)
             kh, kw, _, co = k.shape
-            kf = k[::-1, ::-1]
+            kf = jnp.asarray(k)[::-1, ::-1]
             k1 = kf.transpose(2, 0, 1, 3).reshape(1, 1, cin, kh * kw * co)
-            b1 = np.tile(b, kh * kw).reshape(kh * kw, co).reshape(-1)
+            b1 = jnp.tile(jnp.asarray(b), kh * kw)
             yp = self._conv(xp, h, w, cin, k1, b1, "none")
             n = yp.shape[0]
             y = self._as_nhwc(yp, h, w, kh * kw * co)
@@ -330,6 +350,63 @@ def _percentile_normalize(plane: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip((plane - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
 
 
+def _scan_net(apply_fn, planes, bs: int, pad_to: int):
+    """One XLA program for the whole volume: normalize, pad, and scan the
+    net over fixed-size plane batches. `lax.map` keeps only one batch's
+    activations live (a 50×2048²×32-channel level-1 activation alone is
+    26 GB — a one-shot apply cannot fit HBM at production shapes) while
+    the single dispatch avoids a host round-trip per batch (the per-chunk
+    Python loop cost ~21 s/tile through a tunneled device link)."""
+    n_planes, ny, nx = planes.shape
+    py = -(-ny // pad_to) * pad_to
+    px = -(-nx // pad_to) * pad_to
+    nc = -(-n_planes // bs)
+    planes = jax.vmap(_percentile_normalize)(planes)
+    planes = jnp.pad(
+        planes, ((0, 0), (0, py - ny), (0, px - nx)), mode="reflect"
+    )
+    planes = jnp.pad(planes, ((0, nc * bs - n_planes), (0, 0), (0, 0)))
+    chunks = planes.reshape(nc, bs, py, px)
+    out = jax.lax.map(apply_fn, chunks)
+    return out.reshape(nc * bs, py, px)[:n_planes, :ny, :nx]
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _init_params(net: "UFishNet", key, dummy):
+    return net.init(key, dummy)
+
+
+# Module-level jits with the weights as pytree ARGUMENTS: every predictor
+# instance with the same net structure and plane shape shares one compiled
+# program. (The previous per-instance `jax.jit(closure)` re-traced a U-Net
+# full of baked weight constants for every new DataRegistration /
+# PixelDecoder — 13.8 s per warm-cache pass in the e2e bench.)
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _run_fast(fast: "_FastUNet", planes, bs: int, pad_to: int, compute_dtype):
+    # conv path in ``compute_dtype`` (default bf16: MXU-native, 2x f32
+    # throughput; probabilities in [0,1] keep ~3 significant digits, far
+    # inside what a multiplicative spot weighting needs). Normalization
+    # and the returned map stay f32. On TPU the convs run through the
+    # lane-packed Pallas kernel (`_FastUNet`).
+    def apply_fn(chunk):
+        out = fast(chunk[..., None].astype(compute_dtype))
+        return out[..., 0].astype(jnp.float32)
+
+    return _scan_net(apply_fn, planes, bs, pad_to)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _run_flax(params, planes, bs: int, net: "UFishNet", pad_to: int,
+              compute_dtype):
+    # portable Flax fallback (non-TPU backends / unsupported shapes)
+    def apply_fn(chunk):
+        p = jax.tree_util.tree_map(lambda a: a.astype(compute_dtype), params)
+        out = net.apply(p, chunk[..., None].astype(compute_dtype))
+        return out[..., 0].astype(jnp.float32)
+
+    return _scan_net(apply_fn, planes, bs, pad_to)
+
+
 class UFishPredictor:
     """U-FISH CNN inference wrapper with the reference call contract."""
 
@@ -369,50 +446,13 @@ class UFishPredictor:
         if params is None:
             key = jax.random.PRNGKey(0)
             dummy = jnp.zeros((1, 64, 64, 1), jnp.float32)
-            params = self.net.init(key, dummy)
+            # one compiled program instead of eager op-by-op dispatch
+            # (measured 16.7 s eager on CPU, worse through a tunneled
+            # device link)
+            params = _init_params(self.net, key, dummy)
         self.params = params
 
         self._fast = _FastUNet(params, self.net) if _use_fast_convs() else None
-
-        def _apply_net(params, chunk):
-            # conv path in ``compute_dtype`` (default bf16: MXU-native, 2x
-            # f32 throughput; probabilities in [0,1] keep ~3 significant
-            # digits, far inside what a multiplicative spot weighting
-            # needs). Normalization and the returned map stay f32.
-            # On TPU the convs run through the lane-packed Pallas kernel
-            # (`_FastUNet`); the Flax apply is the portable fallback.
-            if self._fast is not None:
-                out = self._fast(chunk[..., None].astype(self.compute_dtype))
-                return out[..., 0].astype(jnp.float32)
-            p = jax.tree_util.tree_map(
-                lambda a: a.astype(self.compute_dtype), params
-            )
-            out = self.net.apply(p, chunk[..., None].astype(self.compute_dtype))
-            return out[..., 0].astype(jnp.float32)
-
-        def _run(params, planes, bs):
-            # one XLA program for the whole volume: normalize, pad, and
-            # scan the net over fixed-size plane batches. `lax.map` keeps
-            # only one batch's activations live (a 50×2048²×32-channel
-            # level-1 activation alone is 26 GB — a one-shot apply cannot
-            # fit HBM at production shapes) while the single dispatch
-            # avoids a host round-trip per batch (the per-chunk Python
-            # loop cost ~21 s/tile through a tunneled device link — each
-            # eager slice/pad/readback is a link round trip).
-            n_planes, ny, nx = planes.shape
-            py = -(-ny // self.pad_to) * self.pad_to
-            px = -(-nx // self.pad_to) * self.pad_to
-            nc = -(-n_planes // bs)
-            planes = jax.vmap(_percentile_normalize)(planes)
-            planes = jnp.pad(
-                planes, ((0, 0), (0, py - ny), (0, px - nx)), mode="reflect"
-            )
-            planes = jnp.pad(planes, ((0, nc * bs - n_planes), (0, 0), (0, 0)))
-            chunks = planes.reshape(nc, bs, py, px)
-            out = jax.lax.map(lambda c: _apply_net(params, c), chunks)
-            return out.reshape(nc * bs, py, px)[:n_planes, :ny, :nx]
-
-        self._run = jax.jit(_run, static_argnums=(2,))
 
     def predict_device(self, planes, batch_size: int = 8):
         """Device-in/device-out prediction over (N, Y, X) planes: no
@@ -420,7 +460,13 @@ class UFishPredictor:
         (which measures the device rate like every other stage) feed the
         decon output straight in."""
         bs = min(max(1, int(batch_size)), planes.shape[0])
-        return self._run(self.params, planes, bs)
+        if self._fast is not None:
+            return _run_fast(
+                self._fast, planes, bs, self.pad_to, self.compute_dtype
+            )
+        return _run_flax(
+            self.params, planes, bs, self.net, self.pad_to, self.compute_dtype
+        )
 
     def predict(self, volume: np.ndarray, batch_size: int = 8) -> np.ndarray:
         """Per-plane prediction over a (Z, Y, X) volume → probabilities."""
@@ -446,6 +492,20 @@ class UFishPredictor:
         )
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _dog_predict(vol, sigma_spot: float, sigma_bg: float, gain: float,
+                 center: float):
+    """Module-level jit shared by every DoGSpotPredictor instance (a
+    per-instance jit closure re-traced per pipeline-object construction)."""
+    fine = gaussian_lowpass(vol, sigma=(0.0, sigma_spot, sigma_spot))
+    coarse = gaussian_lowpass(vol, sigma=(0.0, sigma_bg, sigma_bg))
+    dog = fine - coarse
+    # robust per-plane scale: median absolute DoG response
+    mad = jnp.median(jnp.abs(dog), axis=(-2, -1), keepdims=True)
+    score = dog / jnp.maximum(mad * 1.4826, 1e-6)
+    return jax.nn.sigmoid(gain * (score - center))
+
+
 class DoGSpotPredictor:
     """Deterministic spot-probability fallback: per-plane difference of
     Gaussians matched to the diffraction-limited spot scale, rescaled by a
@@ -468,24 +528,20 @@ class DoGSpotPredictor:
         # intensity (measured: cells/1.0um F1 0.63 -> 0.94 moving the
         # center from 2 to 5 MAD; docs/f1_ablation.md)
         self.center = float(center)
-        self._fn = jax.jit(self._predict_volume)
 
     def _predict_volume(self, vol: jnp.ndarray) -> jnp.ndarray:
-        fine = gaussian_lowpass(vol, sigma=(0.0, self.sigma_spot, self.sigma_spot))
-        coarse = gaussian_lowpass(vol, sigma=(0.0, self.sigma_bg, self.sigma_bg))
-        dog = fine - coarse
-        # robust per-plane scale: median absolute DoG response
-        mad = jnp.median(jnp.abs(dog), axis=(-2, -1), keepdims=True)
-        score = dog / jnp.maximum(mad * 1.4826, 1e-6)
-        return jax.nn.sigmoid(self.gain * (score - self.center))
+        return _dog_predict(vol, self.sigma_spot, self.sigma_bg,
+                            self.gain, self.center)
 
     def predict(self, volume: np.ndarray, batch_size: int = 8) -> np.ndarray:
-        out = self._fn(jnp.asarray(volume, jnp.float32))
+        out = self._predict_volume(jnp.asarray(volume, jnp.float32))
         return np.asarray(out, np.float32)
 
     def predict_batch_device(self, volumes):
         """Device-in/device-out batched (bits, Z, Y, X) prediction."""
-        return jax.vmap(self._fn)(jnp.asarray(volumes, jnp.float32))
+        return jax.vmap(self._predict_volume)(
+            jnp.asarray(volumes, jnp.float32)
+        )
 
     def predict_batch(self, volumes: np.ndarray) -> np.ndarray:
         """Batched (bits, Z, Y, X) prediction in one fused program."""

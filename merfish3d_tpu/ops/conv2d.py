@@ -43,7 +43,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -75,23 +74,31 @@ def supported(shape, kernel_shape) -> bool:
     return g * co >= 8
 
 
-def _tap_matrices(w: np.ndarray, g: int) -> dict[tuple[int, int], np.ndarray]:
+def _tap_matrices(w, g: int) -> dict:
     """(dy, s) -> (128, g*Co) f32 shift matrices for SAME conv.
 
     out px (g*m + q) pulls in px (g*m + q + dx - pad_lo) = g*(m+s) + p;
-    accumulate K[dy, dx, ci, co] into W[dy,s][p*C+ci, q*Co+co]."""
+    accumulate K[dy, dx, ci, co] into W[dy,s][p*C+ci, q*Co+co].
+
+    Built with jnp so ``w`` may be a tracer (weights are jit ARGUMENTS,
+    not baked constants — see `_FastUNet.tree_flatten`); the matrices are
+    a few hundred KB total, so the per-call scatter is noise next to the
+    convolution itself."""
     kh, kw, cin, co = w.shape
     pad_lo = (kw - 1) // 2
-    mats: dict[tuple[int, int], np.ndarray] = {}
+    w = jnp.asarray(w, jnp.float32)
+    mats: dict = {}
     for dy in range(kh):
         for dx in range(kw):
             for q in range(g):
                 t = q + dx - pad_lo
                 s, p = divmod(t, g)
-                m = mats.setdefault(
-                    (dy, s), np.zeros((_LANE, g * co), np.float32)
-                )
-                m[p * cin:(p + 1) * cin, q * co:(q + 1) * co] += w[dy, dx]
+                m = mats.get((dy, s))
+                if m is None:
+                    m = jnp.zeros((_LANE, g * co), jnp.float32)
+                mats[(dy, s)] = m.at[
+                    p * cin:(p + 1) * cin, q * co:(q + 1) * co
+                ].add(w[dy, dx])
     return mats
 
 
@@ -187,7 +194,7 @@ def conv2d_lanepack_packed(xp, hwc, w, b, *, act: str = "none",
     g = _LANE // cin
     wg = wd // g
     pad_lo_y = (kh - 1) // 2
-    mats = _tap_matrices(np.asarray(w, np.float32), g)
+    mats = _tap_matrices(w, g)
     tap_keys = sorted(mats.keys())
     nl = g * co  # output lanes per row
 
@@ -217,9 +224,7 @@ def conv2d_lanepack_packed(xp, hwc, w, b, *, act: str = "none",
                      memory_space=pltpu.VMEM)
         for _ in tap_keys
     ]
-    bias_tiled = jnp.asarray(
-        np.tile(np.asarray(b, np.float32), g), jnp.float32
-    )[None, :]
+    bias_tiled = jnp.tile(jnp.asarray(b, jnp.float32), g)[None, :]
     b_spec = pl.BlockSpec((1, nl), lambda b_, j: (0, 0),
                           memory_space=pltpu.VMEM)
     dtype = out_dtype or xp.dtype

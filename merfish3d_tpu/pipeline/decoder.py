@@ -57,6 +57,20 @@ def _masked_union_median(sorted_vals, n_finite):
     return jnp.where(n_finite > 0, mid, jnp.float32(0.0))
 
 
+@partial(jax.jit, static_argnames=("z_start", "z_stop", "hot_threshold",
+                                   "sigma"))
+def _seed_lowpass_program(stack, z_start: int, z_stop: int,
+                          hot_threshold: float, sigma):
+    """Hot-pixel replace + z-crop + lowpass for one tile's (bits, z, y, x)
+    stack, module-level so repeated PixelDecoder instances share the
+    compiled program."""
+    mid = stack[:, stack.shape[1] // 2]
+    med = jnp.median(mid, axis=(1, 2))
+    cleaned = jnp.where(stack > hot_threshold, med[:, None, None, None], stack)
+    sliced = cleaned[:, z_start:z_stop]
+    return jax.vmap(lambda v: gaussian_lowpass(v, sigma=sigma))(sliced)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -512,21 +526,15 @@ class PixelDecoder:
         if self._n_merfish_bits * vol_f32 * len(tiles) > (16 << 30):
             return None
 
-        @partial(jax.jit, static_argnames=("z_start", "z_stop"))
-        def program(stack, z_start, z_stop):
-            mid = stack[:, stack.shape[1] // 2]
-            med = jnp.median(mid, axis=(1, 2))
-            cleaned = jnp.where(
-                stack > hot_pixel_threshold, med[:, None, None, None], stack
-            )
-            sliced = cleaned[:, z_start:z_stop]
-            return jax.vmap(lambda v: gaussian_lowpass(v, sigma=sigma))(sliced)
-
+        sigma_t = tuple(float(s) for s in sigma)
         stacks = []
         for tile_id in tiles:
             stack = self._load_warped_bit_stack(tile_id)
             zsl = self._z_slice(stack.shape[1])
-            lp = program(jnp.asarray(stack), zsl.start, zsl.stop)
+            lp = _seed_lowpass_program(
+                jnp.asarray(stack), zsl.start, zsl.stop,
+                float(hot_pixel_threshold), sigma_t,
+            )
             stacks.append(np.asarray(lp, np.float32))
         return stacks
 
