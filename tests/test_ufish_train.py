@@ -98,3 +98,30 @@ def test_trained_unet_e2e_f1_ab(tmp_path):
     assert results["dog"] >= 0.85
     # the CNN path must be functional end-to-end, not wildly behind
     assert results["unet"] >= 0.7, results
+
+
+def test_predictor_instances_share_compiled_programs():
+    """Construction of a second predictor with the same net structure and
+    plane shapes must hit the module-level jit cache instead of re-tracing
+    a U-Net full of baked weight constants (measured 13.8 s retrace per
+    DataRegistration/PixelDecoder instance before the programs took the
+    weights as pytree arguments)."""
+    import jax.numpy as jnp
+
+    from merfish3d_tpu.models import ufish as m
+
+    planes = jnp.zeros((3, 48, 48), jnp.float32)
+
+    runner = m._run_fast if m._use_fast_convs() else m._run_flax
+    base = runner._cache_size()
+    variables = train_ufish(steps=1, base_features=4, size=48, seed=0)
+    for _ in range(2):
+        pred = UFishPredictor(params=variables)
+        np.asarray(pred.predict_device(planes))
+    assert runner._cache_size() == base + 1
+
+    dog_base = m._dog_predict._cache_size()
+    for _ in range(2):
+        dog = DoGSpotPredictor()
+        np.asarray(dog.predict(np.zeros((3, 48, 48), np.float32)))
+    assert m._dog_predict._cache_size() == dog_base + 1
