@@ -466,7 +466,11 @@ def fused_decode_volume(
         return np.asarray(vals.astype(jnp.float32))[:, :n]
 
     bf16 = np.dtype(ml_dtypes.bfloat16)
-    vol = np.asarray(bit_volume, np.float32)
+    # device-resident input (the decoder's warp output) skips the host
+    # bounce entirely on the fits-HBM path; the streaming fallback needs
+    # host slicing, so only then is a device input read back
+    is_device = isinstance(bit_volume, jax.Array)
+    vol = bit_volume if is_device else np.asarray(bit_volume, np.float32)
     bits, nz, ny, nx = vol.shape
     cb_t = jnp.asarray(normalize_codebook(codebook_matrix).T)
     bg = jnp.asarray(background, jnp.float32)
@@ -488,7 +492,9 @@ def fused_decode_volume(
         * ((ny + 64) / ny)  # conservative y block-lcm allowance
     )
     if (1 + 3.0 * inflation) * vol.nbytes <= hbm_budget_bytes:
-        d, m, di, s = fused_lowpass_decode(jnp.asarray(vol), cb_t, bg, norm, **kw)
+        d, m, di, s = fused_lowpass_decode(
+            jnp.asarray(vol, jnp.float32), cb_t, bg, norm, **kw
+        )
         if scaled_as == "gather":
             d_host, m_host, di_host = _packed_readback(d, m, di)
             f = np.flatnonzero(d_host >= 0)
@@ -501,6 +507,8 @@ def fused_decode_volume(
         return (d_host, m_host, di_host, np.asarray(s))
 
     ry = int(4.0 * sigma[1] + 0.5) if sigma[1] > 0 else 0
+    if is_device:  # the y-slab stream slices/pads on the host
+        vol = np.asarray(vol, np.float32)
     decoded = np.empty((nz, ny, nx), np.int16)
     mag = np.empty((nz, ny, nx), bf16)
     dist = np.empty((nz, ny, nx), bf16)

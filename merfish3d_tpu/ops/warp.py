@@ -520,6 +520,68 @@ def _sub_batches(
         yield s, min(n_items, s + max_b)
 
 
+def _affine_batch_classes(transforms_zyx_um, spacing_zyx_um, n: int):
+    """Shared host-side precompute for the batched affine warps: pixel
+    matrices/offsets plus the translate/diagonal/general class split."""
+    mats = np.empty((n, 3, 3), np.float32)
+    offs = np.empty((n, 3), np.float32)
+    for i in range(n):
+        mats[i], offs[i] = transform_to_pixel(transforms_zyx_um[i], spacing_zyx_um)
+    diag = np.array(
+        [np.allclose(m, np.diag(np.diag(m)), atol=1e-8) for m in mats]
+    )
+    ident = diag & np.array(
+        [np.allclose(np.diag(m), 1.0, atol=1e-6) for m in mats]
+    )
+    classes = (
+        (np.flatnonzero(ident), "translate"),
+        (np.flatnonzero(diag & ~ident), "diagonal"),
+        (np.flatnonzero(~diag), "general"),
+    )
+    return mats, offs, classes
+
+
+def warp_affine_batch_device(
+    images,  # (B, z, y, x) device (or host) array
+    transforms_zyx_um: np.ndarray,  # (B, 4, 4)
+    spacing_zyx_um,
+):
+    """Device-in/device-out batched affine warps: numerics identical to
+    `warp_affine_batch`, but the warped stack never leaves HBM — the
+    decode path feeds it straight into the fused lowpass+decode, which
+    removes a full (bits, z, y, x) f32 readback AND its re-upload from
+    every tile decode (the dominant link cost through a tunneled device).
+    The caller guarantees the working set fits HBM (`pipeline/decoder.py`
+    gates residency on the fused-decode budget estimate)."""
+    images = jnp.asarray(images, jnp.float32)
+    n = images.shape[0]
+    mats, offs, classes = _affine_batch_classes(
+        transforms_zyx_um, spacing_zyx_um, n
+    )
+    out = images
+    for idx, kind in classes:
+        if idx.size == 0:
+            continue
+        sel = jnp.asarray(idx)
+        imgs = jnp.take(images, sel, axis=0)
+        if kind == "translate":
+            res = _translate_volume_batch(imgs, jnp.asarray(offs[idx]))
+        elif kind == "diagonal":
+            scales = np.stack([np.diag(mats[i]) for i in idx])
+            res = _separable_diagonal_batch(
+                imgs, jnp.asarray(scales), jnp.asarray(offs[idx])
+            )
+        else:
+            res = _affine_warp_core_batch(
+                imgs,
+                jnp.asarray(mats[idx]),
+                jnp.asarray(offs[idx]),
+                reference_shape=tuple(images.shape[1:]),
+            )
+        out = out.at[sel].set(res)
+    return out
+
+
 def warp_affine_batch(
     images: np.ndarray,  # (B, z, y, x)
     transforms_zyx_um: np.ndarray,  # (B, 4, 4)
@@ -538,20 +600,8 @@ def warp_affine_batch(
     images = np.ascontiguousarray(images, dtype=np.float32)
     n = images.shape[0]
     out = np.empty_like(images)
-    mats = np.empty((n, 3, 3), np.float32)
-    offs = np.empty((n, 3), np.float32)
-    for i in range(n):
-        mats[i], offs[i] = transform_to_pixel(transforms_zyx_um[i], spacing_zyx_um)
-    diag = np.array(
-        [np.allclose(m, np.diag(np.diag(m)), atol=1e-8) for m in mats]
-    )
-    ident = diag & np.array(
-        [np.allclose(np.diag(m), 1.0, atol=1e-6) for m in mats]
-    )
-    classes = (
-        (np.flatnonzero(ident), "translate"),
-        (np.flatnonzero(diag & ~ident), "diagonal"),
-        (np.flatnonzero(~diag), "general"),
+    mats, offs, classes = _affine_batch_classes(
+        transforms_zyx_um, spacing_zyx_um, n
     )
     item_bytes = images[0].nbytes
     for idx, kind in classes:
@@ -581,6 +631,69 @@ def warp_affine_batch(
                 )
             out[sel] = np.asarray(res)
     return out
+
+
+def warp_affine_plus_flow_batch_device(
+    images,  # (B, z, y, x) device (or host) array
+    flows_xyz: np.ndarray,  # (B, 3, fz, fy, fx)
+    transforms_zyx_um: np.ndarray,  # (B, 4, 4)
+    spacing_zyx_um,
+    map_strides_zyx_px: np.ndarray,  # (B, 3)
+    map_box_starts_xyz_px: np.ndarray,  # (B, 3)
+    *,
+    z_chunk: int = 4,
+):
+    """Device-in/device-out batched composed affine+flow warps — same
+    numerics and path selection as `warp_affine_plus_flow_batch`, single
+    dispatch (the caller guarantees the working set fits HBM)."""
+    images = jnp.asarray(images, jnp.float32)
+    n = images.shape[0]
+    out_shape = tuple(images.shape[1:])
+    mats = np.empty((n, 3, 3), np.float32)
+    offs = np.empty((n, 3), np.float32)
+    for i in range(n):
+        mats[i], offs[i] = transform_to_pixel(transforms_zyx_um[i], spacing_zyx_um)
+    box_zyx = np.asarray(map_box_starts_xyz_px, np.float32)[:, ::-1].copy()
+    flows_np = np.asarray(flows_xyz, np.float32)
+    k_ranges = None
+    per_item = [
+        _separable_flow_bounds(mats[i], offs[i], flows_np[i], out_shape)
+        for i in range(n)
+    ]
+    if all(r is not None for r in per_item):
+        merged = tuple(
+            (min(r[ax][0] for r in per_item), max(r[ax][1] for r in per_item))
+            for ax in range(3)
+        )
+        if sum(k1 - k0 + 1 for k0, k1 in merged) <= _SEPARABLE_FLOW_MAX_TERMS:
+            k_ranges = merged
+    if k_ranges is not None:
+        scales = np.stack([np.diag(mats[i]) for i in range(n)]).astype(np.float32)
+        core = jax.vmap(
+            lambda im, fl, sc, of, st, bs: _flow_warp_separable_core(
+                im, fl, sc, of, st, bs,
+                k_ranges=k_ranges,
+                out_shape=out_shape,
+            )
+        )
+        return core(
+            images,
+            jnp.asarray(flows_np),
+            jnp.asarray(scales),
+            jnp.asarray(offs),
+            jnp.asarray(map_strides_zyx_px, jnp.float32),
+            jnp.asarray(box_zyx),
+        )
+    return _affine_flow_warp_core_batch(
+        images,
+        jnp.asarray(flows_np),
+        jnp.asarray(mats),
+        jnp.asarray(offs),
+        jnp.asarray(map_strides_zyx_px, jnp.float32),
+        jnp.asarray(box_zyx),
+        reference_shape=out_shape,
+        z_chunk=z_chunk,
+    )
 
 
 def warp_affine_plus_flow_batch(

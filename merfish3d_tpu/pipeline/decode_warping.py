@@ -69,6 +69,7 @@ def warp_bit_images_to_reference(
     tile,
     bit_ids,
     emission_wavelengths_um,
+    out: str = "host",
 ) -> np.ndarray:
     """Warp ALL readout bits of a tile into the round-1 frame in a few
     batched device dispatches (identity bits pass through; affine-only
@@ -76,10 +77,16 @@ def warp_bit_images_to_reference(
     warp). Numerics identical to per-bit `warp_bit_image_to_reference` —
     the batching replaces the reference's per-bit warp loop
     (`PixelDecoder._load_bit_data:1476-1595`) whose per-dispatch
-    host↔device round trips dominate warm per-tile wall-clock."""
+    host↔device round trips dominate warm per-tile wall-clock.
+
+    ``out="device"`` returns the warped stack as a device array (single
+    dispatch per warp class, caller guarantees HBM fit): the decoder
+    feeds it straight into the fused lowpass+decode, skipping a full
+    f32 stack readback + re-upload per tile."""
     from ..ops.warp import warp_affine_batch, warp_affine_plus_flow_batch
 
-    images = np.ascontiguousarray(images, dtype=np.float32)
+    if out == "host":
+        images = np.ascontiguousarray(images, dtype=np.float32)
     n = images.shape[0]
     spacing = datastore.voxel_size_zyx_um
     transforms = np.empty((n, 4, 4), np.float32)
@@ -104,7 +111,6 @@ def warp_bit_images_to_reference(
             if flow_cache[round_id] is not None:
                 flows[i] = flow_cache[round_id]
 
-    out = np.empty_like(images)
     eye = np.eye(4, dtype=np.float32)
     ident = [
         i
@@ -113,13 +119,7 @@ def warp_bit_images_to_reference(
     ]
     affine_only = [i for i in range(n) if i not in flows and i not in ident]
     flow_idx = sorted(flows)
-    for i in ident:
-        out[i] = images[i]
-    if affine_only:
-        sel = np.asarray(affine_only)
-        out[sel] = warp_affine_batch(images[sel], transforms[sel], spacing)
     if flow_idx:
-        sel = np.asarray(flow_idx)
         flow_stack = np.stack([np.asarray(flows[i][0], np.float32) for i in flow_idx])
         strides = np.stack(
             [
@@ -133,10 +133,51 @@ def warp_bit_images_to_reference(
                 for i in flow_idx
             ]
         )
-        out[sel] = warp_affine_plus_flow_batch(
+
+    if out == "device":
+        import jax.numpy as jnp
+
+        from ..ops.warp import (
+            warp_affine_batch_device,
+            warp_affine_plus_flow_batch_device,
+        )
+
+        res = jnp.asarray(images, jnp.float32)
+        if affine_only:
+            sel = np.asarray(affine_only)
+            res = res.at[jnp.asarray(sel)].set(
+                warp_affine_batch_device(
+                    jnp.take(res, jnp.asarray(sel), axis=0),
+                    transforms[sel],
+                    spacing,
+                )
+            )
+        if flow_idx:
+            sel = np.asarray(flow_idx)
+            res = res.at[jnp.asarray(sel)].set(
+                warp_affine_plus_flow_batch_device(
+                    jnp.take(res, jnp.asarray(sel), axis=0),
+                    flow_stack,
+                    transforms[sel],
+                    spacing,
+                    strides,
+                    box_starts,
+                )
+            )
+        return res
+
+    out_arr = np.empty_like(images)
+    for i in ident:
+        out_arr[i] = images[i]
+    if affine_only:
+        sel = np.asarray(affine_only)
+        out_arr[sel] = warp_affine_batch(images[sel], transforms[sel], spacing)
+    if flow_idx:
+        sel = np.asarray(flow_idx)
+        out_arr[sel] = warp_affine_plus_flow_batch(
             images[sel], flow_stack, transforms[sel], spacing, strides, box_starts
         )
-    return out
+    return out_arr
 
 
 def warp_bit_image_to_reference(

@@ -16,6 +16,7 @@ contract to the reference (per-tile parquet schema, thresholds, vectors).
 from __future__ import annotations
 
 import json
+import os
 import random
 import time
 from functools import partial
@@ -322,7 +323,7 @@ class PixelDecoder:
             emission_wavelength_um=em_wvl,
         )
 
-    def _load_warped_bit_stack(self, tile_id) -> np.ndarray:
+    def _load_warped_bit_stack(self, tile_id, device_ok: bool = True) -> np.ndarray:
         """All merfish bits of a tile as one warped (bits, z, y, x) stack.
         The per-bit warps batch into a handful of device dispatches
         (`decode_warping.warp_bit_images_to_reference`) instead of one
@@ -333,6 +334,7 @@ class PixelDecoder:
         # chunk decodes in its native thread pool instead of serializing
         # (reads + the np.stack copy were the dominant host cost of the
         # warm decode pass in the e2e profile)
+        on_tpu = jax.devices()[0].platform == "tpu"
         reads = []
         for b in bits:
             reads.append((
@@ -359,20 +361,40 @@ class PixelDecoder:
             else:
                 stack[i] = decon
             ems.append(ds.load_local_wavelengths_um(tile=tile_id, bit=b)[1])
+        # keep the warped stack device-resident when the fused-decode
+        # working set fits HBM (padded-intermediate estimate matching
+        # `fused_decode_volume`, plus headroom for a prefetched sibling
+        # tile): decode then reads it straight from HBM, skipping a full
+        # f32 stack readback + re-upload per tile
+        bits_n, _, ny, nx = stack.shape
+        inflation = (
+            (max(8, -(-bits_n // 8) * 8) / bits_n)
+            * ((-(-nx // 128) * 128) / nx)
+            * ((ny + 64) / ny)
+        )
+        mode = os.environ.get("MERFISH3D_DECODE_DEVICE_STACK", "auto")
+        device_out = device_ok and (
+            mode == "1"
+            if mode in ("0", "1")
+            else on_tpu and (2 + 3.0 * inflation) * stack.nbytes <= (12 << 30)
+        )
         return decode_warping.warp_bit_images_to_reference(
             stack,
             datastore=ds,
             tile=tile_id,
             bit_ids=bits,
             emission_wavelengths_um=ems,
+            out="device" if device_out else "host",
         )
 
-    def _load_bit_data_for(self, tile_idx: int) -> dict:
+    def _load_bit_data_for(self, tile_idx: int, device_ok: bool = True) -> dict:
         """Thread-safe tile load: returns the warped bit stack plus the
         global coordinate state as a snapshot (no instance mutation, so the
-        prefetcher may run it on a worker thread)."""
+        prefetcher may run it on a worker thread). ``device_ok=False``
+        forces a host stack (the mesh fan-out re-shards host arrays and
+        must not pin n_dev device-resident tiles)."""
         tile_id = self._datastore.tile_ids[tile_idx]
-        stack = self._load_warped_bit_stack(tile_id)
+        stack = self._load_warped_bit_stack(tile_id, device_ok=device_ok)
         zsl = self._z_slice(stack.shape[1])
         return {
             "image_data": stack[:, zsl],
@@ -383,7 +405,8 @@ class PixelDecoder:
     def _load_bit_data(self, tile_idx: int) -> np.ndarray:
         loaded = self._load_bit_data_for(tile_idx)
         self._apply_tile_state(loaded)
-        return loaded["image_data"]
+        # reference-compat accessor contract is a host array
+        return np.asarray(loaded["image_data"], np.float32)
 
     def _apply_tile_state(self, loaded: dict) -> None:
         self._z_crop_offset = loaded["z_crop_offset"]
@@ -512,7 +535,7 @@ class PixelDecoder:
         zsl = self._z_slice(stacks[0].shape[1])
         packed = np.asarray(
             _seed_stats_program(
-                jnp.asarray(np.stack(stacks)),
+                jnp.stack([jnp.asarray(s) for s in stacks]),
                 z_start=zsl.start,
                 z_stop=zsl.stop,
                 sigma=tuple(float(s) for s in sigma),
@@ -1167,7 +1190,8 @@ class PixelDecoder:
 
         indices = list(tile_indices)
         prefetcher = TilePrefetcher(
-            self._load_bit_data_for, indices, depth=n_dev, max_workers=n_dev
+            lambda i: self._load_bit_data_for(i, device_ok=False),
+            indices, depth=n_dev, max_workers=n_dev,
         )
         group: list[tuple[int, dict]] = []
 

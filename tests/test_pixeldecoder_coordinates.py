@@ -34,3 +34,33 @@ def test_warp_pixel_applies_camera_affine_before_global():
     # the wrong order (global before camera) must NOT match
     wrong = (camera @ np.append((global_affine @ np.append(physical, 1.0))[:3], 1.0))[:3]
     assert not np.allclose(out[0], wrong)
+
+
+def test_device_resident_stack_decode_matches_host(tmp_path, monkeypatch):
+    """Decoding from a device-resident warped stack (the TPU zero-readback
+    path, forced here via MERFISH3D_DECODE_DEVICE_STACK=1) must produce a
+    table identical to the host-stack path."""
+    import pandas as pd
+
+    from merfish3d_tpu.utils.simulation import generate_synthetic_experiment
+
+    ds, _gt = generate_synthetic_experiment(
+        tmp_path / "qi2labdatastore", shape=(8, 64, 64), n_spots=40, seed=7
+    )
+
+    def decode(mode, run_key):
+        monkeypatch.setenv("MERFISH3D_DECODE_DEVICE_STACK", mode)
+        d = PixelDecoder(
+            ds, minimum_pixels=4, magnitude_threshold=(0.9, 10.0),
+            verbose=0, decode_run_key=run_key,
+        )
+        d._global_normalization_vector = np.full(16, 400.0, np.float32)
+        d._global_background_vector = np.full(16, 40.0, np.float32)
+        return d.decode_one_tile(0, save=False)
+
+    df_host = decode("0", "host")
+    df_dev = decode("1", "dev")
+    assert len(df_host) > 0
+    pd.testing.assert_frame_equal(
+        df_host.reset_index(drop=True), df_dev.reset_index(drop=True)
+    )

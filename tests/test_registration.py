@@ -313,6 +313,42 @@ def test_warp_affine_plus_flow_batch_matches_sequential():
         np.testing.assert_allclose(batched[i], single, atol=1e-4, err_msg=str(i))
 
 
+def test_warp_batch_device_matches_host():
+    """The device-resident batch warps (decode's zero-readback path) must
+    match the host batch warps exactly: same cores, same class split."""
+    import jax.numpy as jnp
+
+    from merfish3d_tpu.ops.warp import (
+        warp_affine_batch,
+        warp_affine_batch_device,
+        warp_affine_plus_flow_batch,
+        warp_affine_plus_flow_batch_device,
+    )
+
+    rng = np.random.default_rng(21)
+    images = rng.random((4, 6, 32, 40)).astype(np.float32) * 100.0
+    spacing = (0.315, 0.098, 0.098)
+    transforms = np.tile(np.eye(4, dtype=np.float32), (4, 1, 1))
+    transforms[0, :3, 3] = (0.2, -0.5, 0.31)
+    transforms[1, 0, 0] = 1.02
+    transforms[1, :3, 3] = (0.0, 0.2, -0.1)
+    transforms[2, 1, 2] = 0.01
+    host = warp_affine_batch(images, transforms, spacing)
+    dev = warp_affine_batch_device(jnp.asarray(images), transforms, spacing)
+    np.testing.assert_allclose(np.asarray(dev), host, atol=1e-5)
+
+    flows = rng.normal(0, 0.7, (4, 3, 2, 3, 4)).astype(np.float32)
+    strides = np.tile(np.array([3.0, 8.0, 8.0], np.float32), (4, 1))
+    box_starts = np.tile(np.array([4.0, 4.0, 1.5], np.float32), (4, 1))
+    host_f = warp_affine_plus_flow_batch(
+        images, flows, transforms, spacing, strides, box_starts
+    )
+    dev_f = warp_affine_plus_flow_batch_device(
+        jnp.asarray(images), flows, transforms, spacing, strides, box_starts
+    )
+    np.testing.assert_allclose(np.asarray(dev_f), host_f, atol=1e-5)
+
+
 def _smooth_flow(lattice=(3, 5, 5), amp=(0.8, 2.5, 2.5), seed=4):
     """Lattice-smooth random flow (channels X, Y, Z), amplitudes in px."""
     rng = np.random.default_rng(seed)
