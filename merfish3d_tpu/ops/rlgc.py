@@ -359,12 +359,20 @@ def rlgc_batch(
     device consumers (the U-FISH predictor) chain without a device→host→
     device bounce — a full readout-bit batch is hundreds of MB, and the
     link moves ~10-17 MB/s on a tunneled device."""
-    images = np.asarray(images, dtype=np.float32)
+    # keep integer camera data narrow until it reaches the device: a u16
+    # chunk uploads at half the bytes of f32 (the tunneled link moves
+    # ~10-17 MB/s, so a full readout chunk's upload is seconds of
+    # wall-clock); the cast to f32 is exact and runs on device
+    images = np.asarray(images)
+    if images.dtype != np.uint16:
+        images = images.astype(np.float32, copy=False)
     psf = np.asarray(psf, dtype=np.float32)
     if psf.ndim == 2:
         psf = psf[None]
     pad_width = linear_fft_pad_width(images.shape[1:], psf.shape)
-    padded = jax.vmap(lambda im: pad_symmetric(im, pad_width))(jnp.asarray(images))
+    padded = jax.vmap(
+        lambda im: pad_symmetric(im.astype(jnp.float32), pad_width)
+    )(jnp.asarray(images))
     keys = jax.vmap(jax.random.PRNGKey)(seed + np.arange(images.shape[0]))
     recon, _ = _rlgc_batch_core(
         padded,

@@ -400,15 +400,16 @@ class DataRegistration:
         ]
 
         def load_batch(batch_idx: int) -> np.ndarray:
-            return np.stack(
-                [
-                    np.asarray(
-                        ds.load_local_corrected_image(tile=tile_idx, round=r),
-                        np.float32,
-                    )
-                    for r in batches[batch_idx]
-                ]
-            )
+            # futures overlap the rounds' chunk decodes; the stack stays
+            # uint16 — the decon/register programs cast on DEVICE, so the
+            # upload moves half the bytes of f32
+            futures = [
+                ds.load_local_corrected_image(
+                    tile=tile_idx, round=r, return_future=True
+                )
+                for r in batches[batch_idx]
+            ]
+            return np.stack([np.asarray(f.result()) for f in futures])
 
         # read/compute/write pipeline over round batches: next batch's
         # zarr reads and previous rounds' registered-image writes overlap
@@ -420,22 +421,28 @@ class DataRegistration:
                 batch_rounds = batches[batch_idx]
                 start = batch_idx * max(batch_cap, 1)
                 t0 = time.perf_counter()
+                # decons stay DEVICE-resident through registration: the
+                # u16 upload + on-device cast + device pass-through in
+                # `register_rounds_to_fixed` removes a full f32 stack
+                # readback + re-upload per batch
                 if fid_psf is None:
-                    decons = raws
+                    decons = jnp.asarray(raws).astype(jnp.float32)
                 elif len(batch_rounds) > 1 and raws.shape[2] <= (self._crop_yx_decon or 1024):
                     decons = rlgc_batch(
                         raws, fid_psf, seed=42 + tile_idx + 1000 + start,
-                        max_iters=self._decon_max_iters,
+                        max_iters=self._decon_max_iters, out="device",
                     )
                 else:
-                    decons = np.stack(
-                        [
-                            self._deconvolve(
-                                raws[i], fid_psf,
-                                seed=42 + tile_idx + (batch_rounds[i]) * 1000,
-                            )
-                            for i in range(len(batch_rounds))
-                        ]
+                    decons = jnp.asarray(
+                        np.stack(
+                            [
+                                self._deconvolve(
+                                    raws[i], fid_psf,
+                                    seed=42 + tile_idx + (batch_rounds[i]) * 1000,
+                                )
+                                for i in range(len(batch_rounds))
+                            ]
+                        )
                     )
                 del raws
                 self._diag(
@@ -455,8 +462,8 @@ class DataRegistration:
                 decons_in = decons
                 if len(batches) > 1 and n_rounds < max(batch_cap, 1):
                     reps = max(batch_cap, 1) - n_rounds
-                    decons_in = np.concatenate(
-                        [decons, np.repeat(decons[-1:], reps, axis=0)]
+                    decons_in = jnp.concatenate(
+                        [decons, jnp.repeat(decons[-1:], reps, axis=0)]
                     )
                 transforms, warped_stack = register_rounds_to_fixed(
                     reference,
@@ -581,15 +588,16 @@ class DataRegistration:
         from ..datastore.prefetch import BoundedWriter, TilePrefetcher
 
         def load_chunk(chunk_idx: int) -> np.ndarray:
-            return np.stack(
-                [
-                    np.asarray(
-                        ds.load_local_corrected_image(tile=tile_idx, bit=b),
-                        np.float32,
-                    )
-                    for b, _ in chunks[chunk_idx][1]
-                ]
-            )
+            # futures overlap all bits' chunk decodes in TensorStore's
+            # native pool; the stack stays uint16 — the decon path casts
+            # on DEVICE, so the upload moves half the bytes of f32
+            futures = [
+                ds.load_local_corrected_image(
+                    tile=tile_idx, bit=b, return_future=True
+                )
+                for b, _ in chunks[chunk_idx][1]
+            ]
+            return np.stack([np.asarray(f.result()) for f in futures])
 
         with BoundedWriter(depth=2) as writer:
             for chunk_idx, raws in TilePrefetcher(
@@ -605,7 +613,8 @@ class DataRegistration:
                 # decon+prob readbacks plus the prob re-upload dominated
                 # the warm register phase (~40 s of 52 s profiled r3)
                 if psf is None:
-                    decons_dev = jnp.asarray(raws, jnp.float32)
+                    # upload u16, cast on device
+                    decons_dev = jnp.asarray(raws).astype(jnp.float32)
                 elif len(chunk) > 1 and raws[0].shape[1] <= (self._crop_yx_decon or 1024):
                     decons_dev = rlgc_batch(
                         raws, psf, seed=7 + tile_idx * 100 + chunk[0][0],
