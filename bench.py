@@ -639,30 +639,35 @@ def bench_e2e_tile(platform: str) -> tuple[float, dict]:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-def _probe_backend(timeout_s: float = 180.0) -> str:
+def _probe_backend(timeout_s: float = 60.0, attempts: int = 6) -> str:
     """Detect the platform in a SUBPROCESS with a hard timeout.
 
     When the tunneled TPU relay is down, `jax.devices()` hangs forever
     inside backend init (observed in-session) — probing in-process would
-    hang the whole bench. A dead probe degrades to a CPU smoke run
-    instead."""
+    hang the whole bench. The relay also FLAPS (dead for minutes, then
+    live — observed r3), so a single failed probe must not demote a real
+    TPU run to a CPU smoke: retry a few short probes over ~4 minutes
+    before degrading."""
     import os
     import subprocess
     import sys
 
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         return "cpu"
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
-        platform = out.stdout.strip().splitlines()[-1] if out.stdout else ""
-        if out.returncode == 0 and platform:
-            return platform
-    except subprocess.TimeoutExpired:
-        pass
+    for attempt in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            platform = out.stdout.strip().splitlines()[-1] if out.stdout else ""
+            if out.returncode == 0 and platform:
+                return platform
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt < attempts - 1:
+            time.sleep(15.0)
     print(
         json.dumps({"metric": "backend_probe", "value": 0,
                     "unit": "dead_relay_fallback_cpu", "vs_baseline": 0}),
