@@ -21,6 +21,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+from merfish3d_tpu.utils.jaxcache import enable_persistent_cache
+
+# hundreds of jitted programs recompile identically on every pytest run;
+# the persistent cache turns rerun compile time into disk loads
+enable_persistent_cache()
+
 import numpy as np
 import pytest
 
