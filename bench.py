@@ -730,19 +730,44 @@ def main() -> None:
         baseline_kind="vs_whole_reference_pipeline_rate",
     )
 
-    sofima_vps = bench_sofima(jax, jnp, sync)
+    ufish_vps = bench_ufish(jax, jnp, sync)
     _emit(
-        "sofima_voxels_per_sec_per_chip",
-        sofima_vps,
+        "ufish_voxels_per_sec_per_chip",
+        ufish_vps,
         "voxel/s",
         REFERENCE_PIPELINE_VOXELS_PER_SEC,
         baseline_kind="vs_whole_reference_pipeline_rate",
     )
 
-    ufish_vps = bench_ufish(jax, jnp, sync)
+    # the four composite inputs are in hand — emit the pipeline headline
+    # NOW (and again as the final line): the relay this bench dials
+    # flaps, and a run killed mid-way through the remaining stages must
+    # still leave a pipeline line as the last parseable metric
+    def emit_pipeline() -> None:
+        seconds_per_tile = (
+            N_DECON_VOLUMES * TILE_VOXELS / rlgc_vps
+            + N_REGISTRATION_PAIRS * TILE_VOXELS / reg_vps
+            + N_PREDICT_VOLUMES * TILE_VOXELS / ufish_vps
+            + TILE_VOXELS / decode_vps
+        )
+        _emit(
+            "pipeline_voxels_per_sec_per_chip",
+            TILE_VOXELS / seconds_per_tile,
+            "voxel/s",
+            REFERENCE_PIPELINE_VOXELS_PER_SEC,
+            baseline_kind="mop_wallclock_derived",
+            composition=(
+                f"{N_DECON_VOLUMES}x rlgc + {N_REGISTRATION_PAIRS}x register + "
+                f"{N_PREDICT_VOLUMES}x ufish + 1x decode per tile"
+            ),
+        )
+
+    emit_pipeline()
+
+    sofima_vps = bench_sofima(jax, jnp, sync)
     _emit(
-        "ufish_voxels_per_sec_per_chip",
-        ufish_vps,
+        "sofima_voxels_per_sec_per_chip",
+        sofima_vps,
         "voxel/s",
         REFERENCE_PIPELINE_VOXELS_PER_SEC,
         baseline_kind="vs_whole_reference_pipeline_rate",
@@ -768,25 +793,9 @@ def main() -> None:
         **e2e_detail,
     )
 
-    # combined per-tile DEVICE rate under the reference work composition
-    seconds_per_tile = (
-        N_DECON_VOLUMES * TILE_VOXELS / rlgc_vps
-        + N_REGISTRATION_PAIRS * TILE_VOXELS / reg_vps
-        + N_PREDICT_VOLUMES * TILE_VOXELS / ufish_vps
-        + TILE_VOXELS / decode_vps
-    )
-    pipeline_vps = TILE_VOXELS / seconds_per_tile
-    _emit(
-        "pipeline_voxels_per_sec_per_chip",
-        pipeline_vps,
-        "voxel/s",
-        REFERENCE_PIPELINE_VOXELS_PER_SEC,
-        baseline_kind="mop_wallclock_derived",
-        composition=(
-            f"{N_DECON_VOLUMES}x rlgc + {N_REGISTRATION_PAIRS}x register + "
-            f"{N_PREDICT_VOLUMES}x ufish + 1x decode per tile"
-        ),
-    )
+    # combined per-tile DEVICE rate under the reference work composition —
+    # re-emitted as the final line (the driver parses the last line)
+    emit_pipeline()
 
 
 if __name__ == "__main__":
