@@ -17,6 +17,14 @@ def main(argv=None) -> None:
     p.add_argument("--datastore-path", required=True, type=Path)
     p.add_argument("--mask-path", type=Path, default=None,
                    help="external label mask (.npy), e.g. from Cellpose")
+    p.add_argument("--method", choices=("watershed", "threshold", "flow"),
+                   default="watershed",
+                   help="fallback segmentation when no --mask-path: "
+                   "distance-transform watershed, plain threshold+CC, or "
+                   "the native flow-field model (models/cellpose.py)")
+    p.add_argument("--model-path", type=Path, default=None,
+                   help="pickled CPNet variables for --method flow "
+                   "(omitted: trains on synthetic renders first)")
     p.add_argument("--downsampling", type=float, nargs=3, default=(1.0, 1.0, 1.0))
     args = p.parse_args(argv)
 
@@ -25,7 +33,11 @@ def main(argv=None) -> None:
 
     ds = qi2labDataStore(args.datastore_path, validate=False)
     segment_fiducial(
-        ds, mask_path=args.mask_path, downsampling=tuple(args.downsampling)
+        ds,
+        mask_path=args.mask_path,
+        method=args.method,
+        model_path=args.model_path,
+        downsampling=tuple(args.downsampling),
     )
 
 

@@ -181,21 +181,35 @@ def segment_fiducial(
     datastore,
     *,
     mask_path: Optional[Path] = None,
+    method: str = "watershed",
+    model_path: Optional[Path] = None,
     downsampling: tuple[float, float, float] = (1.0, 1.0, 1.0),
     verbose: int = 1,
 ) -> dict:
-    """Full segmentation step: external mask (npy) or fallback threshold
-    segmentation of the fused fiducial max projection → save mask +
-    outlines to the datastore."""
+    """Full segmentation step: external mask (npy), the native flow-field
+    model (``method="flow"``, weights from ``model_path`` — see
+    `models/cellpose.py`), or the classical watershed fallback, on the
+    fused fiducial max projection → save mask + outlines to the
+    datastore."""
     fused = datastore.load_global_fiducial_image()
     if fused is None:
         raise ValueError("global fused fiducial image required; run fusion first")
     img, (affine, origin, spacing) = fused
     if mask_path is not None:
         mask = np.load(mask_path)
+    elif method == "flow":
+        from ..models.cellpose import flow_segment, load_variables, train_cpnet
+
+        variables = (
+            load_variables(model_path) if model_path is not None
+            else train_cpnet(verbose=verbose)
+        )
+        max_proj = np.max(np.asarray(img, np.float32), axis=0)
+        mask = flow_segment(max_proj, variables)
     else:
         max_proj = np.max(np.asarray(img, np.float32), axis=0)
-        mask = watershed_segment(max_proj)
+        segment = watershed_segment if method == "watershed" else threshold_segment
+        mask = segment(max_proj)
     if mask.ndim == 2:
         mask3d = np.broadcast_to(mask, (img.shape[0], *mask.shape)).copy()
         mask2d = mask
