@@ -118,7 +118,12 @@ def _dot_mode() -> str:
       are decode-indistinguishable.
     - ``highest``: the prior 6-pass behavior (bit-exact reference mode).
     - ``bf16``: single-pass (5.6 ms/iter, 1.5e-3 max rel err) — fast but
-      above f16 storage noise; opt-in only.
+      above f16 storage noise; opt-in only. Measured on hardware (r3):
+      the conv error corrupts RLGC's split-KLD comparison enough that
+      safe mode restores and stops at ITERATION 1 — the mode is unusable
+      for the decon solve as-is; a future mixed split (KLD-feeding
+      forward conv at bf16x3, adjoint/consensus at bf16) would need an
+      on-chip F1 A/B before default use.
 
     Default: bf16x3 on a real TPU backend, highest elsewhere (interpret-
     mode tests compare against numpy at 3e-5 atol).
