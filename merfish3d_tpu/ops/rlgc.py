@@ -103,24 +103,10 @@ def _kl_div(p: jnp.ndarray, q: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(kld)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("pad_width", "safe_mode", "limit", "max_delta", "max_iters"),
-)
-def _rlgc_core(
-    observed: jnp.ndarray,
-    psf: jnp.ndarray,
-    key: jnp.ndarray,
-    *,
-    pad_width,
-    safe_mode: bool = True,
-    limit: float = 0.01,
-    max_delta: float = 0.001,
-    max_iters: int = 100,
-):
-    """Jitted RLGC solve on a pre-padded observed image. Returns
-    (recon_padded, num_iters)."""
-    shape = observed.shape
+def _prepare_solve(shape, psf, pad_width):
+    """Shared per-solve constants: observed-region mask, interior pixel
+    count, the three resident OTF pairs (forward, adjoint, consensus) and
+    the clamped Hᵀ·mask normalization (reference `rlgc.py:598-601`)."""
     mask = observed_region_mask_device(shape, pad_width)
     num_pixels = float(np.prod([s - b - a for s, (b, a) in zip(shape, pad_width)]))
 
@@ -129,13 +115,11 @@ def _rlgc_core(
     # implementation-defined spectrum order (`fftutils.fftn_spec`): on TPU
     # the scrambled-spectrum matmul FFT (`ops/mmfft.py`) runs zero
     # transposes and no complex64 ops (the tunneled v5e backend is
-    # intermittently complex-incapable); the packed adjoint pair rides ONE
-    # transform (real kernel ⇒ conv(a+ib, k) = conv(a,k) + i·conv(b,k)).
+    # intermittently complex-incapable); packed adjoint/pair convolutions
+    # ride ONE transform (real kernel ⇒ conv(a+ib, k) = conv(a,k) + i·conv(b,k)).
     otf_full = fftn_spec(padded_psf)
     otf_t_full = c_conj(otf_full)
     otf2_full = c_mul(otf_full, otf_t_full)
-    # Hᵀ·mask normalization, clamped (reference `rlgc.py:598-601`),
-    # computed from the f32 OTFs before any narrowing
     update_norm = jnp.maximum(fft_conv_full(mask, otf_t_full), 1e-6)
 
     # resident OTF pairs in bf16 when the fused conv path stores bf16
@@ -155,87 +139,76 @@ def _rlgc_core(
             otf_full = cast(otf_full)
             otf_t_full = cast(otf_t_full)
             otf2_full = cast(otf2_full)
+    return mask, num_pixels, otf_full, otf_t_full, otf2_full, update_norm
 
-    init_recon = jnp.full(
-        shape, jnp.sum(observed * mask) / num_pixels, dtype=jnp.float32
-    )
-    observed_int = observed.astype(jnp.int32)
 
-    def cond(carry):
-        _, _, _, _, it, done = carry
-        return jnp.logical_and(~done, it < max_iters)
-
-    fused_ew = _use_fused_elementwise(shape)
+def _ratios_klds(Hu, split1, split2, mask, pad_width, fused_ew):
+    """Per-volume update ratios + split KLDs for one iteration (one Pallas
+    pass when fused; the generic XLA chain otherwise — identical values)."""
     if fused_ew:
-        from .rlgc_kernels import ratio_kld, update_select
+        from .rlgc_kernels import ratio_kld
 
-    def body(carry):
-        recon, prev_recon, prev_kld1, prev_kld2, it, _ = carry
-        iter_key = jax.random.fold_in(key, it)
-        split1 = _binomial_half(iter_key, observed_int)
-        split2 = observed - split1
+        ratio1, ratio2, (kld1, kld2) = ratio_kld(Hu, split1, split2, pad_width)
+    else:
+        kld1 = _kl_div(Hu, split1, mask)
+        kld2 = _kl_div(Hu, split2, mask)
+        denom = 0.5 * (Hu + 1e-12)
+        ratio1 = mask * (split1 / denom)
+        ratio2 = mask * (split2 / denom)
+    return ratio1, ratio2, kld1, kld2
 
-        Hu = fft_conv_full(recon, otf_full)
-        if fused_ew:
-            # one-pass ratios + KLD partials (`ops/rlgc_kernels.py`)
-            ratio1, ratio2, (kld1, kld2) = ratio_kld(
-                Hu, split1, split2, pad_width
-            )
-        else:
-            kld1 = _kl_div(Hu, split1, mask)
-            kld2 = _kl_div(Hu, split2, mask)
-        if safe_mode:
-            should_restore = (kld1 > prev_kld1) | (kld2 > prev_kld2)
-        else:
-            should_restore = (kld1 > prev_kld1) & (kld2 > prev_kld2)
 
-        # Branchless restore: `lax.cond` with FFT-heavy branches inside a
-        # TPU while_loop measured an ~86x slowdown (7.3 s vs 85 ms per
-        # iteration), so the update is always computed and the restore is
-        # an elementwise select — the same cost profile as the reference,
-        # which also evaluates the KLDs before deciding (`rlgc.py:627-660`).
-        if not fused_ew:
-            denom = 0.5 * (Hu + 1e-12)
-            ratio1 = mask * (split1 / denom)
-            ratio2 = mask * (split2 / denom)
-        gr, gi = fft_conv_spec(ratio1, ratio2, otf_t_full)
-        # neutralize ht where the adjoint has no mask support: deep in
-        # the padding update_norm = H^T(mask) decays to its 1e-6 clamp
-        # (reference `rlgc.py:598-601`), so g/norm there is pure FFT
-        # rounding error amplified by up to 1e6 (with bf16 spectra it
-        # reached +-8e3 and its square leaked through the consensus
-        # convolution into border voxels, tripping the split-KLD stop
-        # on the first iteration). ht := 1 is the no-op update and
-        # contributes (ht-1) = 0 to the consensus, in every dot/spec
-        # mode.
-        ht1 = jnp.where(update_norm >= 1e-3, gr / update_norm, 1.0)
-        ht2 = jnp.where(update_norm >= 1e-3, gi / update_norm, 1.0)
-        ht = ht1 + ht2
-        consensus = fft_conv_full((ht1 - 1.0) * (ht2 - 1.0), otf2_full)
-        if fused_ew:
-            # one-pass update + restore-select + convergence stats; the
-            # boundary rewrite commutes with the scalar-predicate select
-            # and prev_recon already satisfies it
-            new_recon, new_prev, num_updated, max_new, max_abs_delta = (
-                update_select(
-                    consensus, recon, prev_recon, ht, should_restore,
-                    pad_width,
-                )
-            )
-            new_recon = enforce_symmetric_boundary(new_recon, pad_width)
-            updated_fraction = num_updated / num_pixels
-            max_rel_delta = max_abs_delta / jnp.maximum(max_new, 1e-12)
-            converged = (
-                (updated_fraction < limit) | (max_rel_delta < max_delta)
-            )
-            return (
-                new_recon,
-                new_prev,
-                jnp.where(should_restore, prev_kld1, kld1),
-                jnp.where(should_restore, prev_kld2, kld2),
-                it + jnp.where(should_restore, jnp.int32(0), jnp.int32(1)),
-                should_restore | converged,
-            )
+def _split_ht(gr, gi, update_norm):
+    """Neutralize ht where the adjoint has no mask support: deep in the
+    padding update_norm = Hᵀ(mask) decays to its 1e-6 clamp (reference
+    `rlgc.py:598-601`), so g/norm there is pure FFT rounding error
+    amplified by up to 1e6 (with bf16 spectra it reached ±8e3 and its
+    square leaked through the consensus convolution into border voxels,
+    tripping the split-KLD stop on the first iteration). ht := 1 is the
+    no-op update and contributes (ht-1) = 0 to the consensus, in every
+    dot/spec mode."""
+    ht1 = jnp.where(update_norm >= 1e-3, gr / update_norm, 1.0)
+    ht2 = jnp.where(update_norm >= 1e-3, gi / update_norm, 1.0)
+    return ht1, ht2
+
+
+def _apply_update(
+    consensus,
+    recon,
+    prev_recon,
+    ht,
+    should_restore,
+    klds,
+    prev_klds,
+    it,
+    *,
+    pad_width,
+    mask,
+    num_pixels,
+    fused_ew,
+    limit,
+    max_delta,
+):
+    """Consensus-gated multiplicative update + branchless restore +
+    convergence stats for ONE volume; returns the new carry slice
+    (recon, prev, kld1, kld2, it, done). Identical math on the fused
+    Pallas path (`ops/rlgc_kernels.update_select`) and the generic chain."""
+    kld1, kld2 = klds
+    prev_kld1, prev_kld2 = prev_klds
+    if fused_ew:
+        from .rlgc_kernels import update_select
+
+        # one-pass update + restore-select + convergence stats; the
+        # boundary rewrite commutes with the scalar-predicate select
+        # and prev_recon already satisfies it
+        new_recon, new_prev, num_updated, max_new, max_abs_delta = update_select(
+            consensus, recon, prev_recon, ht, should_restore, pad_width
+        )
+        new_recon = enforce_symmetric_boundary(new_recon, pad_width)
+        updated_fraction = num_updated / num_pixels
+        max_rel_delta = max_abs_delta / jnp.maximum(max_new, 1e-12)
+        converged = (updated_fraction < limit) | (max_rel_delta < max_delta)
+    else:
         # consensus-gated multiplicative update (`rlgc.py:23-31,693`)
         updated = jnp.where(consensus < 0, recon, recon * ht)
         updated = enforce_symmetric_boundary(updated, pad_width)
@@ -250,13 +223,88 @@ def _rlgc_core(
 
         new_recon = jnp.where(should_restore, prev_recon, updated)
         new_prev = jnp.where(should_restore, prev_recon, recon)
-        return (
-            new_recon,
-            new_prev,
-            jnp.where(should_restore, prev_kld1, kld1),
-            jnp.where(should_restore, prev_kld2, kld2),
-            it + jnp.where(should_restore, jnp.int32(0), jnp.int32(1)),
-            should_restore | converged,
+    return (
+        new_recon,
+        new_prev,
+        jnp.where(should_restore, prev_kld1, kld1),
+        jnp.where(should_restore, prev_kld2, kld2),
+        it + jnp.where(should_restore, jnp.int32(0), jnp.int32(1)),
+        should_restore | converged,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("pad_width", "safe_mode", "limit", "max_delta", "max_iters"),
+)
+def _rlgc_core(
+    observed: jnp.ndarray,
+    psf: jnp.ndarray,
+    key: jnp.ndarray,
+    *,
+    pad_width,
+    safe_mode: bool = True,
+    limit: float = 0.01,
+    max_delta: float = 0.001,
+    max_iters: int = 100,
+):
+    """Jitted RLGC solve on a pre-padded observed image. Returns
+    (recon_padded, num_iters)."""
+    shape = observed.shape
+    mask, num_pixels, otf_full, otf_t_full, otf2_full, update_norm = _prepare_solve(
+        shape, psf, pad_width
+    )
+
+    init_recon = jnp.full(
+        shape, jnp.sum(observed * mask) / num_pixels, dtype=jnp.float32
+    )
+    observed_int = observed.astype(jnp.int32)
+
+    def cond(carry):
+        _, _, _, _, it, done = carry
+        return jnp.logical_and(~done, it < max_iters)
+
+    fused_ew = _use_fused_elementwise(shape)
+
+    def body(carry):
+        recon, prev_recon, prev_kld1, prev_kld2, it, _ = carry
+        iter_key = jax.random.fold_in(key, it)
+        split1 = _binomial_half(iter_key, observed_int)
+        split2 = observed - split1
+
+        Hu = fft_conv_full(recon, otf_full)
+        ratio1, ratio2, kld1, kld2 = _ratios_klds(
+            Hu, split1, split2, mask, pad_width, fused_ew
+        )
+        if safe_mode:
+            should_restore = (kld1 > prev_kld1) | (kld2 > prev_kld2)
+        else:
+            should_restore = (kld1 > prev_kld1) & (kld2 > prev_kld2)
+
+        # Branchless restore: `lax.cond` with FFT-heavy branches inside a
+        # TPU while_loop measured an ~86x slowdown (7.3 s vs 85 ms per
+        # iteration), so the update is always computed and the restore is
+        # an elementwise select — the same cost profile as the reference,
+        # which also evaluates the KLDs before deciding (`rlgc.py:627-660`).
+        gr, gi = fft_conv_spec(ratio1, ratio2, otf_t_full)
+        ht1, ht2 = _split_ht(gr, gi, update_norm)
+        ht = ht1 + ht2
+        consensus = fft_conv_full((ht1 - 1.0) * (ht2 - 1.0), otf2_full)
+        return _apply_update(
+            consensus,
+            recon,
+            prev_recon,
+            ht,
+            should_restore,
+            (kld1, kld2),
+            (prev_kld1, prev_kld2),
+            it,
+            pad_width=pad_width,
+            mask=mask,
+            num_pixels=num_pixels,
+            fused_ew=fused_ew,
+            limit=limit,
+            max_delta=max_delta,
         )
 
     carry = (
@@ -266,6 +314,129 @@ def _rlgc_core(
         jnp.float32(jnp.inf),
         jnp.int32(0),
         jnp.bool_(False),
+    )
+    recon, _, _, _, num_iters, _ = jax.lax.while_loop(cond, body, carry)
+    return recon, num_iters
+
+
+def pairing_enabled() -> bool:
+    """Solve batched volumes two-at-a-time with every FFT convolution
+    packed as a (real, imag) pair? Static at trace time.
+
+    A real→real convolution on the fused TPU path costs nearly as much as
+    a packed pair (measured at (40, 1152, 1152) on v5e: zx forward 4.6 vs
+    4.7 ms, zx inverse 4.7 vs 6.6 ms, y-conv identical), so two same-PSF
+    volumes share 4 packed convolutions per iteration instead of paying
+    for 6 — ~1.2× decon throughput with per-volume math unchanged (the
+    pack is exact: conv(a + i·b, k) = conv(a, k) + i·conv(b, k) for the
+    real RLGC kernels). ``MERFISH3D_RLGC_PAIR=0|1`` overrides (auto: on).
+    """
+    import os
+
+    return os.environ.get("MERFISH3D_RLGC_PAIR", "1") != "0"
+
+
+def _rlgc_pair_core(
+    observed: jnp.ndarray,
+    psf: jnp.ndarray,
+    keys: jnp.ndarray,
+    *,
+    pad_width,
+    safe_mode: bool = True,
+    limit: float = 0.01,
+    max_delta: float = 0.001,
+    max_iters: int = 100,
+):
+    """RLGC solve of TWO pre-padded volumes (stacked on axis 0) sharing a
+    PSF, in ONE program. Each iteration runs 4 packed pair convolutions
+    for both volumes — forward (Hu_a, Hu_b), one adjoint pair per volume,
+    consensus (c_a, c_b) — instead of 2×3; per-volume updates, split-KLD
+    stopping and convergence are independent (a finished volume is frozen
+    by select while its pair partner iterates; bits of a tile converge at
+    similar counts, so the overlap waste is small against the ~1.2×
+    packing win). Returns (recon (2, ...), num_iters (2,))."""
+    shape = observed.shape[1:]
+    mask, num_pixels, otf_full, otf_t_full, otf2_full, update_norm = _prepare_solve(
+        shape, psf, pad_width
+    )
+    fused_ew = _use_fused_elementwise(shape)
+
+    means = jnp.sum(observed * mask[None], axis=(1, 2, 3)) / num_pixels
+    init_recon = jnp.broadcast_to(
+        means[:, None, None, None], observed.shape
+    ).astype(jnp.float32)
+    observed_int = observed.astype(jnp.int32)
+
+    def cond(carry):
+        _, _, _, _, it, done = carry
+        return jnp.any(~done & (it < max_iters))
+
+    def body(carry):
+        recon, prev_recon, prev_kld1, prev_kld2, it, done = carry
+        active = ~done & (it < max_iters)
+
+        splits = []
+        for v in range(2):
+            k = jax.random.fold_in(keys[v], it[v])
+            s1 = _binomial_half(k, observed_int[v])
+            splits.append((s1, observed[v] - s1))
+
+        Hu_a, Hu_b = fft_conv_spec(recon[0], recon[1], otf_full)
+
+        per_vol = []
+        for v, Hu in enumerate((Hu_a, Hu_b)):
+            r1, r2, kld1, kld2 = _ratios_klds(
+                Hu, splits[v][0], splits[v][1], mask, pad_width, fused_ew
+            )
+            if safe_mode:
+                restore = (kld1 > prev_kld1[v]) | (kld2 > prev_kld2[v])
+            else:
+                restore = (kld1 > prev_kld1[v]) & (kld2 > prev_kld2[v])
+            gr, gi = fft_conv_spec(r1, r2, otf_t_full)
+            ht1, ht2 = _split_ht(gr, gi, update_norm)
+            per_vol.append((ht1 + ht2, (ht1 - 1.0) * (ht2 - 1.0),
+                            restore, kld1, kld2))
+
+        cons_a, cons_b = fft_conv_spec(per_vol[0][1], per_vol[1][1], otf2_full)
+
+        new = []
+        for v, consensus in enumerate((cons_a, cons_b)):
+            ht, _, restore, kld1, kld2 = per_vol[v]
+            out = _apply_update(
+                consensus,
+                recon[v],
+                prev_recon[v],
+                ht,
+                restore,
+                (kld1, kld2),
+                (prev_kld1[v], prev_kld2[v]),
+                it[v],
+                pad_width=pad_width,
+                mask=mask,
+                num_pixels=num_pixels,
+                fused_ew=fused_ew,
+                limit=limit,
+                max_delta=max_delta,
+            )
+            # freeze a finished volume: its carry slice rides unchanged
+            # while the partner keeps iterating
+            old = (recon[v], prev_recon[v], prev_kld1[v], prev_kld2[v],
+                   it[v], done[v])
+            new.append(tuple(
+                jnp.where(active[v], n, o) for n, o in zip(out, old)
+            ))
+
+        return tuple(
+            jnp.stack([new[0][i], new[1][i]]) for i in range(6)
+        )
+
+    carry = (
+        init_recon,
+        init_recon,
+        jnp.full((2,), jnp.inf, jnp.float32),
+        jnp.full((2,), jnp.inf, jnp.float32),
+        jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2,), bool),
     )
     recon, _, _, _, num_iters, _ = jax.lax.while_loop(cond, body, carry)
     return recon, num_iters
@@ -310,7 +481,9 @@ def rlgc(
 
 @partial(
     jax.jit,
-    static_argnames=("pad_width", "safe_mode", "limit", "max_delta", "max_iters"),
+    static_argnames=(
+        "pad_width", "safe_mode", "limit", "max_delta", "max_iters", "pair",
+    ),
 )
 def _rlgc_batch_core(
     padded: jnp.ndarray,
@@ -322,21 +495,40 @@ def _rlgc_batch_core(
     limit: float,
     max_delta: float,
     max_iters: int,
+    pair: bool = False,
 ):
-    fn = partial(
-        _rlgc_core,
+    kw = dict(
         pad_width=pad_width,
         safe_mode=safe_mode,
         limit=limit,
         max_delta=max_delta,
         max_iters=max_iters,
     )
+    fn = partial(_rlgc_core, **kw)
     # lax.map (sequential scan), NOT vmap: the solve is FFT-bound so
     # batching volumes gives no per-volume gain (measured, docs/kernels.md)
     # while vmap doubles the live working set AND has no batching rule
     # for the fused Pallas kernels' ordered effects; the scan keeps ONE
-    # volume's FFT intermediates live and stays in a single program.
-    return jax.lax.map(lambda args: fn(args[0], psf, args[1]), (padded, keys))
+    # volume's (or one pair's) FFT intermediates live in a single program.
+    n = padded.shape[0]
+    if not pair or n < 2:
+        return jax.lax.map(lambda args: fn(args[0], psf, args[1]), (padded, keys))
+
+    # two volumes per solve, every convolution packed (`_rlgc_pair_core`)
+    pair_fn = partial(_rlgc_pair_core, **kw)
+    n_even = (n // 2) * 2
+    pairs = padded[:n_even].reshape(n // 2, 2, *padded.shape[1:])
+    pair_keys = keys[:n_even].reshape(n // 2, 2, *keys.shape[1:])
+    recon_p, iters_p = jax.lax.map(
+        lambda args: pair_fn(args[0], psf, args[1]), (pairs, pair_keys)
+    )
+    recon = recon_p.reshape(n_even, *padded.shape[1:])
+    iters = iters_p.reshape(n_even)
+    if n % 2:
+        r_last, i_last = fn(padded[n - 1], psf, keys[n - 1])
+        recon = jnp.concatenate([recon, r_last[None]])
+        iters = jnp.concatenate([iters, i_last[None]])
+    return recon, iters
 
 
 def rlgc_batch(
@@ -383,6 +575,7 @@ def rlgc_batch(
         limit=limit,
         max_delta=max_delta,
         max_iters=max_iters,
+        pair=pairing_enabled(),
     )
     result = jax.vmap(lambda r: remove_padding_zyx(r, pad_width))(recon)
     if out == "device":
@@ -526,6 +719,12 @@ DEFAULT_BUDGET_PADDED_VOXELS = 9.0e7
 # datastore prefetch buffers.
 SCAN_TOTAL_F32_BUDGET = 2.2e9
 _SCAN_WORKING_SET_BUFFERS = 10.0
+# The paired solve (`_rlgc_pair_core`) carries TWO volumes' recon/prev/
+# split/ht buffers across its packed convolutions; the packed FFT
+# intermediates themselves are the same size as the single solve's
+# (every conv is already a (real, imag) pair there). ~6 extra persistent
+# padded-volume buffers on top of the single solve's 10.
+_PAIR_WORKING_SET_BUFFERS = 16.0
 MAX_SCAN_BATCH = 32
 
 
@@ -545,7 +744,8 @@ def max_vmap_batch(
     padded = pz * py * px
     if budget_padded_voxels is not None:
         return max(1, int(budget_padded_voxels // padded))
-    b = int((SCAN_TOTAL_F32_BUDGET / padded - _SCAN_WORKING_SET_BUFFERS) // 2.0)
+    ws = _PAIR_WORKING_SET_BUFFERS if pairing_enabled() else _SCAN_WORKING_SET_BUFFERS
+    b = int((SCAN_TOTAL_F32_BUDGET / padded - ws) // 2.0)
     return max(1, min(b, MAX_SCAN_BATCH))
 
 

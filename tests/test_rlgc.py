@@ -109,6 +109,25 @@ def test_rlgc_batch_matches_single():
     np.testing.assert_allclose(batch[0], single0, rtol=1e-4, atol=1e-3)
 
 
+def test_rlgc_pair_path_matches_unpaired(monkeypatch):
+    """The paired solve (two volumes per program, every convolution packed)
+    must reproduce the unpaired scan, including the odd-batch remainder."""
+    truth = _blob_volume()
+    psf = _gaussian_psf()
+    blurred = scipy.signal.fftconvolve(truth, psf, mode="same")
+    observed = np.stack(
+        [
+            np.random.default_rng(i).poisson(np.clip(blurred, 0, None) + 5)
+            for i in range(3)
+        ]
+    ).astype(np.float32)
+    monkeypatch.setenv("MERFISH3D_RLGC_PAIR", "0")
+    unpaired = rlgc_batch(observed, psf, seed=7, max_iters=12)
+    monkeypatch.setenv("MERFISH3D_RLGC_PAIR", "1")
+    paired = rlgc_batch(observed, psf, seed=7, max_iters=12)
+    np.testing.assert_allclose(paired, unpaired, rtol=1e-4, atol=1e-3)
+
+
 def test_chunked_rlgc_covers_image():
     truth = _blob_volume((8, 64, 64), n=10)
     psf = _gaussian_psf((5, 7, 7))
@@ -192,8 +211,10 @@ def test_max_vmap_batch_budget():
     from merfish3d_tpu.ops.rlgc import (
         MAX_SCAN_BATCH,
         SCAN_TOTAL_F32_BUDGET,
+        _PAIR_WORKING_SET_BUFFERS,
         _SCAN_WORKING_SET_BUFFERS,
         max_vmap_batch,
+        pairing_enabled,
     )
     from merfish3d_tpu.ops.fftutils import linear_fft_pad_width
 
@@ -203,12 +224,14 @@ def test_max_vmap_batch_budget():
     padded = 1
     for n, (b, a) in zip((32, 1024, 1024), pads):
         padded *= n + b + a
-    expect = int(
-        (SCAN_TOTAL_F32_BUDGET / padded - _SCAN_WORKING_SET_BUFFERS) // 2
+    ws = (
+        _PAIR_WORKING_SET_BUFFERS if pairing_enabled()
+        else _SCAN_WORKING_SET_BUFFERS
     )
+    expect = int((SCAN_TOTAL_F32_BUDGET / padded - ws) // 2)
     assert cap == max(1, min(expect, MAX_SCAN_BATCH))
-    # a full 16-bit readout stack of 1024-px frames rides ONE scan
-    assert cap >= 12
+    # half a 16-bit readout stack of 1024-px frames rides ONE scan
+    assert cap >= 8
     assert max_vmap_batch((12, 128, 128), psf_shape) == MAX_SCAN_BATCH
     # legacy explicit-budget semantics
     assert max_vmap_batch(
