@@ -320,23 +320,25 @@ def _rlgc_core(
 
 
 def pairing_enabled() -> bool:
-    """Solve batched volumes two-at-a-time with every FFT convolution
-    packed as a (real, imag) pair? Static at trace time.
+    """Solve batched volumes two-slots-at-a-time with every FFT
+    convolution packed as a (real, imag) pair (`_rlgc_queue_core`)?
+    Static at trace time.
 
     A real→real convolution on the fused TPU path costs nearly as much as
     a packed pair (measured at (40, 1152, 1152) on v5e: zx forward 4.6 vs
     4.7 ms, zx inverse 4.7 vs 6.6 ms, y-conv identical), so two same-PSF
     volumes share 4 packed convolutions per iteration instead of paying
-    for 6 — ~1.2× decon throughput with per-volume math unchanged (the
-    pack is exact: conv(a + i·b, k) = conv(a, k) + i·conv(b, k) for the
-    real RLGC kernels). ``MERFISH3D_RLGC_PAIR=0|1`` overrides (auto: on).
+    for 6 — measured 0.0312 vs 0.0351 s/(iter·volume) at (32, 1024, 1024)
+    on v5e, with per-volume math unchanged (the pack is exact:
+    conv(a + i·b, k) = conv(a, k) + i·conv(b, k) for the real RLGC
+    kernels). ``MERFISH3D_RLGC_PAIR=0|1`` overrides (auto: on).
     """
     import os
 
     return os.environ.get("MERFISH3D_RLGC_PAIR", "1") != "0"
 
 
-def _rlgc_pair_core(
+def _rlgc_queue_core(
     observed: jnp.ndarray,
     psf: jnp.ndarray,
     keys: jnp.ndarray,
@@ -347,39 +349,55 @@ def _rlgc_pair_core(
     max_delta: float = 0.001,
     max_iters: int = 100,
 ):
-    """RLGC solve of TWO pre-padded volumes (stacked on axis 0) sharing a
-    PSF, in ONE program. Each iteration runs 4 packed pair convolutions
-    for both volumes — forward (Hu_a, Hu_b), one adjoint pair per volume,
-    consensus (c_a, c_b) — instead of 2×3; per-volume updates, split-KLD
-    stopping and convergence are independent (a finished volume is frozen
-    by select while its pair partner iterates; bits of a tile converge at
-    similar counts, so the overlap waste is small against the ~1.2×
-    packing win). Returns (recon (2, ...), num_iters (2,))."""
+    """RLGC solve of a WHOLE batch of pre-padded volumes (≥2, shared PSF)
+    in ONE ``while_loop``, two volume slots at a time with every FFT
+    convolution packed as a (real, imag) pair.
+
+    Each iteration runs 4 packed pair convolutions for both slots —
+    forward (Hu_a, Hu_b), one adjoint pair per slot, consensus
+    (c_a, c_b) — where two independent solves would pay 2×3. Per-slot
+    updates, split-KLD stopping and convergence are untouched single-core
+    math. When a slot's volume converges it RETIRES: its final recon and
+    iteration count land in the output stacks and the slot reloads the
+    next queued volume from HBM, so mismatched per-volume iteration
+    counts cost nothing (a fixed (a,b) pairing wastes the iteration-count
+    difference — measured 20 vs 14 iters at (32,1024,1024) made fixed
+    pairing a net LOSS vs the unpaired scan; the queue keeps both slots
+    hot for ceil(total_iters/2) pair iterations + a one-volume tail).
+
+    Bookkeeping rides idempotent unconditional writes: every iteration
+    writes slot recon/iters at the slot's volume index — after
+    retirement the frozen carry rewrites the final value, so no
+    conditional dataflow enters the loop body (TPU ``lax.cond`` with
+    FFT-heavy branches measured ~86× slower; selects are free).
+
+    Returns (recon stack (B, ...), num_iters (B,)).
+    """
+    B = observed.shape[0]
     shape = observed.shape[1:]
     mask, num_pixels, otf_full, otf_t_full, otf2_full, update_norm = _prepare_solve(
         shape, psf, pad_width
     )
     fused_ew = _use_fused_elementwise(shape)
 
-    means = jnp.sum(observed * mask[None], axis=(1, 2, 3)) / num_pixels
-    init_recon = jnp.broadcast_to(
-        means[:, None, None, None], observed.shape
+    # per-volume flat-field init means, one vectorized pass over the stack
+    means = (
+        jnp.sum(observed * mask[None], axis=(1, 2, 3)) / num_pixels
     ).astype(jnp.float32)
-    observed_int = observed.astype(jnp.int32)
 
-    def cond(carry):
-        _, _, _, _, it, done = carry
-        return jnp.any(~done & (it < max_iters))
+    def load(vol_idx):
+        return jax.lax.dynamic_index_in_dim(observed, vol_idx, keepdims=False)
 
     def body(carry):
-        recon, prev_recon, prev_kld1, prev_kld2, it, done = carry
-        active = ~done & (it < max_iters)
+        (out_stack, iters_out, recon, prev_recon, prev_kld1, prev_kld2,
+         it, vol_idx, slot_active, next_idx) = carry
 
+        obs = [load(vol_idx[v]) for v in range(2)]
         splits = []
         for v in range(2):
-            k = jax.random.fold_in(keys[v], it[v])
-            s1 = _binomial_half(k, observed_int[v])
-            splits.append((s1, observed[v] - s1))
+            k = jax.random.fold_in(keys[vol_idx[v]], it[v])
+            s1 = _binomial_half(k, obs[v].astype(jnp.int32))
+            splits.append((s1, obs[v] - s1))
 
         Hu_a, Hu_b = fft_conv_spec(recon[0], recon[1], otf_full)
 
@@ -418,28 +436,76 @@ def _rlgc_pair_core(
                 limit=limit,
                 max_delta=max_delta,
             )
-            # freeze a finished volume: its carry slice rides unchanged
-            # while the partner keeps iterating
+            # freeze an inactive slot: its carry rides unchanged (and its
+            # output writes below stay idempotent)
             old = (recon[v], prev_recon[v], prev_kld1[v], prev_kld2[v],
-                   it[v], done[v])
+                   it[v], jnp.bool_(True))
             new.append(tuple(
-                jnp.where(active[v], n, o) for n, o in zip(out, old)
+                jnp.where(slot_active[v], n, o) for n, o in zip(out, old)
             ))
 
-        return tuple(
-            jnp.stack([new[0][i], new[1][i]]) for i in range(6)
+        # publish state at the slot's CURRENT index (pre-reload):
+        # idempotent after retirement, final at the retire iteration
+        for v in range(2):
+            out_stack = jax.lax.dynamic_update_index_in_dim(
+                out_stack, new[v][0], vol_idx[v], 0
+            )
+            iters_out = iters_out.at[vol_idx[v]].set(new[v][4])
+
+        # retire + reload: a converged (or iteration-capped) slot takes the
+        # next queued volume; simultaneous retires take consecutive indices
+        new_vol_idx, new_active, new_state = [], [], []
+        take = next_idx
+        for v in range(2):
+            retire = slot_active[v] & (new[v][5] | (new[v][4] >= max_iters))
+            has_next = retire & (take < B)
+            idx_v = jnp.where(has_next, take, vol_idx[v])
+            take = take + has_next.astype(jnp.int32)
+            new_vol_idx.append(idx_v)
+            new_active.append(
+                jnp.where(retire, has_next, slot_active[v])
+            )
+            init_v = jnp.broadcast_to(means[idx_v], shape)
+            reload = has_next
+            new_state.append((
+                jnp.where(reload, init_v, new[v][0]),
+                jnp.where(reload, init_v, new[v][1]),
+                jnp.where(reload, jnp.float32(jnp.inf), new[v][2]),
+                jnp.where(reload, jnp.float32(jnp.inf), new[v][3]),
+                jnp.where(reload, jnp.int32(0), new[v][4]),
+            ))
+
+        stack = lambda i: jnp.stack([new_state[0][i], new_state[1][i]])
+        return (
+            out_stack,
+            iters_out,
+            stack(0),
+            stack(1),
+            stack(2),
+            stack(3),
+            stack(4),
+            jnp.stack(new_vol_idx),
+            jnp.stack(new_active),
+            take,
         )
 
+    init_recon = jnp.broadcast_to(
+        means[:2, None, None, None], (2, *shape)
+    ).astype(jnp.float32)
     carry = (
+        jnp.zeros_like(observed),
+        jnp.zeros((B,), jnp.int32),
         init_recon,
         init_recon,
         jnp.full((2,), jnp.inf, jnp.float32),
         jnp.full((2,), jnp.inf, jnp.float32),
         jnp.zeros((2,), jnp.int32),
-        jnp.zeros((2,), bool),
+        jnp.arange(2, dtype=jnp.int32),
+        jnp.ones((2,), bool),
+        jnp.int32(2),
     )
-    recon, _, _, _, num_iters, _ = jax.lax.while_loop(cond, body, carry)
-    return recon, num_iters
+    carry = jax.lax.while_loop(lambda c: jnp.any(c[8]), body, carry)
+    return carry[0], carry[1]
 
 
 def rlgc(
@@ -514,21 +580,9 @@ def _rlgc_batch_core(
     if not pair or n < 2:
         return jax.lax.map(lambda args: fn(args[0], psf, args[1]), (padded, keys))
 
-    # two volumes per solve, every convolution packed (`_rlgc_pair_core`)
-    pair_fn = partial(_rlgc_pair_core, **kw)
-    n_even = (n // 2) * 2
-    pairs = padded[:n_even].reshape(n // 2, 2, *padded.shape[1:])
-    pair_keys = keys[:n_even].reshape(n // 2, 2, *keys.shape[1:])
-    recon_p, iters_p = jax.lax.map(
-        lambda args: pair_fn(args[0], psf, args[1]), (pairs, pair_keys)
-    )
-    recon = recon_p.reshape(n_even, *padded.shape[1:])
-    iters = iters_p.reshape(n_even)
-    if n % 2:
-        r_last, i_last = fn(padded[n - 1], psf, keys[n - 1])
-        recon = jnp.concatenate([recon, r_last[None]])
-        iters = jnp.concatenate([iters, i_last[None]])
-    return recon, iters
+    # two slots, packed convolutions, retire-and-reload over the whole
+    # batch in one while_loop (`_rlgc_queue_core`)
+    return _rlgc_queue_core(padded, psf, keys, **kw)
 
 
 def rlgc_batch(
