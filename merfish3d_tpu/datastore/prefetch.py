@@ -62,20 +62,32 @@ class BoundedWriter:
     """
 
     def __init__(self, depth: int = 2):
+        import threading
         from collections import deque
 
         self._pool = ThreadPoolExecutor(max_workers=1)
         self._pending = deque()
         self._depth = max(1, depth)
+        # submit/drain may be called from multiple registration fan-out
+        # threads when the writer is a shared deferred-persistence queue
+        self._lock = threading.Lock()
 
     def submit(self, fn: Callable, /, *args, **kwargs) -> None:
-        while len(self._pending) >= self._depth:
-            self._pending.popleft().result()  # blocks; re-raises failures
-        self._pending.append(self._pool.submit(fn, *args, **kwargs))
+        while True:
+            with self._lock:
+                if len(self._pending) < self._depth:
+                    self._pending.append(self._pool.submit(fn, *args, **kwargs))
+                    return
+                head = self._pending.popleft()
+            head.result()  # blocks; re-raises failures
 
     def drain(self) -> None:
-        while self._pending:
-            self._pending.popleft().result()
+        while True:
+            with self._lock:
+                if not self._pending:
+                    return
+                head = self._pending.popleft()
+            head.result()
 
     def __enter__(self) -> "BoundedWriter":
         return self
@@ -85,9 +97,13 @@ class BoundedWriter:
             if exc_type is None:
                 self.drain()
             else:  # don't mask the original error; still reap the queue
-                while self._pending:
+                while True:
+                    with self._lock:
+                        if not self._pending:
+                            break
+                        head = self._pending.popleft()
                     try:
-                        self._pending.popleft().result()
+                        head.result()
                     except Exception:
                         pass
         finally:

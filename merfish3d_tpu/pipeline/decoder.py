@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from ..ops import cc as cc_ops
 from ..ops import decode as decode_ops
 from ..ops.filters import gaussian_lowpass
+from ..utils import profiling
 from . import decode_warping
 from .chromatic import (
     ChromaticAffineEstimationConfig,
@@ -148,7 +149,13 @@ class PixelDecoder:
         num_devices: int = 0,  # 0 = all visible devices for tile fan-out
         estimate_chromatic_affines: bool = False,
         chromatic_affine_config: ChromaticAffineEstimationConfig = ChromaticAffineEstimationConfig(),
+        device_cache=None,
     ):
+        """``device_cache``: optional :class:`~.handoff.TileDeviceCache`
+        shared with a same-process :class:`DataRegistration` — warped bit
+        stacks then build from HBM-resident (decon, probability) pairs
+        instead of zarr reads + a full f32 stack upload (bit-identical
+        values; see `handoff.py`)."""
         self._datastore = datastore
         self._verbose = verbose
         self._is_3D = is_3D
@@ -175,6 +182,16 @@ class PixelDecoder:
         self._iterative_normalization_vector: Optional[np.ndarray] = None
         self._iterative_background_vector: Optional[np.ndarray] = None
         self._df_barcodes_loaded = pd.DataFrame()
+        self._device_cache = device_cache
+        # one-deep warped-stack memo: norm seeding and the subsequent
+        # decode of the same tile (and every iteration of the
+        # normalization optimizer) reuse one device-resident warped stack
+        # instead of re-reading + re-warping per pass. Invalidated by
+        # `_invalidate_warped_memo` whenever stored transforms change.
+        self._warped_memo: Optional[tuple] = None
+
+    def _invalidate_warped_memo(self) -> None:
+        self._warped_memo = None
 
     # ------------------------------------------------------------- codebook
     def _load_codebook(self) -> None:
@@ -330,37 +347,65 @@ class PixelDecoder:
         round trip per bit."""
         ds = self._datastore
         bits = ds.bit_ids[: self._n_merfish_bits]
-        # issue every read up front: TensorStore futures overlap all bits'
-        # chunk decodes in its native thread pool instead of serializing
-        # (reads + the np.stack copy were the dominant host cost of the
-        # warm decode pass in the e2e profile)
         on_tpu = jax.devices()[0].platform == "tpu"
-        reads = []
-        for b in bits:
-            reads.append((
-                ds.load_local_registered_image(
-                    tile=tile_id, bit=b, return_future=True
-                ),
-                ds.load_local_feature_predictor_image(
-                    tile=tile_id, bit=b, return_future=True
-                ),
-            ))
+        if device_ok and self._warped_memo is not None:
+            memo_tile, memo_stack = self._warped_memo
+            if memo_tile == tile_id:
+                profiling.add("dec_warped_memo_hit", 0.0)
+                return memo_stack
+
+        # HBM-resident handoff fast path: a same-process registration left
+        # (decon u16, prob f16) on device — the product stack builds in
+        # one device program, skipping the zarr reads, the host multiply,
+        # and the full f32 stack upload (bit-identical values, handoff.py)
         stack = None
-        ems = []
-        for i, (b, (decon_f, pred_f)) in enumerate(zip(bits, reads)):
-            if decon_f is None:
-                raise ValueError(f"missing decon data for {tile_id}/{b}")
-            decon = decon_f.result()
-            if stack is None:
-                stack = np.empty(
-                    (len(bits),) + tuple(decon.shape), np.float32
+        if device_ok and self._device_cache is not None:
+            tile_ids = list(ds.tile_ids)
+            tidx = (
+                tile_ids.index(tile_id) if tile_id in tile_ids else int(tile_id)
+            )
+            with profiling.section("dec_cache_product"):
+                stack = self._device_cache.product_stack(
+                    tidx, range(len(bits))
                 )
-            if pred_f is not None:
-                # uint16 × f16/f32 → f32 directly into the stack slot
-                np.multiply(decon, pred_f.result(), out=stack[i])
-            else:
-                stack[i] = decon
-            ems.append(ds.load_local_wavelengths_um(tile=tile_id, bit=b)[1])
+        if stack is not None:
+            ems = [
+                ds.load_local_wavelengths_um(tile=tile_id, bit=b)[1]
+                for b in bits
+            ]
+        else:
+            # issue every read up front: TensorStore futures overlap all
+            # bits' chunk decodes in its native thread pool instead of
+            # serializing (reads + the np.stack copy were the dominant
+            # host cost of the warm decode pass in the e2e profile)
+            reads = []
+            with profiling.section("dec_zarr_read_bits"):
+                for b in bits:
+                    reads.append((
+                        ds.load_local_registered_image(
+                            tile=tile_id, bit=b, return_future=True
+                        ),
+                        ds.load_local_feature_predictor_image(
+                            tile=tile_id, bit=b, return_future=True
+                        ),
+                    ))
+                ems = []
+                for i, (b, (decon_f, pred_f)) in enumerate(zip(bits, reads)):
+                    if decon_f is None:
+                        raise ValueError(f"missing decon data for {tile_id}/{b}")
+                    decon = decon_f.result()
+                    if stack is None:
+                        stack = np.empty(
+                            (len(bits),) + tuple(decon.shape), np.float32
+                        )
+                    if pred_f is not None:
+                        # uint16 × f16/f32 → f32 directly into the stack slot
+                        np.multiply(decon, pred_f.result(), out=stack[i])
+                    else:
+                        stack[i] = decon
+                    ems.append(
+                        ds.load_local_wavelengths_um(tile=tile_id, bit=b)[1]
+                    )
         # keep the warped stack device-resident when the fused-decode
         # working set fits HBM (padded-intermediate estimate matching
         # `fused_decode_volume`, plus headroom for a prefetched sibling
@@ -378,14 +423,18 @@ class PixelDecoder:
             if mode in ("0", "1")
             else on_tpu and (2 + 3.0 * inflation) * stack.nbytes <= (12 << 30)
         )
-        return decode_warping.warp_bit_images_to_reference(
-            stack,
-            datastore=ds,
-            tile=tile_id,
-            bit_ids=bits,
-            emission_wavelengths_um=ems,
-            out="device" if device_out else "host",
-        )
+        with profiling.section("dec_warp_stack"):
+            warped = decode_warping.warp_bit_images_to_reference(
+                stack,
+                datastore=ds,
+                tile=tile_id,
+                bit_ids=bits,
+                emission_wavelengths_um=ems,
+                out="device" if device_out else "host",
+            )
+        if device_ok:
+            self._warped_memo = (tile_id, warped)
+        return warped
 
     def _load_bit_data_for(self, tile_idx: int, device_ok: bool = True) -> dict:
         """Thread-safe tile load: returns the warped bit stack plus the
@@ -702,12 +751,14 @@ class PixelDecoder:
         stash: bool = False,
     ) -> pd.DataFrame:
         self._apply_tile_state(loaded)
-        decoded, mag, dist, intensity = self._device_decode(
-            loaded,
-            lowpass_sigma=lowpass_sigma,
-            optimize_normalization_weights=optimize_normalization_weights,
-        )
-        df = self._extract_barcodes(decoded, mag, dist, intensity, tile_idx)
+        with profiling.section("dec_device_decode"):
+            decoded, mag, dist, intensity = self._device_decode(
+                loaded,
+                lowpass_sigma=lowpass_sigma,
+                optimize_normalization_weights=optimize_normalization_weights,
+            )
+        with profiling.section("dec_extract"):
+            df = self._extract_barcodes(decoded, mag, dist, intensity, tile_idx)
         if stash:
             # last-decode state for the reference's post-hoc accessors
             # (`PixelDecoder.py:2806-2845`). Only the user-facing
@@ -717,7 +768,8 @@ class PixelDecoder:
             self._decoded_image = np.asarray(decoded, np.int16)
             self._last_decoded_tile_idx = tile_idx
         if save:
-            self._datastore.save_local_decoded_spots(df, tile_idx)
+            with profiling.section("dec_parquet_write"):
+                self._datastore.save_local_decoded_spots(df, tile_idx)
         return df
 
     @property
@@ -1043,6 +1095,7 @@ class PixelDecoder:
         if self._estimate_chromatic:
             save_identity_chromatic_affines(ds, self._n_merfish_bits)
             self._collect_chromatic_centroids = True
+            self._invalidate_warped_memo()  # stored chromatic warp changed
         self._load_global_normalization_vectors(
             recalculate=True,
             tile_indices=sample_idx[:5],
@@ -1094,6 +1147,7 @@ class PixelDecoder:
                     n_merfish_bits=self._n_merfish_bits,
                     config=self._chromatic_affine_config,
                 )
+                self._invalidate_warped_memo()  # chromatic warp changed
             self._iterative_normalization_vectors()
         self._collect_chromatic_centroids = False
 

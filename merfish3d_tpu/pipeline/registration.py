@@ -36,18 +36,25 @@ from ..models.ufish import get_predictor
 from ..ops.flow import SofimaRegistrationConfig, estimate_sofima_flow_field_xyz_px
 from ..ops.registration import register_rounds_to_fixed
 from ..ops.rlgc import chunked_rlgc
+from ..utils import profiling
 
 
 @jax.jit
-def _pack_decon_probs(decons, probs):
+def _pack_cached_forms(decon_u16, prob_f16):
     """(decon uint16, probability float16-bitcast) as ONE uint16 stack —
     a single device→host transfer carries the exact uint16 values the
     datastore persists plus the probability maps at float16 (quantization
     ~5e-4 relative on [0, 1], immaterial to spot thresholds and decode
     weighting; the link moves ~10-17 MB/s so f32 readbacks dominate)."""
-    du = jnp.clip(decons, 0.0, 65535.0).astype(jnp.uint16)
-    pu = jax.lax.bitcast_convert_type(probs.astype(jnp.float16), jnp.uint16)
-    return jnp.stack([du, pu])
+    pu = jax.lax.bitcast_convert_type(prob_f16, jnp.uint16)
+    return jnp.stack([decon_u16, pu])
+
+
+@jax.jit
+def _warped_to_u16(warped_f32):
+    """Persisted form of a warped fiducial stack — cast on DEVICE so the
+    readback moves half the bytes (the datastore stores uint16 anyway)."""
+    return jnp.clip(warped_f32, 0.0, 65535.0).astype(jnp.uint16)
 
 
 @dataclass(frozen=True)
@@ -105,7 +112,19 @@ class DataRegistration:
         num_devices: int = 0,
         registration_diagnostics: bool = False,
         verbose: int = 1,
+        device_cache=None,
+        persist: str = "sync",
     ):
+        """``device_cache``: optional :class:`~.handoff.TileDeviceCache`;
+        when set, each tile's (decon, probability) readout intermediates
+        stay HBM-resident for a same-process decoder while persistence
+        proceeds write-behind. ``persist``: ``"sync"`` drains all datastore
+        writes before each stage returns (reference behavior — its stages
+        communicate only through the datastore, `DataRegistration.py:461`);
+        ``"deferred"`` queues the readout-bit image writes (the ~270 MB/tile
+        device→host payload) on a background drain thread the caller
+        flushes via :meth:`drain_persistence`, keeping the decode critical
+        path off the link."""
         self._datastore = datastore
         self._decon_fiducial = decon_fiducial
         self._decon_readout = decon_readout
@@ -124,6 +143,42 @@ class DataRegistration:
         self._verbose = verbose
         self._tile_id: Optional[str] = None
         self._predictor = get_predictor(ufish_model, ufish_checkpoint)
+        self._device_cache = device_cache
+        if persist not in ("sync", "deferred"):
+            raise ValueError(f"persist must be 'sync' or 'deferred', got {persist!r}")
+        self._persist_mode = persist
+        self._persister = None  # lazy BoundedWriter for deferred mode
+
+    # ------------------------------------------------- deferred persistence
+    def _persist_writer(self, kind: str):
+        """Writer for image persistence: a fresh bounded write-behind
+        queue in sync mode, a long-lived deferred queue otherwise (one per
+        ``kind`` — ``"fid"`` fiducial images, which ``global_register``
+        must see on disk, and ``"bits"`` readout intermediates, which a
+        same-process decoder reads from the device cache instead).
+        Deferred depth bounds HBM pinned by in-flight packed stacks (each
+        job holds one (2, B, z, y, x) uint16 chunk). Returns
+        ``(writer, owned)``; owned writers are drained by the caller."""
+        from ..datastore.prefetch import BoundedWriter
+
+        if self._persist_mode == "sync":
+            return BoundedWriter(depth=2), True
+        if self._persister is None:
+            self._persister = {
+                "fid": BoundedWriter(depth=8),
+                "bits": BoundedWriter(depth=8),
+            }
+        return self._persister[kind], False
+
+    def drain_persistence(self, kind: Optional[str] = None) -> None:
+        """Block until every deferred datastore write has landed (no-op in
+        sync mode). Call before handing the datastore to another process
+        or before relying on on-disk readout intermediates."""
+        if self._persister is not None:
+            with profiling.section("reg_persist_drain"):
+                for k, w in self._persister.items():
+                    if kind is None or k == kind:
+                        w.drain()
 
     # -------------------------------------------------- reference accessors
     # (`DataRegistration.py:1120-1280`: datastore / dataset_path / tile_id /
@@ -359,16 +414,18 @@ class DataRegistration:
         fid_psf = self._psf_for_channel(0) if self._decon_fiducial else None
 
         t0 = time.perf_counter()
-        ref_raw = np.asarray(
-            ds.load_local_corrected_image(tile=tile_idx, round=0), np.float32
-        )
+        with profiling.section("reg_zarr_read_rounds"):
+            ref_raw = np.asarray(
+                ds.load_local_corrected_image(tile=tile_idx, round=0), np.float32
+            )
         reference = self._deconvolve(ref_raw, fid_psf, seed=42 + tile_idx)
         reference_dev = None  # lazy device copy for the deformable path
-        ds.save_local_registered_image(
+        fid_writer, own_fid = self._persist_writer("fid")
+        fid_writer.submit(
+            self._save_fid_image,
             np.clip(reference, 0, 65535).astype(np.uint16),
-            tile=tile_idx,
-            round=0,
-            deconvolution=self._decon_fiducial,
+            tile_idx,
+            0,
         )
         ds.save_local_round_transform_zyx_um(np.eye(4), tile=tile_idx, round=0)
         self._diag(
@@ -403,20 +460,23 @@ class DataRegistration:
             # futures overlap the rounds' chunk decodes; the stack stays
             # uint16 — the decon/register programs cast on DEVICE, so the
             # upload moves half the bytes of f32
-            futures = [
-                ds.load_local_corrected_image(
-                    tile=tile_idx, round=r, return_future=True
-                )
-                for r in batches[batch_idx]
-            ]
-            return np.stack([np.asarray(f.result()) for f in futures])
+            with profiling.section("reg_zarr_read_rounds"):
+                futures = [
+                    ds.load_local_corrected_image(
+                        tile=tile_idx, round=r, return_future=True
+                    )
+                    for r in batches[batch_idx]
+                ]
+                return np.stack([np.asarray(f.result()) for f in futures])
 
         # read/compute/write pipeline over round batches: next batch's
         # zarr reads and previous rounds' registered-image writes overlap
         # the device decon+registration (see `_apply_registration_to_bits`)
         prefetcher = TilePrefetcher(load_batch, range(len(batches)), depth=1)
         need_warped = self._deformable or self._save_all_fiducial_registered
-        with BoundedWriter(depth=2) as writer:
+
+        def run_batches(writer) -> None:
+            nonlocal reference_dev
             for batch_idx, raws in prefetcher:
                 batch_rounds = batches[batch_idx]
                 start = batch_idx * max(batch_cap, 1)
@@ -487,12 +547,14 @@ class DataRegistration:
                     )
                     warped = warped_stack[i] if warped_stack is not None else None
                     if self._save_all_fiducial_registered and warped is not None:
+                        # persisted form is uint16 — cast on DEVICE and
+                        # read back on the writer thread (half the bytes,
+                        # off the critical path)
                         writer.submit(
-                            ds.save_local_registered_image,
-                            warped,
-                            tile=tile_idx,
-                            round=round_idx,
-                            deconvolution=self._decon_fiducial,
+                            self._save_fid_image,
+                            _warped_to_u16(warped),
+                            tile_idx,
+                            round_idx,
                         )
                     self._diag(
                         "round-registered", tile=tile_idx, round=round_idx,
@@ -529,6 +591,31 @@ class DataRegistration:
                             elapsed=f"{time.perf_counter() - t0:.2f}s",
                         )
                 del decons
+
+        if own_fid:
+            with fid_writer:
+                run_batches(fid_writer)
+        else:
+            run_batches(fid_writer)
+
+    def _save_fid_image(self, image_u16, tile_idx: int, round_idx: int) -> None:
+        """Writer-thread fiducial save: d2h of the uint16 volume (device
+        arrays pass through np.asarray; host arrays are free) + zarr
+        write, both attributed to their own profiling boundaries."""
+        with profiling.section(
+            "reg_d2h_fiducial",
+            nbytes=int(getattr(image_u16, "nbytes", 0))
+            if not isinstance(image_u16, np.ndarray)
+            else 0,
+        ):
+            image_u16 = np.asarray(image_u16)
+        with profiling.section("reg_zarr_write_fiducial"):
+            self._datastore.save_local_registered_image(
+                image_u16,
+                tile=tile_idx,
+                round=round_idx,
+                deconvolution=self._decon_fiducial,
+            )
 
     # ----------------------------------------------------------- readout bits
     def _apply_registration_to_bits(
@@ -591,15 +678,18 @@ class DataRegistration:
             # futures overlap all bits' chunk decodes in TensorStore's
             # native pool; the stack stays uint16 — the decon path casts
             # on DEVICE, so the upload moves half the bytes of f32
-            futures = [
-                ds.load_local_corrected_image(
-                    tile=tile_idx, bit=b, return_future=True
-                )
-                for b, _ in chunks[chunk_idx][1]
-            ]
-            return np.stack([np.asarray(f.result()) for f in futures])
+            with profiling.section("reg_zarr_read_bits"):
+                futures = [
+                    ds.load_local_corrected_image(
+                        tile=tile_idx, bit=b, return_future=True
+                    )
+                    for b, _ in chunks[chunk_idx][1]
+                ]
+                return np.stack([np.asarray(f.result()) for f in futures])
 
-        with BoundedWriter(depth=2) as writer:
+        def run_chunks(writer) -> None:
+            from .handoff import _to_cache_forms
+
             for chunk_idx, raws in TilePrefetcher(
                 load_chunk, range(len(chunks)), depth=1
             ):
@@ -609,9 +699,11 @@ class DataRegistration:
                 # decon(uint16, the exact values the datastore persists) +
                 # probability(float16) come back in ONE bitcast-packed
                 # transfer — a full readout chunk is hundreds of MB and
-                # the tunneled link moves ~10-17 MB/s, so the f32
-                # decon+prob readbacks plus the prob re-upload dominated
-                # the warm register phase (~40 s of 52 s profiled r3)
+                # the tunneled link moves ~10-17 MB/s half-duplex, so the
+                # f32 decon+prob readbacks plus the prob re-upload
+                # dominated the warm register phase (~40 s of 52 s
+                # profiled r3)
+                t_dev = time.perf_counter()
                 if psf is None:
                     # upload u16, cast on device
                     decons_dev = jnp.asarray(raws).astype(jnp.float32)
@@ -643,39 +735,68 @@ class DataRegistration:
                             ]
                         )
                     )
-                packed = np.asarray(_pack_decon_probs(decons_dev, probs_dev))
-                decons_u16 = packed[0]
-                probs_f16 = packed[1].view(np.float16)
+                bit_indices = [b for b, _ in chunk]
+                if self._device_cache is not None:
+                    # HBM-resident handoff: the SAME u16/f16 values the
+                    # datastore persists stay on device for the decoder
+                    du, pf = self._device_cache.put_chunk(
+                        tile_idx, bit_indices, decons_dev, probs_dev
+                    )
+                else:
+                    du, pf = _to_cache_forms(decons_dev, probs_dev)
+                packed_dev = _pack_cached_forms(du, pf)
+                packed_dev.block_until_ready()
+                profiling.add("reg_device_decon_predict", time.perf_counter() - t_dev)
+                del decons_dev, probs_dev, du, pf
 
-                def save_chunk(
-                    chunk=chunk, decons_u16=decons_u16, probs_f16=probs_f16
-                ):
+                def save_chunk(chunk=chunk, packed_dev=packed_dev):
+                    # the d2h readback runs HERE, on the writer thread —
+                    # in deferred mode the register/decode critical path
+                    # never waits on the link for intermediates
+                    with profiling.section(
+                        "reg_d2h_intermediates", nbytes=2 * packed_dev.size
+                    ):
+                        packed = np.asarray(packed_dev)
+                    decons_u16 = packed[0]
+                    probs_f16 = packed[1].view(np.float16)
                     for i, (bit_idx, _bit_id) in enumerate(chunk):
-                        ds.save_local_registered_image(
-                            decons_u16[i],
-                            tile=tile_idx,
-                            bit=bit_idx,
-                            deconvolution=self._decon_readout,
-                        )
-                        ds.save_local_feature_predictor_image(
-                            probs_f16[i], tile=tile_idx, bit=bit_idx
-                        )
-                        spots = _spot_table_from_probability(
-                            decons_u16[i].astype(np.float32),
-                            probs_f16[i].astype(np.float32),
-                            tile_idx=tile_idx,
-                            bit_idx=bit_idx,
-                        )
-                        ds.save_local_feature_predictor_spots(
-                            spots, tile=tile_idx, bit=bit_idx
-                        )
+                        with profiling.section("reg_zarr_write_bits"):
+                            ds.save_local_registered_image(
+                                decons_u16[i],
+                                tile=tile_idx,
+                                bit=bit_idx,
+                                deconvolution=self._decon_readout,
+                            )
+                            ds.save_local_feature_predictor_image(
+                                probs_f16[i], tile=tile_idx, bit=bit_idx
+                            )
+                        with profiling.section("reg_spot_tables"):
+                            spots = _spot_table_from_probability(
+                                decons_u16[i].astype(np.float32),
+                                probs_f16[i].astype(np.float32),
+                                tile_idx=tile_idx,
+                                bit_idx=bit_idx,
+                            )
+                            ds.save_local_feature_predictor_spots(
+                                spots, tile=tile_idx, bit=bit_idx
+                            )
 
                 writer.submit(save_chunk)
+
+        writer, own = self._persist_writer("bits")
+        if own:
+            with writer:
+                run_chunks(writer)
+        else:
+            run_chunks(writer)
 
     # ------------------------------------------------------------- global
     def global_register(self) -> None:
         from .stitching import global_register
 
+        # stitching reads fiducial round-0 images from disk; the readout
+        # bits queue keeps draining in the background meanwhile
+        self.drain_persistence(kind="fid")
         global_register(
             self._datastore,
             config=self._global_reg_config,
