@@ -759,6 +759,10 @@ class DataRegistration:
                         packed = np.asarray(packed_dev)
                     decons_u16 = packed[0]
                     probs_f16 = packed[1].view(np.float16)
+                    predictor_kind = getattr(self._predictor, "kind", "cnn")
+                    predictor_name = getattr(
+                        self._predictor, "model_name", predictor_kind
+                    )
                     for i, (bit_idx, _bit_id) in enumerate(chunk):
                         with profiling.section("reg_zarr_write_bits"):
                             ds.save_local_registered_image(
@@ -768,7 +772,11 @@ class DataRegistration:
                                 deconvolution=self._decon_readout,
                             )
                             ds.save_local_feature_predictor_image(
-                                probs_f16[i], tile=tile_idx, bit=bit_idx
+                                probs_f16[i],
+                                tile=tile_idx,
+                                bit=bit_idx,
+                                model_name=predictor_name,
+                                extra_attributes={"predictor": predictor_kind},
                             )
                         with profiling.section("reg_spot_tables"):
                             spots = _spot_table_from_probability(
@@ -776,6 +784,7 @@ class DataRegistration:
                                 probs_f16[i].astype(np.float32),
                                 tile_idx=tile_idx,
                                 bit_idx=bit_idx,
+                                predictor=predictor_kind,
                             )
                             ds.save_local_feature_predictor_spots(
                                 spots, tile=tile_idx, bit=bit_idx
@@ -839,6 +848,7 @@ def _spot_table_from_probability(
     max_spots: int = 20000,
     tile_idx: int = 0,
     bit_idx: int = 0,
+    predictor: str = "cnn",
 ) -> pd.DataFrame:
     """U-FISH-style spot localizations with ROI intensity sums (reference
     `_apply_bits_on_gpu:929-989`).
@@ -899,6 +909,9 @@ def _spot_table_from_probability(
             "tile_z_px": np.asarray(zs, np.float64),
             "tile_y_px": np.asarray(ys, np.float64),
             "tile_x_px": np.asarray(xs, np.float64),
+            # which predictor produced the probability map (dog = the
+            # fallback ran because no CNN checkpoint resolved)
+            "predictor": np.full(len(zs), predictor, object),
         }
     )
 

@@ -84,8 +84,14 @@ EXHAUSTIVE_MATRIX = [
 ]
 
 
-def run_matrix_case(case: MatrixCase, workdir: Path) -> dict:
-    """Generate -> datastore -> register -> decode -> F1 for one case."""
+def run_matrix_case(
+    case: MatrixCase, workdir: Path, *, ufish_checkpoint=None
+) -> dict:
+    """Generate -> datastore -> register -> decode -> F1 for one case.
+
+    ``ufish_checkpoint``: path to a pickled UFishNet variables dict —
+    the case then runs REAL CNN inference in the registration stage
+    instead of the DoG fallback (VERDICT r3 next #2)."""
     from merfish3d_tpu.cli.simulation import (
         convert_simulation_to_experiment as sim_convert,
     )
@@ -114,6 +120,8 @@ def run_matrix_case(case: MatrixCase, workdir: Path) -> dict:
         decon_max_iters=12,
         global_registration=True,
         verbose=0,
+        ufish_model="dog" if ufish_checkpoint is None else "synthetic-cnn",
+        ufish_checkpoint=ufish_checkpoint,
     )
     reg.register_all_tiles()
     df = decode_pixels(

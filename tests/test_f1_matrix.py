@@ -69,6 +69,39 @@ def test_f1_matrix_case(case: MatrixCase, tmp_path):
     )
 
 
+# CNN-path pins: the SAME pipeline with a real UFishNet checkpoint
+# (trained on synthetic spot renders, `models/ufish_train.py`,
+# `tests/data/ufish_synthetic_c8.pkl` — seed 0, 600 steps, c8) doing the
+# probability prediction end-to-end instead of the DoG fallback. The CNN
+# path must match or beat the DoG pin on the same case (VERDICT r3 #2).
+CNN_CASES = [
+    MatrixCase("cells", 0.315, True),
+    MatrixCase("uniform", 0.315, False),
+]
+EXPECTED_F1_CNN = {
+    "cells-0.315um-decon": 0.9661,
+    "uniform-0.315um-nodecon": 1.0000,
+}
+
+
+@pytest.mark.parametrize(
+    "case", CNN_CASES, ids=[c.case_id + "-cnn" for c in CNN_CASES]
+)
+def test_f1_matrix_cnn_case(case: MatrixCase, tmp_path):
+    from pathlib import Path
+
+    ckpt = Path(__file__).parent / "data" / "ufish_synthetic_c8.pkl"
+    result = run_matrix_case(case, tmp_path, ufish_checkpoint=ckpt)
+    expected = EXPECTED_F1_CNN[case.case_id]
+    assert abs(result["f1"] - expected) <= F1_ABS_TOLERANCE, (
+        f"{case.case_id} (CNN): F1 {result['f1']:.4f} drifted from pinned "
+        f"{expected:.4f} (tp={result['true_positives']} "
+        f"fp={result['false_positives']} fn={result['false_negatives']})"
+    )
+    # the CNN predictor must not regress below the DoG pin on this case
+    assert result["f1"] >= EXPECTED_F1[case.case_id] - F1_ABS_TOLERANCE
+
+
 @pytest.mark.parametrize(
     "case", EXHAUSTIVE_MATRIX, ids=[c.case_id for c in EXHAUSTIVE_MATRIX]
 )
