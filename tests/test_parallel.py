@@ -132,3 +132,60 @@ def test_optimize_normalization_mesh_matches_sequential(tmp_path_factory):
     norm_mesh, bg_mesh = run("nmesh", False)
     np.testing.assert_array_equal(norm_seq, norm_mesh)
     np.testing.assert_array_equal(bg_seq, bg_mesh)
+
+
+def test_register_all_tiles_fanout_matches_sequential(tmp_path_factory):
+    """Registration fan-out (per-device host threads, one tile per chip)
+    must write bit-identical round transforms, registered bit images, and
+    spot tables to a forced single-device sequential run (VERDICT r3 #6:
+    the DP fan-out previously had no mesh determinism test)."""
+    from merfish3d_tpu.pipeline.registration import DataRegistration
+    from merfish3d_tpu.utils.simulation import generate_synthetic_experiment
+
+    def run(tag, num_devices):
+        path = tmp_path_factory.mktemp("regfan_" + tag) / "qi2labdatastore"
+        ds, _gt = generate_synthetic_experiment(
+            path, shape=(6, 48, 48), n_spots=20, seed=13,
+            n_tiles=4, tile_offset_px=(0.0, 0.0, 32.0),
+        )
+        reg = DataRegistration(
+            ds,
+            decon_fiducial=False,
+            decon_readout=True,
+            decon_max_iters=3,
+            global_registration=False,
+            overwrite=True,
+            verbose=0,
+            num_devices=num_devices,
+            ufish_model="dog",
+        )
+        reg.register_all_tiles()
+        return ds
+
+    ds_seq = run("seq", 1)
+    assert len(jax.devices()) >= 4
+    ds_fan = run("fan", 4)
+
+    for t in range(4):
+        for r in range(ds_seq.num_rounds):
+            np.testing.assert_array_equal(
+                ds_seq.load_local_round_transform_zyx_um(t, r),
+                ds_fan.load_local_round_transform_zyx_um(t, r),
+            )
+        for b in range(ds_seq.num_bits):
+            np.testing.assert_array_equal(
+                np.asarray(ds_seq.load_local_registered_image(tile=t, bit=b)),
+                np.asarray(ds_fan.load_local_registered_image(tile=t, bit=b)),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(
+                    ds_seq.load_local_feature_predictor_image(tile=t, bit=b)
+                ),
+                np.asarray(
+                    ds_fan.load_local_feature_predictor_image(tile=t, bit=b)
+                ),
+            )
+            pd.testing.assert_frame_equal(
+                ds_seq.load_local_feature_predictor_spots(t, b),
+                ds_fan.load_local_feature_predictor_spots(t, b),
+            )
