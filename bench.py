@@ -590,6 +590,12 @@ def bench_fusion(platform: str) -> tuple[float, dict]:
             n_tiles=4,
             tile_offset_px=(0.0, 0.0, shape[2] * 0.75),
         )
+        # pass 1 compiles the (shape-bucketed) pairwise-registration
+        # programs; pass 2 is the sustained rate (both passes run the
+        # full stitch+fuse; global_register is idempotent over the store)
+        t0 = time.perf_counter()
+        global_register(ds, verbose=0)
+        cold_reg = time.perf_counter() - t0
         t0 = time.perf_counter()
         global_register(ds, verbose=0)
         t_reg = time.perf_counter() - t0
@@ -601,6 +607,9 @@ def bench_fusion(platform: str) -> tuple[float, dict]:
         return out_voxels / (t_reg + t_fuse), {
             "fused_shape": [int(v) for v in fused.shape],
             "global_register_seconds": round(t_reg, 2),
+            "global_register_compile_overhead_seconds": round(
+                cold_reg - t_reg, 2
+            ),
             "fuse_seconds": round(t_fuse, 2),
         }
     finally:

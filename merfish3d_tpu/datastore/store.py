@@ -1126,13 +1126,19 @@ class qi2labDataStore:
         extra_attributes: Optional[Mapping[str, Any]] = None,
     ) -> None:
         """U-FISH probability map, same shape as corrected
-        (`qi2labDataStore.py:4781-4870`)."""
+        (`qi2labDataStore.py:4781-4870`).
+
+        Stored as float16: probabilities live in [0, 1] where f16 carries
+        ~3.3 decimal digits, the registration pipeline already quantizes
+        the packed readback to f16 (pipeline/registration.py), and halving
+        the bytes halves the single-core compression cost on the per-tile
+        critical path. Loads dequantize to f32 at the consumer."""
         d = self._readout_dir(tile, bit)
         attrs = {"model_name": str(model_name)}
         if extra_attributes:
             attrs.update(dict(extra_attributes))
         self._save_entity_image(
-            np.asarray(image, dtype=np.float32),
+            np.asarray(image, dtype=np.float16),
             d,
             "feature_predictor_data",
             extra_attributes=attrs,

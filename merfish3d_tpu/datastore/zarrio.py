@@ -142,7 +142,7 @@ def _array_spec(
     dtype: np.dtype,
     chunks: Sequence[int],
     *,
-    compression_level: int = 5,
+    compression_level: int = 1,
     cname: str = "zstd",
     shard_chunks: Sequence[int] | None = None,
 ) -> dict:
@@ -150,7 +150,13 @@ def _array_spec(
     ``sharding_indexed`` codec (reference
     `qi2labDataStore._create_array_tensorstore_qi2lab:1431-1536`). With
     sharding, ``shard_chunks`` is the outer shard shape and ``chunks`` the
-    inner sub-chunk shape."""
+    inner sub-chunk shape.
+
+    Default clevel 1, not the reference's higher setting: with bitshuffle
+    in front, zstd-1 compresses imaging data within ~10% of zstd-5 at
+    ~4x the speed (measured 82 → 311 MB/s on a single-core host), and the
+    per-tile image writes are on the pipeline's critical path (the e2e
+    profile attributed 17.5 s/tile to zstd-5 compression alone)."""
     inner_codecs = [
         {"name": "bytes", "configuration": {"endian": "little"}},
         {

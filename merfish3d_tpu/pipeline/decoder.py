@@ -582,17 +582,18 @@ class PixelDecoder:
             return None
         stacks = [self._load_warped_bit_stack(tile_id) for tile_id in tiles]
         zsl = self._z_slice(stacks[0].shape[1])
-        packed = np.asarray(
-            _seed_stats_program(
-                jnp.stack([jnp.asarray(s) for s in stacks]),
-                z_start=zsl.start,
-                z_stop=zsl.stop,
-                sigma=tuple(float(s) for s in sigma),
-                hot_threshold=float(hot_pixel_threshold),
-                low_cut=float(low_cut),
-                high_cut=float(high_cut),
+        with profiling.section("dec_norm_seed_device"):
+            packed = np.asarray(
+                _seed_stats_program(
+                    jnp.stack([jnp.asarray(s) for s in stacks]),
+                    z_start=zsl.start,
+                    z_stop=zsl.stop,
+                    sigma=tuple(float(s) for s in sigma),
+                    hot_threshold=float(hot_pixel_threshold),
+                    low_cut=float(low_cut),
+                    high_cut=float(high_cut),
+                )
             )
-        )
         return packed[0], packed[1]
 
     def _seed_lowpassed_stacks(
@@ -828,17 +829,19 @@ class PixelDecoder:
             fg = self._tile_foreground_yx(decoded.shape, state)
             decoded = np.where(fg[None, :, :], decoded, -1)
         decoded_i32 = np.ascontiguousarray(decoded, np.int32)
-        lin_roots = label_components_sparse(
-            decoded_i32, use_2d=not self._is_3D
-        )
-        stats = cc_ops.component_stats_host(
-            decoded_i32,
-            lin_roots,
-            distance.astype(np.float32),
-            magnitude.astype(np.float32),
-            intensity if callable(intensity) else np.asarray(intensity, np.float32),
-            collect_weighted_centroids=self._collect_chromatic_centroids,
-        )
+        with profiling.section("dec_extract_label"):
+            lin_roots = label_components_sparse(
+                decoded_i32, use_2d=not self._is_3D
+            )
+        with profiling.section("dec_extract_stats"):
+            stats = cc_ops.component_stats_host(
+                decoded_i32,
+                lin_roots,
+                distance.astype(np.float32),
+                magnitude.astype(np.float32),
+                intensity if callable(intensity) else np.asarray(intensity, np.float32),
+                collect_weighted_centroids=self._collect_chromatic_centroids,
+            )
         valid = np.asarray(stats["valid"])
         area = np.asarray(stats["area"])[valid]
         if valid.sum() == 0:

@@ -724,6 +724,9 @@ class DataRegistration:
                             ]
                         )
                     )
+                decons_dev.block_until_ready()
+                profiling.add("reg_device_decon", time.perf_counter() - t_dev)
+                t_dev = time.perf_counter()
                 if hasattr(self._predictor, "predict_batch_device"):
                     probs_dev = self._predictor.predict_batch_device(decons_dev)
                 else:
