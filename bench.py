@@ -666,12 +666,18 @@ def bench_e2e_tile(platform: str) -> tuple[float, dict]:
             t_reg = time.perf_counter() - t0
 
             t0 = time.perf_counter()
+            # quiesce the background intermediate drain during the decode
+            # critical section: its ~150 MB would starve the decode's
+            # small readbacks on the half-duplex link (measured 2.3x on
+            # the decode device section); the drain resumes right after
+            reg.pause_persistence()
             decoder = PixelDecoder(
                 ds, minimum_pixels=4, magnitude_threshold=(0.9, 10.0), verbose=0,
                 device_cache=cache,
             )
             decoder._load_global_normalization_vectors(recalculate=True)
             decoder.decode_one_tile(0, save=True)
+            reg.resume_persistence()
             t_dec = time.perf_counter() - t0
 
             t0 = time.perf_counter()

@@ -45,6 +45,9 @@ def write_raw_experiment(
     distribution: str = "uniform",
     n_cells: int = 6,
     axial_sigma_um: float | None = None,
+    tile_offset_px=None,
+    round_shift_px: float = 0.0,
+    deformation_px: float = 0.0,
 ) -> Path:
     """Generate a synthetic raw acquisition (generate mode).
 
@@ -57,6 +60,18 @@ def write_raw_experiment(
     coarser axial sampling (1.0 / 1.5 µm steps) renders genuinely
     undersampled spots, reproducing the reference's F1 falloff with axial
     spacing. None keeps the legacy fixed 1.4-px sigma.
+
+    Production-geometry mode (``tile_offset_px`` set): ONE global field of
+    ``n_spots`` spots and shared fiducial beads is imaged by ``n_tiles``
+    overlapping tiles at stage offsets ``tile_offset_px * tile_idx``
+    (stage positions recorded in metadata.json), with per-moving-round
+    rigid misregistration up to ``round_shift_px`` px and a smooth global
+    deformation field of amplitude ``deformation_px`` px — the full
+    registration problem (staged affine + SOFIMA-style residual flow +
+    stitching + overlap dedup) the statphysbio archives pose
+    (`/root/reference/docs/examples/statphysbio_synthetic.md:13-60`).
+    ``tile_offset_px=None`` keeps the legacy independent-tile rendering
+    byte-identical (the pinned F1 matrix depends on it).
     """
     from ...utils.simulation import _render_bit_volume, make_mhd4_codebook
 
@@ -83,7 +98,28 @@ def write_raw_experiment(
 
     gt_rows = []
     spacing = np.asarray(voxel_size_zyx_um)
-    for tile_idx in range(n_tiles):
+    stage_positions = [[0.0, 0.0, 0.0] for _ in range(n_tiles)]
+    if tile_offset_px is not None:
+        gt_rows, stage_positions = _write_production_tiles(
+            out_dir,
+            rng,
+            shape=shape,
+            matrix=matrix,
+            codebook=codebook,
+            n_bits=n_bits,
+            n_rounds=n_rounds,
+            n_spots=n_spots,
+            n_tiles=n_tiles,
+            spacing=spacing,
+            sigma_zyx=sigma_zyx,
+            tile_offset_px=np.asarray(tile_offset_px, np.float64),
+            round_shift_px=float(round_shift_px),
+            deformation_px=float(deformation_px),
+            distribution=distribution,
+            n_cells=n_cells,
+        )
+    legacy_tiles = range(n_tiles) if tile_offset_px is None else []
+    for tile_idx in legacy_tiles:
         tdir = out_dir / f"tile{tile_idx:04d}"
         tdir.mkdir(exist_ok=True)
         margin = 8
@@ -165,9 +201,167 @@ def write_raw_experiment(
         "bit_wavelengths_um": [
             [0.561, 0.590] if b % 2 == 0 else [0.635, 0.670] for b in range(n_bits)
         ],
+        "stage_positions_zyx_um": stage_positions,
     }
     (out_dir / "metadata.json").write_text(json.dumps(meta, indent=2))
     return out_dir
+
+
+def _write_production_tiles(
+    out_dir: Path,
+    rng,
+    *,
+    shape,
+    matrix,
+    codebook,
+    n_bits: int,
+    n_rounds: int,
+    n_spots: int,
+    n_tiles: int,
+    spacing,
+    sigma_zyx,
+    tile_offset_px,
+    round_shift_px: float,
+    deformation_px: float,
+    distribution: str,
+    n_cells: int,
+):
+    """Production-geometry renderer: one global spot/bead field imaged by
+    overlapping tiles, with per-moving-round rigid shifts and a smooth
+    global deformation field (see ``write_raw_experiment`` docstring)."""
+    from ...utils.simulation import _render_bit_volume
+
+    shape = np.asarray(shape, int)
+    offsets_px = [tile_offset_px * t for t in range(n_tiles)]
+    extent_px = shape.astype(np.float64) + offsets_px[-1]
+    margin = 8
+
+    n_genes_total = matrix.shape[0]
+    coding = [
+        i
+        for i in range(n_genes_total)
+        if not str(codebook["gene_id"].iloc[i]).lower().startswith("blank")
+    ]
+    if distribution == "cells":
+        centers = np.column_stack(
+            [
+                rng.uniform(1.0, extent_px[0] - 1.0, n_cells),
+                rng.uniform(margin + 6, extent_px[1] - margin - 6, n_cells),
+                rng.uniform(margin + 6, extent_px[2] - margin - 6, n_cells),
+            ]
+        )
+        which = rng.integers(0, n_cells, n_spots)
+        scatter = rng.normal(0.0, 1.0, (n_spots, 3)) * np.asarray(
+            [max(shape[0] / 6.0, 1.0), 30.0, 30.0]
+        )
+        global_spots = np.clip(
+            centers[which] + scatter,
+            [1.0, margin, margin],
+            [extent_px[0] - 1.0, extent_px[1] - margin, extent_px[2] - margin],
+        )
+    else:
+        global_spots = np.column_stack(
+            [
+                rng.uniform(2, extent_px[0] - 2, n_spots),
+                rng.uniform(margin, extent_px[1] - margin, n_spots),
+                rng.uniform(margin, extent_px[2] - margin, n_spots),
+            ]
+        )
+    genes = np.asarray(coding)[rng.integers(0, len(coding), n_spots)]
+    amps = rng.uniform(800, 2000, n_spots)
+
+    n_beads = 80 * n_tiles
+    global_beads = np.column_stack(
+        [
+            rng.uniform(1, extent_px[0] - 1, n_beads),
+            rng.uniform(4, extent_px[1] - 4, n_beads),
+            rng.uniform(4, extent_px[2] - 4, n_beads),
+        ]
+    )
+    bead_amps = rng.uniform(500, 1500, n_beads)
+
+    # per-moving-round rigid shift (z scaled down: stage drift is mostly
+    # lateral) and deformation-field phases; round 0 is the reference
+    shifts = np.zeros((n_rounds, 3))
+    phases = np.zeros((n_rounds, 4))
+    for r in range(1, n_rounds):
+        shifts[r] = rng.uniform(-1.0, 1.0, 3) * round_shift_px * np.asarray(
+            [0.25, 1.0, 1.0]
+        )
+        phases[r] = rng.uniform(0, 2 * np.pi, 4)
+
+    def deform(points_global, r):
+        """Smooth low-frequency displacement (px) of global positions in
+        round r's frame — what SOFIMA's residual flow must recover."""
+        if r == 0 or deformation_px == 0.0:
+            return np.zeros_like(points_global)
+        z, y, x = points_global.T
+        ly = max(float(extent_px[1]), 1.0)
+        lx = max(float(extent_px[2]), 1.0)
+        dy = deformation_px * np.sin(
+            2 * np.pi * x / lx + phases[r, 0]
+        ) * np.cos(2 * np.pi * y / ly + phases[r, 1])
+        dx = deformation_px * np.cos(
+            2 * np.pi * y / ly + phases[r, 2]
+        ) * np.sin(2 * np.pi * x / lx + phases[r, 3])
+        dz = 0.25 * deformation_px * np.sin(2 * np.pi * x / lx + phases[r, 0])
+        return np.column_stack([dz, dy, dx])
+
+    gt_rows = []
+    for s in range(n_spots):
+        z, y, x = global_spots[s]
+        gt_rows.append(
+            {
+                "gene_id": codebook["gene_id"].iloc[genes[s]],
+                "tile_idx": -1,
+                "z": z,
+                "y": y,
+                "x": x,
+                "global_z": z * spacing[0],
+                "global_y": y * spacing[1],
+                "global_x": x * spacing[2],
+            }
+        )
+
+    stage_positions = []
+    shape_t = tuple(int(v) for v in shape)
+    for tile_idx in range(n_tiles):
+        tdir = out_dir / f"tile{tile_idx:04d}"
+        tdir.mkdir(exist_ok=True)
+        offset = offsets_px[tile_idx]
+        stage_positions.append([float(v) for v in offset * spacing])
+
+        for r in range(n_rounds):
+            # bead positions as round r images them: global + rigid shift
+            # + deformation, then into this tile's frame
+            moved = global_beads + shifts[r] + deform(global_beads, r)
+            local = moved - offset
+            inside = np.all(
+                (local > -5) & (local < shape.astype(float) + 5), axis=1
+            )
+            fid = _render_bit_volume(
+                shape_t, local[inside], bead_amps[inside], sigma_zyx=sigma_zyx
+            )
+            noisy = rng.poisson(fid + 40).astype(np.uint16)
+            np.save(tdir / f"fiducial_round{r + 1:03d}.npy", noisy)
+
+        for b in range(n_bits):
+            r = b // 2  # exp_order round link
+            on = matrix[genes, b] > 0
+            moved = (
+                global_spots[on] + shifts[r] + deform(global_spots[on], r)
+            )
+            local = moved - offset
+            inside = np.all(
+                (local > -5) & (local < shape.astype(float) + 5), axis=1
+            )
+            vol = _render_bit_volume(
+                shape_t, local[inside], amps[on][inside], sigma_zyx=sigma_zyx
+            )
+            noisy = rng.poisson(vol + 40).astype(np.uint16)
+            np.save(tdir / f"bit{b + 1:03d}.npy", noisy)
+
+    return gt_rows, stage_positions
 
 
 def convert_tiffs(input_dir: Path, out_dir: Path) -> Path:

@@ -71,17 +71,36 @@ class BoundedWriter:
         # submit/drain may be called from multiple registration fan-out
         # threads when the writer is a shared deferred-persistence queue
         self._lock = threading.Lock()
+        # pause gate, checked at the START of each job: paused queues
+        # hold their remaining jobs so latency-critical transfers (a
+        # decode's readbacks on a half-duplex link) aren't starved by
+        # background drains; in-flight jobs always finish
+        self._gate = threading.Event()
+        self._gate.set()
+
+    def pause(self) -> None:
+        self._gate.clear()
+
+    def resume(self) -> None:
+        self._gate.set()
+
+    def _run_gated(self, fn, args, kwargs):
+        self._gate.wait()
+        return fn(*args, **kwargs)
 
     def submit(self, fn: Callable, /, *args, **kwargs) -> None:
         while True:
             with self._lock:
                 if len(self._pending) < self._depth:
-                    self._pending.append(self._pool.submit(fn, *args, **kwargs))
+                    self._pending.append(
+                        self._pool.submit(self._run_gated, fn, args, kwargs)
+                    )
                     return
                 head = self._pending.popleft()
             head.result()  # blocks; re-raises failures
 
     def drain(self) -> None:
+        self._gate.set()  # draining a paused queue must not deadlock
         while True:
             with self._lock:
                 if not self._pending:
@@ -97,6 +116,7 @@ class BoundedWriter:
             if exc_type is None:
                 self.drain()
             else:  # don't mask the original error; still reap the queue
+                self._gate.set()
                 while True:
                     with self._lock:
                         if not self._pending:

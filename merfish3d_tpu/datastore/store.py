@@ -31,6 +31,19 @@ from . import zarrio
 
 ArrayLike = Union[np.ndarray, Sequence]
 
+
+class _DequantFuture:
+    """Wraps a TensorStore read future so ``.result()`` dequantizes u8
+    probability data to exact k/255 float32 (matching the non-future
+    load path)."""
+
+    def __init__(self, future):
+        self._future = future
+
+    def result(self):
+        return qi2labDataStore._dequantize_prob(np.asarray(self._future.result()))
+
+
 def _maybe_float(value):
     try:
         return float(value)
@@ -1128,17 +1141,27 @@ class qi2labDataStore:
         """U-FISH probability map, same shape as corrected
         (`qi2labDataStore.py:4781-4870`).
 
-        Stored as float16: probabilities live in [0, 1] where f16 carries
-        ~3.3 decimal digits, the registration pipeline already quantizes
-        the packed readback to f16 (pipeline/registration.py), and halving
-        the bytes halves the single-core compression cost on the per-tile
-        critical path. Loads dequantize to f32 at the consumer."""
+        Stored as uint8 with a 1/255 scale (attr ``quantization``):
+        probabilities live in [0, 1], the pipeline quantizes predictor
+        output to k/255 at the source (pipeline/registration.py) so every
+        consumer — device cache, disk, CPU and TPU paths — sees the SAME
+        k/255 values, and the u8 volume is a quarter of f32's bytes on
+        the device→host link and the single-core compressor, the two
+        measured bottlenecks of the per-tile critical path. Loads
+        dequantize to float32 (exactly k/255). Float inputs that are not
+        already k/255 quantize here (round-half-away, like the device
+        path's round)."""
         d = self._readout_dir(tile, bit)
-        attrs = {"model_name": str(model_name)}
+        attrs = {"model_name": str(model_name), "quantization": "u8/255"}
         if extra_attributes:
             attrs.update(dict(extra_attributes))
+        arr = np.asarray(image)
+        if arr.dtype != np.uint8:
+            arr = np.clip(
+                np.round(arr.astype(np.float32) * 255.0), 0.0, 255.0
+            ).astype(np.uint8)
         self._save_entity_image(
-            np.asarray(image, dtype=np.float16),
+            arr,
             d,
             "feature_predictor_data",
             extra_attributes=attrs,
@@ -1147,9 +1170,21 @@ class qi2labDataStore:
     def load_local_feature_predictor_image(
         self, tile, bit, return_future: bool = False
     ):
-        return self._load_entity_image(
+        out = self._load_entity_image(
             self._readout_dir(tile, bit), "feature_predictor_data", return_future
         )
+        if out is None or return_future:
+            # futures dequantize at .result() via _DequantFuture
+            return (
+                _DequantFuture(out) if (return_future and out is not None) else out
+            )
+        return self._dequantize_prob(np.asarray(out))
+
+    @staticmethod
+    def _dequantize_prob(arr: np.ndarray) -> np.ndarray:
+        if arr.dtype == np.uint8:
+            return arr.astype(np.float32) / np.float32(255.0)
+        return np.asarray(arr, np.float32)
 
     def save_local_feature_predictor_spots(
         self, spots: pd.DataFrame, tile, bit

@@ -16,10 +16,10 @@ persistence to the datastore still happens (write-behind — see
 ``DataRegistration(persist="deferred")``), and the decoder falls back to
 the zarr read whenever a tile/bit is absent. Exactness: the cache stores
 the decon volume as the SAME uint16 values the datastore persists and
-the probability map as the SAME float16 the packed readback carries, so
-the cached decode input (u16→f32 × f16→f32 multiply in f32) is
-bit-identical to the disk path's numpy multiply (u16 and f16 promote to
-f32). Pinned by `tests/test_handoff.py`.
+the probability map as the SAME k/255 uint8 quantization the datastore
+persists, so the cached decode input is bit-identical to the disk path's
+(both compute u16→f32 × (u8→f32 / 255) in f32). Pinned by
+`tests/test_handoff.py`.
 
 Reference contrast: the reference's stages communicate ONLY through the
 datastore (`DataRegistration.py:461`, `PixelDecoder.py:263` re-open it
@@ -38,26 +38,38 @@ import jax.numpy as jnp
 
 @jax.jit
 def _to_cache_forms(decons_f32, probs):
-    """(decon f32, prob) → (decon u16 [persisted values], prob f16)."""
+    """(decon f32, prob) → (decon u16, prob u8) — the persisted forms.
+
+    Probabilities quantize to k/255 at this single boundary so every
+    consumer (device cache, zarr, CPU and TPU decode paths, spot tables)
+    sees the SAME values: u8 is a quarter of f32 on the ~15 MB/s
+    device→host link and the single-core compressor, the two measured
+    bottlenecks of the warm per-tile wall (BENCH r4 profile). jnp.round
+    ties-to-even matches numpy's round in the datastore's host-side
+    quantizer."""
     du = jnp.clip(decons_f32, 0.0, 65535.0).astype(jnp.uint16)
-    pf = probs.astype(jnp.float16)
-    return du, pf
+    pu = jnp.clip(
+        jnp.round(probs.astype(jnp.float32) * 255.0), 0.0, 255.0
+    ).astype(jnp.uint8)
+    return du, pu
 
 
 @jax.jit
-def _product_f32(decon_u16, prob_f16):
-    """Decode input: decon × probability in f32 (identical to the host
-    path's numpy u16×f16→f32 multiply)."""
-    return decon_u16.astype(jnp.float32) * prob_f16.astype(jnp.float32)
+def _product_f32(decon_u16, prob_u8):
+    """Decode input: decon × (prob/255) in f32 — bit-identical to the
+    host path's numpy ``u16.astype(f32) * (u8.astype(f32)/255)``."""
+    return decon_u16.astype(jnp.float32) * (
+        prob_u8.astype(jnp.float32) / jnp.float32(255.0)
+    )
 
 
 class TileDeviceCache:
-    """Bounded per-tile store of device-resident (decon u16, prob f16)
+    """Bounded per-tile store of device-resident (decon u16, prob u8)
     readout-bit chunks.
 
     Thread safe (registration's writer thread puts, the decode thread
     gets). ``max_tiles`` bounds HBM: one 16-bit × (16, 512, 512) tile is
-    ~200 MB in cached form.
+    ~150 MB in cached form.
     """
 
     def __init__(self, max_tiles: int = 2):
@@ -67,7 +79,7 @@ class TileDeviceCache:
         self._lock = threading.Lock()
 
     def put_chunk(self, tile_idx: int, bit_indices, decons_f32, probs) -> tuple:
-        """Cache one registration chunk; returns the (u16, f16) device
+        """Cache one registration chunk; returns the (u16, u8) device
         forms so the caller can derive its persistence transfer from the
         same arrays (single cast program)."""
         du, pf = _to_cache_forms(decons_f32, probs)

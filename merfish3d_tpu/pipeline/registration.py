@@ -40,17 +40,6 @@ from ..utils import profiling
 
 
 @jax.jit
-def _pack_cached_forms(decon_u16, prob_f16):
-    """(decon uint16, probability float16-bitcast) as ONE uint16 stack —
-    a single device→host transfer carries the exact uint16 values the
-    datastore persists plus the probability maps at float16 (quantization
-    ~5e-4 relative on [0, 1], immaterial to spot thresholds and decode
-    weighting; the link moves ~10-17 MB/s so f32 readbacks dominate)."""
-    pu = jax.lax.bitcast_convert_type(prob_f16, jnp.uint16)
-    return jnp.stack([decon_u16, pu])
-
-
-@jax.jit
 def _warped_to_u16(warped_f32):
     """Persisted form of a warped fiducial stack — cast on DEVICE so the
     readback moves half the bytes (the datastore stores uint16 anyway)."""
@@ -155,18 +144,20 @@ class DataRegistration:
         queue in sync mode, a long-lived deferred queue otherwise (one per
         ``kind`` — ``"fid"`` fiducial images, which ``global_register``
         must see on disk, and ``"bits"`` readout intermediates, which a
-        same-process decoder reads from the device cache instead).
-        Deferred depth bounds HBM pinned by in-flight packed stacks (each
-        job holds one (2, B, z, y, x) uint16 chunk). Returns
+        same-process decoder reads from the device cache instead). Jobs
+        are per-bit (one u16 decon + u8 prob volume each). Returns
         ``(writer, owned)``; owned writers are drained by the caller."""
         from ..datastore.prefetch import BoundedWriter
 
         if self._persist_mode == "sync":
             return BoundedWriter(depth=2), True
         if self._persister is None:
+            # depth bounds HBM pinned by queued per-bit jobs (~13 MB each,
+            # so 64 ≈ 830 MB) while keeping submit non-blocking across a
+            # whole tile's worth of bits
             self._persister = {
-                "fid": BoundedWriter(depth=8),
-                "bits": BoundedWriter(depth=8),
+                "fid": BoundedWriter(depth=16),
+                "bits": BoundedWriter(depth=64),
             }
         return self._persister[kind], False
 
@@ -178,7 +169,61 @@ class DataRegistration:
             with profiling.section("reg_persist_drain"):
                 for k, w in self._persister.items():
                     if kind is None or k == kind:
+                        w.resume()
                         w.drain()
+
+    def pause_persistence(self) -> None:
+        """Gate the deferred writers between jobs: the half-duplex link
+        serves one stream at a time, so a draining ~150 MB of
+        intermediates starves a concurrent decode's small readbacks
+        (measured: the decode device section tripled under drain
+        contention). Pause before latency-critical device work, resume
+        after; in-flight per-bit jobs (~13 MB) finish first."""
+        if self._persister is not None:
+            for w in self._persister.values():
+                w.pause()
+
+    def resume_persistence(self) -> None:
+        if self._persister is not None:
+            for w in self._persister.values():
+                w.resume()
+
+    def _persist_bit(self, decon_u16_dev, prob_u8_dev, tile_idx, bit_idx) -> None:
+        """Writer-thread persistence of one readout bit: d2h of the
+        device-resident (u16, u8) forms, zarr writes, and the U-FISH-style
+        spot table — all off the register/decode critical path."""
+        ds = self._datastore
+        nbytes = int(decon_u16_dev.size * 2 + prob_u8_dev.size)
+        with profiling.section("reg_d2h_intermediates", nbytes=nbytes):
+            decon_u16 = np.asarray(decon_u16_dev)
+            prob_u8 = np.asarray(prob_u8_dev)
+        predictor_kind = getattr(self._predictor, "kind", "cnn")
+        predictor_name = getattr(self._predictor, "model_name", predictor_kind)
+        with profiling.section("reg_zarr_write_bits"):
+            ds.save_local_registered_image(
+                decon_u16,
+                tile=tile_idx,
+                bit=bit_idx,
+                deconvolution=self._decon_readout,
+            )
+            ds.save_local_feature_predictor_image(
+                prob_u8,
+                tile=tile_idx,
+                bit=bit_idx,
+                model_name=predictor_name,
+                extra_attributes={"predictor": predictor_kind},
+            )
+        with profiling.section("reg_spot_tables"):
+            spots = _spot_table_from_probability(
+                decon_u16.astype(np.float32),
+                prob_u8.astype(np.float32) / np.float32(255.0),
+                tile_idx=tile_idx,
+                bit_idx=bit_idx,
+                predictor=predictor_kind,
+            )
+            ds.save_local_feature_predictor_spots(
+                spots, tile=tile_idx, bit=bit_idx
+            )
 
     # -------------------------------------------------- reference accessors
     # (`DataRegistration.py:1120-1280`: datastore / dataset_path / tile_id /
@@ -740,60 +785,23 @@ class DataRegistration:
                     )
                 bit_indices = [b for b, _ in chunk]
                 if self._device_cache is not None:
-                    # HBM-resident handoff: the SAME u16/f16 values the
+                    # HBM-resident handoff: the SAME u16/u8 values the
                     # datastore persists stay on device for the decoder
-                    du, pf = self._device_cache.put_chunk(
+                    du, pu = self._device_cache.put_chunk(
                         tile_idx, bit_indices, decons_dev, probs_dev
                     )
                 else:
-                    du, pf = _to_cache_forms(decons_dev, probs_dev)
-                packed_dev = _pack_cached_forms(du, pf)
-                packed_dev.block_until_ready()
+                    du, pu = _to_cache_forms(decons_dev, probs_dev)
+                pu.block_until_ready()
                 profiling.add("reg_device_decon_predict", time.perf_counter() - t_dev)
-                del decons_dev, probs_dev, du, pf
+                del decons_dev, probs_dev
 
-                def save_chunk(chunk=chunk, packed_dev=packed_dev):
-                    # the d2h readback runs HERE, on the writer thread —
-                    # in deferred mode the register/decode critical path
-                    # never waits on the link for intermediates
-                    with profiling.section(
-                        "reg_d2h_intermediates", nbytes=2 * packed_dev.size
-                    ):
-                        packed = np.asarray(packed_dev)
-                    decons_u16 = packed[0]
-                    probs_f16 = packed[1].view(np.float16)
-                    predictor_kind = getattr(self._predictor, "kind", "cnn")
-                    predictor_name = getattr(
-                        self._predictor, "model_name", predictor_kind
-                    )
-                    for i, (bit_idx, _bit_id) in enumerate(chunk):
-                        with profiling.section("reg_zarr_write_bits"):
-                            ds.save_local_registered_image(
-                                decons_u16[i],
-                                tile=tile_idx,
-                                bit=bit_idx,
-                                deconvolution=self._decon_readout,
-                            )
-                            ds.save_local_feature_predictor_image(
-                                probs_f16[i],
-                                tile=tile_idx,
-                                bit=bit_idx,
-                                model_name=predictor_name,
-                                extra_attributes={"predictor": predictor_kind},
-                            )
-                        with profiling.section("reg_spot_tables"):
-                            spots = _spot_table_from_probability(
-                                decons_u16[i].astype(np.float32),
-                                probs_f16[i].astype(np.float32),
-                                tile_idx=tile_idx,
-                                bit_idx=bit_idx,
-                                predictor=predictor_kind,
-                            )
-                            ds.save_local_feature_predictor_spots(
-                                spots, tile=tile_idx, bit=bit_idx
-                            )
-
-                writer.submit(save_chunk)
+                # one persist job PER BIT (u16 decon + u8 prob, ~13 MB):
+                # fine-grained jobs interleave with reads/compute and give
+                # pause_persistence() sub-second preemption granularity
+                for i, (bit_idx, _bit_id) in enumerate(chunk):
+                    writer.submit(self._persist_bit, du[i], pu[i], tile_idx, bit_idx)
+                del du, pu
 
         writer, own = self._persist_writer("bits")
         if own:

@@ -98,6 +98,18 @@ def generate_synthetic_experiment(
     ds.ri = 1.4
     ds.binning = 1
     ds.voxel_size_zyx_um = list(voxel_size_zyx_um)
+    # real channel PSFs: DataRegistration(decon_readout=True) must
+    # actually deconvolve on this store (it silently skipped decon when
+    # no PSFs were present — the e2e bench was not measuring RLGC)
+    from ..models.psf import make_channel_psfs
+
+    ds.channel_psfs = make_channel_psfs(
+        [0.520, 0.590, 0.670],
+        na=ds.na,
+        ri=ds.ri,
+        voxel_size_zyx_um=voxel_size_zyx_um,
+        shape_zyx=(min(11, shape[0] | 1), 11, 11),
+    )
     n_rounds = n_bits // 2
     eo = np.column_stack(
         [

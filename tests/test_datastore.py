@@ -150,12 +150,14 @@ def test_feature_predictor_roundtrip(store):
     store.initialize_tile(0)
     prob = np.random.default_rng(3).random((3, 16, 16)).astype(np.float32)
     store.save_local_feature_predictor_image(prob, tile=0, bit=1, model_name="simfish")
-    # probabilities persist as float16 (half the single-core compression
-    # cost; ~3.3 decimal digits on [0, 1] — see save_local_feature_predictor_image)
+    # probabilities persist as uint8/255 (quarter of f32 on the link and
+    # the single-core compressor — see save_local_feature_predictor_image);
+    # loads dequantize to exact k/255 float32
     loaded = store.load_local_feature_predictor_image(tile=0, bit=1)
-    assert np.asarray(loaded).dtype == np.float16
-    np.testing.assert_allclose(
-        np.asarray(loaded, np.float32), prob, atol=5e-4
+    assert np.asarray(loaded).dtype == np.float32
+    np.testing.assert_allclose(np.asarray(loaded), prob, atol=0.5 / 255)
+    np.testing.assert_array_equal(
+        np.asarray(loaded) * 255.0, np.round(np.asarray(loaded) * 255.0)
     )
     spots = pd.DataFrame({"z": [1.0], "y": [2.0], "x": [3.0], "intensity": [10.0]})
     store.save_local_feature_predictor_spots(spots, tile=0, bit=1)
