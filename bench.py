@@ -115,7 +115,8 @@ def _emit(metric: str, value: float, unit: str, baseline: float, **extra) -> Non
                 "unit": unit,
                 "vs_baseline": round(value / baseline, 3),
                 **extra,
-            }
+            },
+            default=float,  # numpy scalars in nested detail dicts
         ),
         flush=True,
     )
@@ -730,6 +731,53 @@ def bench_e2e_tile(platform: str) -> tuple[float, dict]:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def bench_production_case(platform: str) -> tuple[float, dict]:
+    """Full production-geometry hermetic case on TPU: 2 overlapping
+    (16, 1024, 1024) tiles, 16-bit MHD4 codebook with 10/90 blank
+    codewords, 2400 spots, chromatic injection + deformable registration,
+    RLGC decon, blank-fraction sweep — rate + F1 through the REAL
+    pipeline (VERDICT r3 #3; proxy for the unfetchable statphysbio
+    archives, `docs/examples/statphysbio_synthetic.md:13-60`)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from merfish3d_tpu.utils.production_case import run_production_case
+
+    workdir = Path(tempfile.mkdtemp(prefix="bench_prod_"))
+    try:
+        if platform == "tpu":
+            r = run_production_case(
+                workdir,
+                shape=(16, 1024, 1024),
+                n_spots=2400,
+                n_genes=80,
+                n_blanks=10,
+                decon=True,
+                decon_max_iters=10,
+                deformable=True,
+                chromatic=True,
+                num_iterations=2,
+                seed=21,
+            )
+        else:
+            r = run_production_case(
+                workdir,
+                shape=(8, 128, 128),
+                n_spots=150,
+                n_genes=40,
+                n_blanks=6,
+                decon=False,
+                deformable=True,
+                chromatic=True,
+                num_iterations=1,
+                seed=21,
+            )
+        return float(r.pop("pipeline_voxels_per_sec")), r
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def _probe_backend(timeout_s: float = 60.0, attempts: int = 6) -> str:
     """Detect the platform in a SUBPROCESS with a hard timeout.
 
@@ -892,6 +940,16 @@ def main() -> None:
         **e2e_detail,
     )
 
+    prod_vps, prod_detail = bench_production_case(platform)
+    _emit(
+        "production_case_voxels_per_sec_per_chip",
+        prod_vps,
+        "voxel/s",
+        REFERENCE_PIPELINE_VOXELS_PER_SEC,
+        baseline_kind="mop_wallclock_derived_incl_host_io",
+        **prod_detail,
+    )
+
     # combined per-tile DEVICE rate under the reference work composition —
     # re-emitted as the final line (the driver parses the last line) with
     # the e2e numbers attached so the tail is self-contained
@@ -902,6 +960,8 @@ def main() -> None:
         ),
         sofima_voxels_per_sec=round(sofima_vps, 1),
         fusion_voxels_per_sec=round(fusion_vps, 1),
+        production_case_voxels_per_sec=round(prod_vps, 1),
+        production_case_f1=prod_detail.get("f1"),
     )
 
 

@@ -48,6 +48,7 @@ def write_raw_experiment(
     tile_offset_px=None,
     round_shift_px: float = 0.0,
     deformation_px: float = 0.0,
+    chromatic_affine_zyx_um=None,
 ) -> Path:
     """Generate a synthetic raw acquisition (generate mode).
 
@@ -68,7 +69,13 @@ def write_raw_experiment(
     rigid misregistration up to ``round_shift_px`` px and a smooth global
     deformation field of amplitude ``deformation_px`` px — the full
     registration problem (staged affine + SOFIMA-style residual flow +
-    stitching + overlap dedup) the statphysbio archives pose
+    stitching + overlap dedup) the statphysbio archives pose.
+    ``chromatic_affine_zyx_um`` additionally renders the SECOND emission
+    channel's bits through the inverse of the given 4x4 µm affine —
+    chromatic aberration injected at the emitter, the same stored(p) =
+    true(A·p) contract as ``convert_to_datastore``'s image-warp injection
+    but with no resampling pass (a decode-time chromatic estimator must
+    recover A)
     (`/root/reference/docs/examples/statphysbio_synthetic.md:13-60`).
     ``tile_offset_px=None`` keeps the legacy independent-tile rendering
     byte-identical (the pinned F1 matrix depends on it).
@@ -117,6 +124,8 @@ def write_raw_experiment(
             deformation_px=float(deformation_px),
             distribution=distribution,
             n_cells=n_cells,
+            chromatic_affine_zyx_um=chromatic_affine_zyx_um,
+            spacing_um=np.asarray(voxel_size_zyx_um, np.float64),
         )
     legacy_tiles = range(n_tiles) if tile_offset_px is None else []
     for tile_idx in legacy_tiles:
@@ -225,6 +234,8 @@ def _write_production_tiles(
     deformation_px: float,
     distribution: str,
     n_cells: int,
+    chromatic_affine_zyx_um=None,
+    spacing_um=None,
 ):
     """Production-geometry renderer: one global spot/bead field imaged by
     overlapping tiles, with per-moving-round rigid shifts and a smooth
@@ -345,12 +356,25 @@ def _write_production_tiles(
             noisy = rng.poisson(fid + 40).astype(np.uint16)
             np.save(tdir / f"fiducial_round{r + 1:03d}.npy", noisy)
 
+        inv_chromatic = (
+            np.linalg.inv(np.asarray(chromatic_affine_zyx_um, np.float64))
+            if chromatic_affine_zyx_um is not None
+            else None
+        )
         for b in range(n_bits):
             r = b // 2  # exp_order round link
             on = matrix[genes, b] > 0
             moved = (
                 global_spots[on] + shifts[r] + deform(global_spots[on], r)
             )
+            if inv_chromatic is not None and b % 2 == 1:
+                # second emission channel: emitter appears at A⁻¹·q
+                # (stored(p) = true(A·p)); the affine acts on physical µm
+                # coordinates in this tile's frame, matching the stored
+                # chromatic transform contract the decoder inverts
+                local_um = (moved - offset) * spacing_um
+                local_um = local_um @ inv_chromatic[:3, :3].T + inv_chromatic[:3, 3]
+                moved = local_um / spacing_um + offset
             local = moved - offset
             inside = np.all(
                 (local > -5) & (local < shape.astype(float) + 5), axis=1

@@ -81,10 +81,13 @@ def convert_data(
     for tile_idx in range(int(meta["n_tiles"])):
         tdir = raw_dir / f"tile{tile_idx:04d}"
         ds.initialize_tile(tile_idx)
+        stage = (
+            meta.get("stage_positions_zyx_um", [[0, 0, 0]] * int(meta["n_tiles"]))
+        )[tile_idx]
         for r in range(n_rounds):
             img = np.load(tdir / f"fiducial_round{r + 1:03d}.npy")
             ds.save_local_corrected_image(img, tile=tile_idx, round=r, psf_idx=0)
-            ds.save_local_stage_position_zyx_um([0, 0, 0], tile=tile_idx, round=r)
+            ds.save_local_stage_position_zyx_um(stage, tile=tile_idx, round=r)
             ds.save_local_wavelengths_um(
                 tuple(meta["fiducial_wavelengths_um"]), tile=tile_idx, round=r
             )

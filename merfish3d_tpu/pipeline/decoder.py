@@ -1425,9 +1425,13 @@ class PixelDecoder:
         n_blank = int(self._blank_mask.sum())
         n_total = len(self._gene_ids)
         if method == "blank_fraction":
+            # sweep diagnostics kept for observability (threshold chosen,
+            # achieved misid rate, full threshold sweep table)
+            self.last_filter_diagnostics = {}
             return filter_blank_fraction(
                 df, n_blank_codewords=n_blank, n_total_codewords=n_total,
                 target_misid_rate=target_misid_rate,
+                diagnostics_out=self.last_filter_diagnostics,
             )
         if method == "lr":
             return filter_lr(df, target_misid_rate=target_misid_rate)

@@ -43,3 +43,12 @@ def pytest_addoption(parser):
         default=False,
         help="run the exhaustive F1 matrix (decon at coarse axial spacings)",
     )
+    parser.addoption(
+        "--run-f1-production",
+        action="store_true",
+        default=False,
+        help=(
+            "run the full production-geometry case (2x(16,1024,1024) "
+            "tiles, deformable + chromatic; ~1h on a single CPU core)"
+        ),
+    )
