@@ -18,8 +18,8 @@ from merfish3d_tpu.utils.production_case import run_production_case
 def test_production_smoke(tmp_path):
     r = run_production_case(
         tmp_path,
-        shape=(8, 256, 256),
-        n_spots=400,
+        shape=(6, 192, 192),
+        n_spots=250,
         n_genes=40,
         n_blanks=6,
         decon=False,
@@ -31,7 +31,7 @@ def test_production_smoke(tmp_path):
     # harness validity: real multi-tile overlap, spots recovered through
     # injected chromatic + deformable misregistration, filter swept
     assert r["n_tiles"] == 2 and r["overlap_px"] > 0
-    assert r["f1"] >= 0.78, r
+    assert r["f1"] >= 0.82, r  # measured 0.894 at this geometry (seed 21)
     assert r["blank_filter_sweep_points"] >= 3
     assert r["blank_filter"]["chosen_threshold"] is not None
 
