@@ -309,6 +309,11 @@ def _flow_warp_separable_core(
 # 160 sweeps ≈ 45 ms at (32, 1024, 1024) vs 20.8 s for the gather)
 _SEPARABLE_FLOW_MAX_TERMS = 160
 
+# HBM budget for the batched separable flow warp's vmap width (each
+# roll-blend term is a full (group, z, y, x) f32 buffer); tests shrink it
+# to force the chunked path on CPU
+_FLOW_WARP_HBM_BUDGET = 10 << 30
+
 
 def _separable_flow_bounds(
     matrix_px: np.ndarray,
@@ -676,14 +681,39 @@ def warp_affine_plus_flow_batch_device(
                 out_shape=out_shape,
             )
         )
-        return core(
-            images,
-            jnp.asarray(flows_np),
-            jnp.asarray(scales),
-            jnp.asarray(offs),
-            jnp.asarray(map_strides_zyx_px, jnp.float32),
-            jnp.asarray(box_zyx),
+        # HBM-bound the vmap width: each roll-blend term materializes a
+        # full (g, z, y, x) f32 buffer, so a 14-bit production tile at
+        # (16, 1024, 1024) vmapped whole needs ~18 GB (observed OOM on
+        # v5e). Chunk to groups whose term working set fits; identical
+        # numerics (vmap over disjoint groups).
+        vol_bytes = 4 * int(np.prod(out_shape))
+        n_terms = sum(k1 - k0 + 1 for k0, k1 in k_ranges)
+        group = max(
+            1, int(_FLOW_WARP_HBM_BUDGET // (vol_bytes * (n_terms + 6)))
         )
+        strides_j = jnp.asarray(map_strides_zyx_px, jnp.float32)
+        box_j = jnp.asarray(box_zyx)
+        flows_j = jnp.asarray(flows_np)
+        scales_j = jnp.asarray(scales)
+        offs_j = jnp.asarray(offs)
+        if group >= n:
+            return core(images, flows_j, scales_j, offs_j, strides_j, box_j)
+        outs = []
+        for s in range(0, n, group):
+            e = min(n, s + group)
+            args = [images[s:e], flows_j[s:e], scales_j[s:e], offs_j[s:e],
+                    strides_j[s:e], box_j[s:e]]
+            if e - s < group:
+                # pad the ragged tail by repeating the last item: ONE
+                # compile variant instead of two (each costs minutes
+                # through a tunneled compiler); excess rows sliced off
+                reps = group - (e - s)
+                args = [
+                    jnp.concatenate([a, jnp.repeat(a[-1:], reps, axis=0)])
+                    for a in args
+                ]
+            outs.append(core(*args)[: e - s])
+        return jnp.concatenate(outs, axis=0)
     return _affine_flow_warp_core_batch(
         images,
         jnp.asarray(flows_np),

@@ -525,3 +525,36 @@ def test_register_rounds_batch_matches_single_and_warps():
             np.abs(warped[i].astype(np.int32) - via_warp_affine.astype(np.int32))
         )
         assert mismatch <= 1.0, mismatch
+
+
+def test_flow_warp_batch_chunked_matches_unchunked(monkeypatch):
+    """HBM-bounded vmap chunking of the batched flow warp (with ragged
+    tail padding) must be bit-identical to the single-dispatch path
+    (production tiles at (16, 1024, 1024) x 14 bits OOM a 16 GB chip
+    unchunked)."""
+    import numpy as np
+
+    from merfish3d_tpu.ops import warp as W
+
+    rng = np.random.default_rng(4)
+    n, shape = 5, (4, 24, 24)
+    images = rng.random((n, *shape)).astype(np.float32) * 100
+    flows = rng.normal(0, 0.8, (n, 3, 2, 3, 3)).astype(np.float32)
+    transforms = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    transforms[:, 1, 3] = rng.uniform(-0.3, 0.3, n)  # small y shifts (um)
+    spacing = (0.5, 0.1, 0.1)
+    strides = np.tile(np.asarray([2.0, 8.0, 8.0], np.float32), (n, 1))
+    starts = np.zeros((n, 3), np.float32)
+
+    full = np.asarray(
+        W.warp_affine_plus_flow_batch_device(
+            images, flows, transforms, spacing, strides, starts
+        )
+    )
+    monkeypatch.setattr(W, "_FLOW_WARP_HBM_BUDGET", 1)  # force group=1
+    chunked = np.asarray(
+        W.warp_affine_plus_flow_batch_device(
+            images, flows, transforms, spacing, strides, starts
+        )
+    )
+    np.testing.assert_array_equal(full, chunked)
