@@ -70,7 +70,9 @@ def _seed_lowpass_program(stack, z_start: int, z_stop: int,
     med = jnp.median(mid, axis=(1, 2))
     cleaned = jnp.where(stack > hot_threshold, med[:, None, None, None], stack)
     sliced = cleaned[:, z_start:z_stop]
-    return jax.vmap(lambda v: gaussian_lowpass(v, sigma=sigma))(sliced)
+    # sequential per bit: a vmapped lowpass materializes every volume's
+    # conv im2col at once (OOM at production sizes; see _seed_stats_program)
+    return jax.lax.map(lambda v: gaussian_lowpass(v, sigma=sigma), sliced)
 
 
 @partial(
@@ -102,7 +104,15 @@ def _seed_stats_program(
         stacks > hot_threshold, med[:, :, None, None, None], stacks
     )
     sliced = cleaned[:, :, z_start:z_stop]
-    lp = jax.vmap(jax.vmap(lambda v: gaussian_lowpass(v, sigma=sigma)))(sliced)
+    # lowpass SEQUENTIALLY per (tile, bit): vmapping all T*bits volumes
+    # materializes the z-conv's im2col for the whole batch at once —
+    # observed as a 21 GB bf16 allocation at production geometry
+    # (2 tiles × 16 bits × (16, 1024, 1024)); lax.map caps the temp at
+    # one volume's conv working set with identical numerics
+    t, b = sliced.shape[0], sliced.shape[1]
+    vols = sliced.reshape((t * b,) + sliced.shape[2:])
+    lp_flat = jax.lax.map(lambda v: gaussian_lowpass(v, sigma=sigma), vols)
+    lp = lp_flat.reshape((t, b) + lp_flat.shape[1:])
     flat = jnp.moveaxis(lp, 1, 0).reshape(lp.shape[1], lp.shape[0], -1)
 
     def per_bit(vbt):  # (T, V) lowpassed pixels of one bit across tiles
