@@ -80,9 +80,10 @@ def _seed_lowpass_program(stack, z_start: int, z_stop: int,
     static_argnames=(
         "z_start", "z_stop", "sigma", "hot_threshold", "low_cut", "high_cut"
     ),
+    donate_argnums=(0,),
 )
 def _seed_stats_program(
-    stacks,  # (T, bits, z, y, x) warped bit images, f32
+    stacks,  # (T, bits, z, y, x) warped bit images, f32 (donated)
     *,
     z_start: int,
     z_stop: int,
@@ -97,21 +98,25 @@ def _seed_stats_program(
     per bit — per-image low/high percentile cuts and the medians of the
     across-tile unions of the thresholded pixels. The union medians read
     from a masked sort (subset ascending, rest +inf), so the exact numpy
-    median pair is selected without any dynamic-shape gather."""
-    mid = stacks[:, :, stacks.shape[2] // 2]
-    med = jnp.median(mid, axis=(2, 3))  # (T, bits)
-    cleaned = jnp.where(
-        stacks > hot_threshold, med[:, :, None, None, None], stacks
-    )
-    sliced = cleaned[:, :, z_start:z_stop]
-    # lowpass SEQUENTIALLY per (tile, bit): vmapping all T*bits volumes
-    # materializes the z-conv's im2col for the whole batch at once —
-    # observed as a 21 GB bf16 allocation at production geometry
-    # (2 tiles × 16 bits × (16, 1024, 1024)); lax.map caps the temp at
-    # one volume's conv working set with identical numerics
-    t, b = sliced.shape[0], sliced.shape[1]
-    vols = sliced.reshape((t * b,) + sliced.shape[2:])
-    lp_flat = jax.lax.map(lambda v: gaussian_lowpass(v, sigma=sigma), vols)
+    median pair is selected without any dynamic-shape gather.
+
+    HBM discipline (production geometry = 2 tiles × 16 bits ×
+    (16, 1024, 1024) = 2.15 GB input): clean+crop+lowpass run fused PER
+    VOLUME under one sequential `lax.map` — a vmapped lowpass
+    materializes every volume's z-conv im2col at once (observed 21 GB
+    bf16 allocation) and batch-wide cleaned/sliced copies add 2×input.
+    The donated input lets XLA release the stacked copy once the map
+    consumes it."""
+    t, b = stacks.shape[0], stacks.shape[1]
+
+    def clean_crop_lp(vol):  # (z, y, x) one tile/bit volume
+        mid = vol[vol.shape[0] // 2]
+        med = jnp.median(mid)
+        cleaned = jnp.where(vol > hot_threshold, med, vol)
+        return gaussian_lowpass(cleaned[z_start:z_stop], sigma=sigma)
+
+    vols = stacks.reshape((t * b,) + stacks.shape[2:])
+    lp_flat = jax.lax.map(clean_crop_lp, vols)
     lp = lp_flat.reshape((t, b) + lp_flat.shape[1:])
     flat = jnp.moveaxis(lp, 1, 0).reshape(lp.shape[1], lp.shape[0], -1)
 
@@ -593,9 +598,14 @@ class PixelDecoder:
         stacks = [self._load_warped_bit_stack(tile_id) for tile_id in tiles]
         zsl = self._z_slice(stacks[0].shape[1])
         with profiling.section("dec_norm_seed_device"):
+            stacked = jnp.stack([jnp.asarray(s) for s in stacks])
+            # the per-tile device stacks are no longer needed (the warped
+            # memo keeps the LAST tile for its decode); at production
+            # geometry each is ~1 GB of HBM the seeding program wants back
+            del stacks
             packed = np.asarray(
                 _seed_stats_program(
-                    jnp.stack([jnp.asarray(s) for s in stacks]),
+                    stacked,
                     z_start=zsl.start,
                     z_stop=zsl.stop,
                     sigma=tuple(float(s) for s in sigma),
