@@ -50,6 +50,27 @@ from .filtering import (
 DEFAULT_DECODE_LOWPASS_SIGMA = (3.0, 1.0, 1.0)
 
 
+def _sparse_intensity_from_device(image_lp_dev, decoded: np.ndarray):
+    """Gather the lowpassed per-bit intensities at the decode foreground
+    on DEVICE and wrap as `ops.cc.SparseIntensity` — only
+    ``(bits, n_fg)`` values cross the link instead of the dense
+    ``(bits, Z, Y, X)`` volume. Power-of-two index padding keeps one
+    compiled gather program per size bucket."""
+    from ..ops.cc import SparseIntensity
+
+    fg_lin = np.flatnonzero(np.asarray(decoded).ravel() >= 0).astype(np.int64)
+    bits = image_lp_dev.shape[0]
+    if fg_lin.size == 0:
+        return SparseIntensity(fg_lin, np.zeros((bits, 0), np.float32))
+    flat = image_lp_dev.reshape(bits, -1)
+    cap = 1 << max(10, (fg_lin.size - 1).bit_length())
+    idx = np.zeros(cap, np.int32)
+    idx[: fg_lin.size] = fg_lin
+    vals = jnp.take(flat, jnp.asarray(idx), axis=1)
+    host = np.asarray(vals.astype(jnp.float32))[:, : fg_lin.size]
+    return SparseIntensity(fg_lin, host)
+
+
 def _masked_union_median(sorted_vals, n_finite):
     """Median of the first ``n_finite`` elements of an ascending
     inf-padded sort — numpy's even/odd middle-pair median, evaluated with
@@ -737,14 +758,20 @@ class PixelDecoder:
             )
             intensity = scaled
         else:
+            from ..ops.filters import gaussian_lowpass_seq
+
             if any(s > 0 for s in sigma):
-                image_lp = np.asarray(
-                    gaussian_lowpass(jnp.asarray(image_data), sigma=sigma)
+                # sequential per-bit lowpass; the stack stays on DEVICE
+                # (the dense lowpassed volume is bits× every other decode
+                # output — reading it back costs ~a minute per production
+                # tile through a tunneled link)
+                image_lp_dev = gaussian_lowpass_seq(
+                    jnp.asarray(image_data), sigma=tuple(float(s) for s in sigma)
                 )
             else:
-                image_lp = image_data
+                image_lp_dev = jnp.asarray(image_data, jnp.float32)
             decoded, mag, dist, scaled = decode_ops.decode_volume(
-                image_lp,
+                image_lp_dev,
                 self._codebook_matrix,
                 bg[: self._n_merfish_bits],
                 norm[: self._n_merfish_bits],
@@ -756,7 +783,17 @@ class PixelDecoder:
             )
             # intensity source: raw lowpassed data during normalization
             # optimization, scaled traces otherwise (`PixelDecoder.py:2503-2510`)
-            intensity = image_lp if optimize_normalization_weights else scaled
+            if optimize_normalization_weights:
+                if jax.devices()[0].platform == "tpu":
+                    # foreground-only device gather (ops.cc.SparseIntensity
+                    # contract): decoded voxels are <<1% of the volume
+                    intensity = _sparse_intensity_from_device(
+                        image_lp_dev, decoded
+                    )
+                else:
+                    intensity = np.asarray(image_lp_dev, np.float32)
+            else:
+                intensity = scaled
         if callable(intensity):  # foreground gather — never densify on host
             return decoded, mag, dist, intensity
         return decoded, mag, dist, np.asarray(intensity, np.float32)
