@@ -334,6 +334,21 @@ def _write_production_tiles(
             }
         )
 
+    # record the injected truth for diagnosis harnesses (GT_misregistration)
+    (out_dir / "GT_misregistration.json").write_text(
+        json.dumps(
+            {
+                "round_shifts_px_zyx": shifts.tolist(),
+                "deformation_px": float(deformation_px),
+                "chromatic_affine_zyx_um": (
+                    np.asarray(chromatic_affine_zyx_um).tolist()
+                    if chromatic_affine_zyx_um is not None
+                    else None
+                ),
+            }
+        )
+    )
+
     stage_positions = []
     shape_t = tuple(int(v) for v in shape)
     for tile_idx in range(n_tiles):

@@ -149,7 +149,24 @@ def _seed_stats_program(
         m = jnp.sum(jnp.isfinite(low_sorted)).astype(jnp.int32)
         bg_b = _masked_union_median(low_sorted, m)
         shifted = jnp.clip(vbt - bg_b, 0.0, None)
-        hcuts = jnp.percentile(shifted, high_cut, axis=1)
+        # Degenerate-sparsity escalation: on spot-sparse volumes (exact-
+        # zero probability backgrounds) the base high percentile sits at
+        # 0, making "bright subset" = every faint nonzero skirt and the
+        # seeded norm ~100x too small (decode saturates, components
+        # merge — observed at production geometry). Escalate to the first
+        # percentile whose cut is positive; non-degenerate data keeps the
+        # reference's base cut exactly.
+        ladder = jnp.asarray(
+            [high_cut, 99.0, 99.9, 99.99], jnp.float32
+        )
+        cand = jnp.percentile(shifted, ladder, axis=1)  # (L, T)
+        pos = cand > 0.0
+        first = jnp.argmax(pos, axis=0)
+        hcuts = jnp.where(
+            jnp.any(pos, axis=0),
+            jnp.take_along_axis(cand, first[None, :], 0)[0],
+            cand[0],
+        )
         # negate so the subset sorts to the FRONT ascending; median of the
         # negated subset is minus the subset median
         high_sorted = jnp.sort(
@@ -578,7 +595,13 @@ class PixelDecoder:
             high_pixels = []
             for img in images:
                 shifted = np.clip(img - bg[bit_idx], 0, None)
+                # same degenerate-sparsity percentile escalation as the
+                # device program (`_seed_stats_program.per_bit`)
                 cut = np.percentile(shifted, high_percentile_cut)
+                for q in (99.0, 99.9, 99.99):
+                    if cut > 0:
+                        break
+                    cut = np.percentile(shifted, q)
                 high_pixels.append(shifted[shifted > cut].ravel())
             high_pixels = np.concatenate(high_pixels) if high_pixels else np.array([])
             norm[bit_idx] = np.median(high_pixels) if high_pixels.size else 1.0

@@ -122,6 +122,27 @@ def run_production_case(
 
     gt = pd.read_csv(raw / "GT_spots.csv")
     result = match_spots_f1(df, gt, radius_um=1.0)
+
+    # registration fidelity vs the injected truth: recovered round
+    # transforms should cancel the rendered rigid shifts (shift_px ≈
+    # -truth, in µm: t ≈ -shift_px·spacing), so the residual is a direct
+    # registration health metric independent of decode
+    import json as _json
+
+    truth = _json.loads((raw / "GT_misregistration.json").read_text())
+    spacing = np.asarray([0.315, 0.098, 0.098])
+    max_resid = 0.0
+    for t in range(n_tiles):
+        for r, shift_px in enumerate(truth["round_shifts_px_zyx"]):
+            xf = ds.load_local_round_transform_zyx_um(t, r)
+            if xf is None:
+                continue
+            rec_px = np.asarray(xf)[:3, 3] / spacing
+            s = np.asarray(shift_px)
+            # sign-agnostic: either convention counts as recovered
+            resid = np.minimum(np.abs(rec_px + s), np.abs(rec_px - s))
+            max_resid = max(max_resid, float(resid.max()))
+    result["max_round_shift_residual_px"] = round(max_resid, 3)
     result.update(
         {
             "n_tiles": n_tiles,
