@@ -71,6 +71,17 @@ def _sparse_intensity_from_device(image_lp_dev, decoded: np.ndarray):
     return SparseIntensity(fg_lin, host)
 
 
+def _masked_percentile(sorted_vals, n_finite, q: float):
+    """numpy-'linear' percentile of the first ``n_finite`` elements of an
+    ascending inf-padded sort, with dynamic subset size."""
+    pos = (q / 100.0) * (n_finite.astype(jnp.float32) - 1.0)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, None)
+    hi = jnp.minimum(lo + 1, jnp.maximum(n_finite - 1, 0))
+    frac = pos - lo.astype(jnp.float32)
+    v = sorted_vals[lo] * (1.0 - frac) + sorted_vals[hi] * frac
+    return jnp.where(n_finite > 0, v, jnp.float32(0.0))
+
+
 def _masked_union_median(sorted_vals, n_finite):
     """Median of the first ``n_finite`` elements of an ascending
     inf-padded sort — numpy's even/odd middle-pair median, evaluated with
@@ -149,24 +160,24 @@ def _seed_stats_program(
         m = jnp.sum(jnp.isfinite(low_sorted)).astype(jnp.int32)
         bg_b = _masked_union_median(low_sorted, m)
         shifted = jnp.clip(vbt - bg_b, 0.0, None)
-        # Degenerate-sparsity escalation: on spot-sparse volumes (exact-
-        # zero probability backgrounds) the base high percentile sits at
-        # 0, making "bright subset" = every faint nonzero skirt and the
-        # seeded norm ~100x too small (decode saturates, components
-        # merge — observed at production geometry). Escalate to the first
-        # percentile whose cut is positive; non-degenerate data keeps the
-        # reference's base cut exactly.
-        ladder = jnp.asarray(
-            [high_cut, 99.0, 99.9, 99.99], jnp.float32
+        # Degenerate-sparsity fallback: on spot-sparse volumes (exact-zero
+        # probability backgrounds, >=``high_cut``% zeros) the whole-image
+        # percentile sits at 0 and "bright subset" degrades to every
+        # faint nonzero skirt — the seeded norm lands ~100x below spot
+        # peaks, decode saturates and components merge (observed at
+        # production geometry). When the base cut is non-positive, take
+        # the SAME percentile over the positive support instead (the
+        # reference's recipe assumes dense nonzero backgrounds where the
+        # two coincide in intent: the subset is the bright tail).
+        hcuts_base = jnp.percentile(shifted, high_cut, axis=1)
+        pos_sorted = jnp.sort(
+            jnp.where(shifted > 0.0, shifted, jnp.inf), axis=1
         )
-        cand = jnp.percentile(shifted, ladder, axis=1)  # (L, T)
-        pos = cand > 0.0
-        first = jnp.argmax(pos, axis=0)
-        hcuts = jnp.where(
-            jnp.any(pos, axis=0),
-            jnp.take_along_axis(cand, first[None, :], 0)[0],
-            cand[0],
+        m_pos = jnp.sum(jnp.isfinite(pos_sorted), axis=1).astype(jnp.int32)
+        cut_support = jax.vmap(_masked_percentile, in_axes=(0, 0, None))(
+            pos_sorted, m_pos, high_cut
         )
+        hcuts = jnp.where(hcuts_base > 0.0, hcuts_base, cut_support)
         # negate so the subset sorts to the FRONT ascending; median of the
         # negated subset is minus the subset median
         high_sorted = jnp.sort(
@@ -595,13 +606,13 @@ class PixelDecoder:
             high_pixels = []
             for img in images:
                 shifted = np.clip(img - bg[bit_idx], 0, None)
-                # same degenerate-sparsity percentile escalation as the
-                # device program (`_seed_stats_program.per_bit`)
+                # same degenerate-sparsity support-percentile fallback as
+                # the device program (`_seed_stats_program.per_bit`)
                 cut = np.percentile(shifted, high_percentile_cut)
-                for q in (99.0, 99.9, 99.99):
-                    if cut > 0:
-                        break
-                    cut = np.percentile(shifted, q)
+                if cut <= 0:
+                    positives = shifted[shifted > 0]
+                    if positives.size:
+                        cut = np.percentile(positives, high_percentile_cut)
                 high_pixels.append(shifted[shifted > cut].ravel())
             high_pixels = np.concatenate(high_pixels) if high_pixels else np.array([])
             norm[bit_idx] = np.median(high_pixels) if high_pixels.size else 1.0
