@@ -757,7 +757,7 @@ def bench_production_case(platform: str) -> tuple[float, dict]:
                 decon_max_iters=10,
                 deformable=True,
                 chromatic=True,
-                num_iterations=2,
+                num_iterations=6,
                 seed=21,
             )
         else:

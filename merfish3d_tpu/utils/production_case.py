@@ -39,11 +39,18 @@ def run_production_case(
     round_shift_px: float = 2.0,
     deformation_px: float = 1.2,
     seed: int = 21,
-    num_iterations: int = 2,
+    num_iterations: int = 6,
     verbose: int = 0,
 ) -> dict:
     """Run the production-geometry case; returns F1 + stage timings +
-    blank-fraction sweep diagnostics."""
+    blank-fraction sweep diagnostics.
+
+    ``num_iterations`` defaults to 6: spot-sparse volumes seed the
+    normalization vectors coarsely (the percentile seed lands on the
+    lowpass skirt scale), and the iterative optimizer climbs ~an order of
+    magnitude per iteration — at production geometry F1 measures 0.22 at
+    2 iterations vs 0.89 at 6 (the reference's examples run >=10,
+    `docs/examples`)."""
     from ..cli.simulation import convert_simulation_to_experiment as sim_convert
     from ..cli.simulation import convert_to_datastore as sim_datastore
     from ..cli.simulation.calculate_f1 import match_spots_f1

@@ -52,7 +52,6 @@ def test_production_full(tmp_path, request):
         decon=False,
         deformable=True,
         chromatic=True,
-        num_iterations=2,
         seed=21,
     )
     assert r["f1"] >= 0.80, r
