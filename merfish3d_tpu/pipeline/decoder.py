@@ -795,13 +795,23 @@ class PixelDecoder:
             from ..ops.filters import gaussian_lowpass_seq
 
             if any(s > 0 for s in sigma):
-                # sequential per-bit lowpass; the stack stays on DEVICE
-                # (the dense lowpassed volume is bits× every other decode
-                # output — reading it back costs ~a minute per production
-                # tile through a tunneled link)
-                image_lp_dev = gaussian_lowpass_seq(
-                    jnp.asarray(image_data), sigma=tuple(float(s) for s in sigma)
-                )
+                # per-bit lowpass; the stack stays on DEVICE (the dense
+                # lowpassed volume is bits× every other decode output —
+                # reading it back costs ~a minute per production tile
+                # through a tunneled link). On TPU the batch runs
+                # SEQUENTIALLY (vmapped im2col OOMs at production
+                # geometry); on CPU the vmapped form is kept so the
+                # sequential and mesh decode paths stay bit-identical
+                # (`tests/test_parallel.py` pins their equality).
+                if jax.devices()[0].platform == "tpu":
+                    image_lp_dev = gaussian_lowpass_seq(
+                        jnp.asarray(image_data),
+                        sigma=tuple(float(s) for s in sigma),
+                    )
+                else:
+                    image_lp_dev = gaussian_lowpass(
+                        jnp.asarray(image_data), sigma=sigma
+                    )
             else:
                 image_lp_dev = jnp.asarray(image_data, jnp.float32)
             decoded, mag, dist, scaled = decode_ops.decode_volume(
