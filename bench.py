@@ -731,6 +731,84 @@ def bench_e2e_tile(platform: str) -> tuple[float, dict]:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def bench_e2e_steady_state(platform: str) -> tuple[float, dict]:
+    """Marginal per-tile rate of the FUSED streaming loop over 3 tiles:
+    register tile → decode tile, with intermediates draining write-behind
+    UNDER the next tile's compute (the production overlap a single-tile
+    measurement cannot show; reference analog: its per-GPU worker
+    processes overlap tiles the same way, SURVEY §2.9 PP row). Reported
+    rate = voxels of tiles 2..3 / wall between tile-1 and tile-3 decode
+    completion (tile 1 absorbs residual compile/warm-up); the final drain
+    is timed separately (in steady state it amortizes across tiles)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from merfish3d_tpu.pipeline import PixelDecoder
+    from merfish3d_tpu.pipeline.handoff import TileDeviceCache
+    from merfish3d_tpu.pipeline.registration import DataRegistration
+    from merfish3d_tpu.utils.simulation import generate_synthetic_experiment
+
+    shape = (16, 512, 512) if platform == "tpu" else (6, 96, 96)
+    n_tiles = 3
+    workdir = Path(tempfile.mkdtemp(prefix="bench_ss_"))
+    try:
+        ds, _gt = generate_synthetic_experiment(
+            workdir / "qi2labdatastore",
+            shape=shape,
+            n_spots=(300 if platform == "tpu" else 40) * n_tiles,
+            seed=7,
+            n_tiles=n_tiles,
+            tile_offset_px=(0.0, 0.0, shape[2] * 0.8),
+        )
+        cache = TileDeviceCache(max_tiles=2)
+        reg = DataRegistration(
+            ds,
+            decon_fiducial=False,
+            decon_readout=True,
+            decon_max_iters=10,
+            global_registration=False,
+            overwrite=True,
+            verbose=0,
+            device_cache=cache,
+            persist="deferred",
+        )
+        decoder = PixelDecoder(
+            ds, minimum_pixels=4, magnitude_threshold=(0.9, 10.0), verbose=0,
+            device_cache=cache,
+        )
+        decoder._global_normalization_vector = np.full(16, 400.0, np.float32)
+        decoder._global_background_vector = np.full(16, 40.0, np.float32)
+
+        marks = []
+        t_start = time.perf_counter()
+        for t in range(n_tiles):
+            reg.register_one_tile(t)
+            reg.pause_persistence()
+            decoder.decode_one_tile(t, save=True)
+            reg.resume_persistence()
+            cache.evict(t)
+            marks.append(time.perf_counter())
+        t0 = time.perf_counter()
+        reg.drain_persistence()
+        t_drain = time.perf_counter() - t0
+
+        tile_voxels = int(np.prod(shape))
+        steady_seconds = (marks[-1] - marks[0]) / (n_tiles - 1)
+        return tile_voxels / steady_seconds, {
+            "tile_shape": list(shape),
+            "n_tiles": n_tiles,
+            "tile_seconds": [
+                round(m - (marks[i - 1] if i else t_start), 2)
+                for i, m in enumerate(marks)
+            ],
+            "steady_tile_seconds": round(steady_seconds, 2),
+            "final_drain_seconds": round(t_drain, 2),
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def bench_production_case(platform: str) -> tuple[float, dict]:
     """Full production-geometry hermetic case on TPU: 2 overlapping
     (16, 1024, 1024) tiles, 16-bit MHD4 codebook with 10/90 blank
@@ -940,6 +1018,16 @@ def main() -> None:
         **e2e_detail,
     )
 
+    ss_vps, ss_detail = bench_e2e_steady_state(platform)
+    _emit(
+        "e2e_steady_state_voxels_per_sec_per_chip",
+        ss_vps,
+        "voxel/s",
+        REFERENCE_PIPELINE_VOXELS_PER_SEC,
+        baseline_kind="mop_wallclock_derived_incl_host_io",
+        **ss_detail,
+    )
+
     # the production case runs ~25-45 min at full geometry; make sure a
     # mid-case kill still leaves the pipeline headline as the last
     # parseable line, and a case failure doesn't lose the final emission
@@ -980,6 +1068,7 @@ def main() -> None:
         ),
         sofima_voxels_per_sec=round(sofima_vps, 1),
         fusion_voxels_per_sec=round(fusion_vps, 1),
+        e2e_steady_state_voxels_per_sec=round(ss_vps, 1),
         production_case_voxels_per_sec=round(prod_vps, 1),
         production_case_f1=prod_detail.get("f1"),
     )
