@@ -662,6 +662,7 @@ def bench_e2e_tile(platform: str) -> tuple[float, dict]:
                 verbose=0,
                 device_cache=cache,
                 persist="deferred",
+                ufish_model="dog",  # explicit: no checkpoint in this env
             )
             reg.register_all_tiles()
             t_reg = time.perf_counter() - t0
@@ -772,6 +773,7 @@ def bench_e2e_steady_state(platform: str) -> tuple[float, dict]:
             verbose=0,
             device_cache=cache,
             persist="deferred",
+            ufish_model="dog",  # explicit: no checkpoint in this env
         )
         decoder = PixelDecoder(
             ds, minimum_pixels=4, magnitude_threshold=(0.9, 10.0), verbose=0,
