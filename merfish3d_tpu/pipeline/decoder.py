@@ -112,10 +112,9 @@ def _seed_lowpass_program(stack, z_start: int, z_stop: int,
     static_argnames=(
         "z_start", "z_stop", "sigma", "hot_threshold", "low_cut", "high_cut"
     ),
-    donate_argnums=(0,),
 )
 def _seed_stats_program(
-    stacks,  # (T, bits, z, y, x) warped bit images, f32 (donated)
+    stacks,  # (T, bits, z, y, x) warped bit images, f32
     *,
     z_start: int,
     z_stop: int,
