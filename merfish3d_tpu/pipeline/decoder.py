@@ -136,8 +136,7 @@ def _seed_stats_program(
     VOLUME under one sequential `lax.map` — a vmapped lowpass
     materializes every volume's z-conv im2col at once (observed 21 GB
     bf16 allocation) and batch-wide cleaned/sliced copies add 2×input.
-    The donated input lets XLA release the stacked copy once the map
-    consumes it."""
+    XLA releases the stacked copy after its last use inside the map."""
     t, b = stacks.shape[0], stacks.shape[1]
 
     def clean_crop_lp(vol):  # (z, y, x) one tile/bit volume
