@@ -1149,8 +1149,8 @@ class qi2labDataStore:
         the device→host link and the single-core compressor, the two
         measured bottlenecks of the per-tile critical path. Loads
         dequantize to float32 (exactly k/255). Float inputs that are not
-        already k/255 quantize here (round-half-away, like the device
-        path's round)."""
+        already k/255 quantize here (round-half-even, matching the device
+        path's jnp.round)."""
         d = self._readout_dir(tile, bit)
         attrs = {"model_name": str(model_name), "quantization": "u8/255"}
         if extra_attributes:
