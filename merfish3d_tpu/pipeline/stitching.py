@@ -198,6 +198,13 @@ def global_register(datastore, *, config=None, fusion_config=None, verbose=1):
     # pairwise measurements: correction_j - correction_i (µm)
     rows, rhs, weights = [], [], []
     n_pruned = n_lowq = 0
+    # collect the candidate pairs first, then register them on a small
+    # thread pool: each pair's staged registration is several sequential
+    # device dispatch→readback round trips, and on a high-latency link
+    # the link latency (not device compute) dominates — overlapping
+    # pairs hides it (the first pair runs alone to warm the per-shape
+    # jit caches without a trace race)
+    pair_specs = []
     for i in range(n_tiles):
         for j in range(i + 1, n_tiles):
             if keep_axis_aligned and not _is_axis_aligned_pair(
@@ -228,51 +235,80 @@ def global_register(datastore, *, config=None, fusion_config=None, verbose=1):
             shp = np.asarray([_bucket_size(int(v)) for v in shp])
             if np.any(shp < 4):
                 continue
-            sub_i = sub_i[: shp[0], : shp[1], : shp[2]]
-            sub_j = sub_j[: shp[0], : shp[1], : shp[2]]
-            t_pair = time.perf_counter()
-            shift_px, quality = register_translation_with_quality(
-                sub_i, sub_j, upsample_factor=10
+            pair_specs.append(
+                (
+                    i,
+                    j,
+                    sub_i[: shp[0], : shp[1], : shp[2]],
+                    sub_j[: shp[0], : shp[1], : shp[2]],
+                    lo_i,
+                    lo_j,
+                    tuple(int(v) for v in shp),
+                )
             )
-            _mv_diag(
-                diagnostics,
-                "pair",
-                pair=(i, j),
-                overlap_shape=tuple(int(v) for v in shp),
-                shift_binned_px=np.round(np.asarray(shift_px), 3).tolist(),
-                quality=round(float(quality), 4),
-                elapsed_s=round(time.perf_counter() - t_pair, 3),
-            )
-            if not np.isfinite(quality) or quality < quality_threshold:
-                n_lowq += 1
-                if verbose > 1:
-                    print(
-                        f"pair ({i},{j}): rejected, quality={quality:.3f} "
-                        f"< {quality_threshold}"
-                    )
-                continue
-            # if sub_j(x) = sub_i(x - δ) then push = -δ and tile j's stage
-            # origin overshoots by δ: correction_j - correction_i = push·s.
-            # The two crops were floored to their own pixel grids, so even
-            # at ZERO stage error the PCC measures push = -base_px, where
-            # base_px is the sub-pixel offset between the crops' global
-            # start positions — subtract that baseline or it is baked
-            # into every correction as fake stage error (review r3)
-            base_px = (origins[i] - origins[j]) / spacing_binned + (
-                np.asarray(lo_i, np.float64) - np.asarray(lo_j, np.float64)
-            )
-            measured_um = (
-                np.asarray(shift_px, np.float64) + base_px
-            ) * spacing_binned
-            row_block = np.zeros((3, 3 * n_tiles))
-            for ax in range(3):
-                row_block[ax, 3 * j + ax] = 1.0
-                row_block[ax, 3 * i + ax] = -1.0
-            rows.append(row_block)
-            rhs.append(measured_um)
-            weights.append(max(float(quality), 1e-3))
+
+    def run_pair(spec):
+        i, j, sub_i, sub_j, lo_i, lo_j, shp = spec
+        t_pair = time.perf_counter()
+        shift_px, quality = register_translation_with_quality(
+            sub_i, sub_j, upsample_factor=10
+        )
+        _mv_diag(
+            diagnostics,
+            "pair",
+            pair=(i, j),
+            overlap_shape=shp,
+            shift_binned_px=np.round(np.asarray(shift_px), 3).tolist(),
+            quality=round(float(quality), 4),
+            elapsed_s=round(time.perf_counter() - t_pair, 3),
+        )
+        return shift_px, quality
+
+    results: list = [None] * len(pair_specs)
+    if pair_specs:
+        results[0] = run_pair(pair_specs[0])  # warm jit caches race-free
+    if len(pair_specs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for k, res in enumerate(
+                pool.map(run_pair, pair_specs[1:]), start=1
+            ):
+                results[k] = res
+
+    for spec, res in zip(pair_specs, results):
+        i, j, _sub_i, _sub_j, lo_i, lo_j, _shp = spec
+        shift_px, quality = res
+        if not np.isfinite(quality) or quality < quality_threshold:
+            n_lowq += 1
             if verbose > 1:
-                print(f"pair ({i},{j}): shift_px={shift_px}, q={quality:.3f}")
+                print(
+                    f"pair ({i},{j}): rejected, quality={quality:.3f} "
+                    f"< {quality_threshold}"
+                )
+            continue
+        # if sub_j(x) = sub_i(x - δ) then push = -δ and tile j's stage
+        # origin overshoots by δ: correction_j - correction_i = push·s.
+        # The two crops were floored to their own pixel grids, so even
+        # at ZERO stage error the PCC measures push = -base_px, where
+        # base_px is the sub-pixel offset between the crops' global
+        # start positions — subtract that baseline or it is baked
+        # into every correction as fake stage error (review r3)
+        base_px = (origins[i] - origins[j]) / spacing_binned + (
+            np.asarray(lo_i, np.float64) - np.asarray(lo_j, np.float64)
+        )
+        measured_um = (
+            np.asarray(shift_px, np.float64) + base_px
+        ) * spacing_binned
+        row_block = np.zeros((3, 3 * n_tiles))
+        for ax in range(3):
+            row_block[ax, 3 * j + ax] = 1.0
+            row_block[ax, 3 * i + ax] = -1.0
+        rows.append(row_block)
+        rhs.append(measured_um)
+        weights.append(max(float(quality), 1e-3))
+        if verbose > 1:
+            print(f"pair ({i},{j}): shift_px={shift_px}, q={quality:.3f}")
 
     if verbose:
         print(
