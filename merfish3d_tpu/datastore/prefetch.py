@@ -77,12 +77,19 @@ class BoundedWriter:
         # background drains; in-flight jobs always finish
         self._gate = threading.Event()
         self._gate.set()
+        # generation counter lets submit() temporarily open a paused gate
+        # to reap the head job without clobbering a concurrent resume()
+        self._gate_gen = 0
 
     def pause(self) -> None:
-        self._gate.clear()
+        with self._lock:
+            self._gate_gen += 1
+            self._gate.clear()
 
     def resume(self) -> None:
-        self._gate.set()
+        with self._lock:
+            self._gate_gen += 1
+            self._gate.set()
 
     def _run_gated(self, fn, args, kwargs):
         self._gate.wait()
@@ -97,10 +104,25 @@ class BoundedWriter:
                     )
                     return
                 head = self._pending.popleft()
+                # a full queue must make room even while paused: the head
+                # job is itself blocked on the gate, so waiting on it with
+                # the gate down deadlocks submit until some OTHER thread
+                # resumes (ADVICE r4). Open the gate for the wait and
+                # restore the pause only if no pause/resume intervened.
+                reopened_gen = None
+                if not self._gate.is_set():
+                    self._gate_gen += 1
+                    reopened_gen = self._gate_gen
+                    self._gate.set()
             head.result()  # blocks; re-raises failures
+            if reopened_gen is not None:
+                with self._lock:
+                    if self._gate_gen == reopened_gen:
+                        self._gate_gen += 1
+                        self._gate.clear()
 
     def drain(self) -> None:
-        self._gate.set()  # draining a paused queue must not deadlock
+        self.resume()  # draining a paused queue must not deadlock
         while True:
             with self._lock:
                 if not self._pending:

@@ -73,6 +73,11 @@ class qi2labDataStore:
     def __init__(self, datastore_path: Union[str, Path], validate: bool = True):
         self._datastore_path = Path(datastore_path)
         self._decode_run_key: Optional[str] = None
+        # bumped on every stored-transform mutation (round affines, flow
+        # fields, chromatic affines) so same-process consumers holding
+        # derived device state (the decoder's warped-stack memo) can
+        # detect staleness without re-reading the sidecars
+        self.transform_version: int = 0
         if (self._datastore_path / "datastore_state.json").exists():
             self._parse_datastore(validate=validate)
         else:
@@ -711,6 +716,7 @@ class qi2labDataStore:
         ``{"channels": {name: {"channel_index", "wavelength_um",
         "affine_zyx_um"}}}``. A flat ``{name: 4x4}`` mapping is also
         accepted and normalized to the structured form."""
+        self.transform_version += 1
         calibration = dict(calibration)
         if "channels" not in calibration:
             calibration = {
@@ -941,6 +947,20 @@ class qi2labDataStore:
         except Exception:
             return None  # unreadable/corrupt metadata → treated as missing
 
+    def remove_local_registered_image(self, tile, round=None, bit=None) -> None:
+        """Delete a stored registered/decon image if present. Used by
+        minimal-persistence registration (`DataRegistration(persist=
+        'minimal')`) so a stale decon array from an earlier run can never
+        shadow the intentionally-skipped write (the decoder's zarr
+        fallback would silently read it)."""
+        import shutil
+
+        d = self._entity_dir(tile, round, bit)
+        name = "registered_decon_data" if round is not None else "decon_data"
+        p = d / (name + ".ome.zarr")
+        if p.exists():
+            shutil.rmtree(p, ignore_errors=True)
+
     def save_local_corrected_image(
         self,
         image: ArrayLike,
@@ -997,6 +1017,7 @@ class qi2labDataStore:
     def save_local_round_transform_zyx_um(self, transform_zyx_um: ArrayLike, tile, round) -> None:
         """4x4 physical affine mapping round-1 reference coords → moving round
         coords (`qi2labDataStore.py:3983-4052`)."""
+        self.transform_version += 1
         self._save_attrs(
             self._fiducial_dir(tile, round),
             {
@@ -1069,6 +1090,7 @@ class qi2labDataStore:
         """float32 ``(3, z, y, x)`` flow map, channels X,Y,Z, values in
         reference px; metadata per `docs/datastore.md:46-51` and
         `qi2labDataStore.py:4307-4463`. Round-trip must be exact (float32)."""
+        self.transform_version += 1
         d = self._fiducial_dir(tile, round)
         attrs = {
             "map_stride_zyx_px": [float(v) for v in map_stride_zyx_px],

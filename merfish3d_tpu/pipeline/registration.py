@@ -113,7 +113,16 @@ class DataRegistration:
         ``"deferred"`` queues the readout-bit image writes (the ~270 MB/tile
         device→host payload) on a background drain thread the caller
         flushes via :meth:`drain_persistence`, keeping the decode critical
-        path off the link."""
+        path off the link. ``"minimal"`` (requires ``device_cache``) is
+        deferred persistence with the readout payload shrunk to what
+        downstream consumers actually need: the u8 probability map crosses
+        the link sparse-encoded (`ops/sparse_io.py`; spot maps are mostly
+        exact zeros) and the decon u16 volume is NOT re-persisted — the
+        same-process decoder consumes it from the device cache, and a
+        later resume recomputes it (the registration resume scan treats
+        the tile as incomplete). Spot tables stay exact: decon values are
+        read back at the dilated probability support, which covers every
+        ROI voxel (`tests/test_sparse_io.py`)."""
         self._datastore = datastore
         self._decon_fiducial = decon_fiducial
         self._decon_readout = decon_readout
@@ -133,10 +142,29 @@ class DataRegistration:
         self._tile_id: Optional[str] = None
         self._predictor = get_predictor(ufish_model, ufish_checkpoint)
         self._device_cache = device_cache
-        if persist not in ("sync", "deferred"):
-            raise ValueError(f"persist must be 'sync' or 'deferred', got {persist!r}")
+        if persist not in ("sync", "deferred", "minimal"):
+            raise ValueError(
+                f"persist must be 'sync', 'deferred' or 'minimal', got {persist!r}"
+            )
+        if persist == "minimal" and device_cache is None:
+            raise ValueError(
+                "persist='minimal' skips re-persisting decon volumes; a "
+                "device_cache is required so a same-process decoder can "
+                "still consume them"
+            )
         self._persist_mode = persist
-        self._persister = None  # lazy BoundedWriter for deferred mode
+        # Deferred/minimal writers are created EAGERLY: a lazy init racing
+        # two fan-out threads would leave one thread's submitted jobs on a
+        # writer drain_persistence never sees (ADVICE r4).
+        self._persister = (
+            None
+            if persist == "sync"
+            else self._make_deferred_writers()
+        )
+        if device_cache is not None:
+            # a same-process decoder drains our deferred writes before any
+            # zarr fallback on a cache miss (ADVICE r4 medium)
+            device_cache.drain_hook = self.drain_persistence
 
     # ------------------------------------------------- deferred persistence
     def _persist_writer(self, kind: str):
@@ -151,15 +179,18 @@ class DataRegistration:
 
         if self._persist_mode == "sync":
             return BoundedWriter(depth=2), True
-        if self._persister is None:
-            # depth bounds HBM pinned by queued per-bit jobs (~13 MB each,
-            # so 64 ≈ 830 MB) while keeping submit non-blocking across a
-            # whole tile's worth of bits
-            self._persister = {
-                "fid": BoundedWriter(depth=16),
-                "bits": BoundedWriter(depth=64),
-            }
         return self._persister[kind], False
+
+    def _make_deferred_writers(self) -> dict:
+        # depth bounds HBM pinned by queued per-bit jobs (~13 MB each,
+        # so 64 ≈ 830 MB) while keeping submit non-blocking across a
+        # whole tile's worth of bits
+        from ..datastore.prefetch import BoundedWriter
+
+        return {
+            "fid": BoundedWriter(depth=16),
+            "bits": BoundedWriter(depth=64),
+        }
 
     def drain_persistence(self, kind: Optional[str] = None) -> None:
         """Block until every deferred datastore write has landed (no-op in
@@ -191,27 +222,40 @@ class DataRegistration:
     def _persist_bit(self, decon_u16_dev, prob_u8_dev, tile_idx, bit_idx) -> None:
         """Writer-thread persistence of one readout bit: d2h of the
         device-resident (u16, u8) forms, zarr writes, and the U-FISH-style
-        spot table — all off the register/decode critical path."""
+        spot table — all off the register/decode critical path. In
+        ``minimal`` mode the d2h crosses the link sparse-encoded and the
+        decon zarr write is skipped (see the constructor docstring)."""
         ds = self._datastore
-        nbytes = int(decon_u16_dev.size * 2 + prob_u8_dev.size)
-        with profiling.section("reg_d2h_intermediates", nbytes=nbytes):
-            decon_u16 = np.asarray(decon_u16_dev)
-            prob_u8 = np.asarray(prob_u8_dev)
+        if self._persist_mode == "minimal":
+            decon_u16, prob_u8 = self._minimal_readback(
+                decon_u16_dev, prob_u8_dev
+            )
+        else:
+            nbytes = int(decon_u16_dev.size * 2 + prob_u8_dev.size)
+            with profiling.section("reg_d2h_intermediates", nbytes=nbytes):
+                decon_u16 = np.asarray(decon_u16_dev)
+                prob_u8 = np.asarray(prob_u8_dev)
         predictor_kind = getattr(self._predictor, "kind", "cnn")
         predictor_name = getattr(self._predictor, "model_name", predictor_kind)
         with profiling.section("reg_zarr_write_bits"):
-            ds.save_local_registered_image(
-                decon_u16,
-                tile=tile_idx,
-                bit=bit_idx,
-                deconvolution=self._decon_readout,
-            )
+            if self._persist_mode != "minimal":
+                ds.save_local_registered_image(
+                    decon_u16,
+                    tile=tile_idx,
+                    bit=bit_idx,
+                    deconvolution=self._decon_readout,
+                )
+            else:
+                # a stale decon from an earlier sync run must not shadow
+                # the skipped write (zarr-fallback readers would get it)
+                ds.remove_local_registered_image(tile_idx, bit=bit_idx)
             ds.save_local_feature_predictor_image(
                 prob_u8,
                 tile=tile_idx,
                 bit=bit_idx,
                 model_name=predictor_name,
-                extra_attributes={"predictor": predictor_kind},
+                extra_attributes={"predictor": predictor_kind,
+                                  "persist": self._persist_mode},
             )
         with profiling.section("reg_spot_tables"):
             spots = _spot_table_from_probability(
@@ -224,6 +268,46 @@ class DataRegistration:
             ds.save_local_feature_predictor_spots(
                 spots, tile=tile_idx, bit=bit_idx
             )
+
+    def _minimal_readback(self, decon_u16_dev, prob_u8_dev):
+        """Sparse link transfer for minimal persistence: the u8 probability
+        map as its nonzeros, the decon u16 values at the dilated
+        probability support (exactly the voxels the spot-table ROI sums
+        can touch — `ops/sparse_io.gather_at_dilated_support`). Either
+        falls back to the dense transfer when the volume is too dense for
+        the encoding to win."""
+        from ..ops import sparse_io
+
+        size = int(np.prod(prob_u8_dev.shape))
+        counts = np.asarray(sparse_io.count_dilated_support(prob_u8_dev))
+        n_prob, n_dil = int(counts[0]), int(counts[1])
+
+        if n_prob > size // 4:  # 5 B/nonzero vs 1 B/voxel break-even ~20%
+            with profiling.section("reg_d2h_intermediates", nbytes=size):
+                prob_u8 = np.asarray(prob_u8_dev)
+        else:
+            cap = sparse_io._bucket(n_prob)
+            idx, vals = sparse_io.gather_nonzero(prob_u8_dev, cap)
+            with profiling.section("reg_d2h_intermediates", nbytes=cap * 5):
+                idx, vals = np.asarray(idx), np.asarray(vals)
+            prob_u8 = sparse_io.scatter_dense(
+                prob_u8_dev.shape, np.uint8, idx, vals, n_prob
+            )
+
+        if n_dil > size // 3:  # 6 B/voxel vs 2 B/voxel break-even ~33%
+            with profiling.section("reg_d2h_intermediates", nbytes=size * 2):
+                decon_u16 = np.asarray(decon_u16_dev)
+        else:
+            cap = sparse_io._bucket(n_dil)
+            idx, vals = sparse_io.gather_at_dilated_support(
+                decon_u16_dev, prob_u8_dev, cap
+            )
+            with profiling.section("reg_d2h_intermediates", nbytes=cap * 6):
+                idx, vals = np.asarray(idx), np.asarray(vals)
+            decon_u16 = sparse_io.scatter_dense(
+                decon_u16_dev.shape, np.uint16, idx, vals, n_dil
+            )
+        return decon_u16, prob_u8
 
     # -------------------------------------------------- reference accessors
     # (`DataRegistration.py:1120-1280`: datastore / dataset_path / tile_id /

@@ -264,15 +264,26 @@ def global_register(datastore, *, config=None, fusion_config=None, verbose=1):
         )
         return shift_px, quality
 
+    # Warm one representative pair PER DISTINCT bucket shape sequentially
+    # before fanning out: the scoring program is shape-specialized, and
+    # concurrent first-traces of the same shape from pool threads would
+    # race the trace cache and duplicate minutes-long compiles through a
+    # tunneled compiler (ADVICE r4). Remaining pairs hit compiled code.
     results: list = [None] * len(pair_specs)
-    if pair_specs:
-        results[0] = run_pair(pair_specs[0])  # warm jit caches race-free
-    if len(pair_specs) > 1:
+    warmed_shapes: set = set()
+    remaining: list[int] = []
+    for k, spec in enumerate(pair_specs):
+        if spec[6] not in warmed_shapes:
+            warmed_shapes.add(spec[6])
+            results[k] = run_pair(spec)
+        else:
+            remaining.append(k)
+    if remaining:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=4) as pool:
-            for k, res in enumerate(
-                pool.map(run_pair, pair_specs[1:]), start=1
+            for k, res in zip(
+                remaining, pool.map(run_pair, [pair_specs[k] for k in remaining])
             ):
                 results[k] = res
 

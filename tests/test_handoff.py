@@ -109,3 +109,55 @@ def test_deferred_persistence_matches_sync(tmp_path):
         assert (ia is None) == (ib is None)
         if ia is not None:
             np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+
+
+def test_minimal_persistence_decode_and_spot_tables(tmp_path):
+    """persist='minimal': same-process decode off the device cache matches
+    the sync-persisted decode exactly; the probability map lands on disk
+    byte-identical (sparse link encoding is lossless); decon volumes are
+    NOT re-persisted; spot tables match the sync path (dilated-support
+    readback covers every ROI voxel)."""
+    ds_min, _ = generate_synthetic_experiment(
+        tmp_path / "min" / "qi2labdatastore", shape=(6, 64, 64), n_spots=25,
+        seed=5,
+    )
+    ds_ref, _ = generate_synthetic_experiment(
+        tmp_path / "ref" / "qi2labdatastore", shape=(6, 64, 64), n_spots=25,
+        seed=5,
+    )
+
+    cache = TileDeviceCache()
+    reg_min = _run_registration(ds_min, device_cache=cache, persist="minimal")
+    df_min = PixelDecoder(
+        ds_min, minimum_pixels=2, magnitude_threshold=(0.5, 10.0), verbose=0,
+        device_cache=cache,
+    ).decode_one_tile(0, save=False)
+    reg_min.drain_persistence()
+
+    _run_registration(ds_ref, persist="sync")
+    df_ref = PixelDecoder(
+        ds_ref, minimum_pixels=2, magnitude_threshold=(0.5, 10.0), verbose=0
+    ).decode_one_tile(0, save=False)
+
+    assert len(df_min) > 0
+    pd.testing.assert_frame_equal(
+        df_min.reset_index(drop=True), df_ref.reset_index(drop=True)
+    )
+    for b in range(len(ds_min.bit_ids)):
+        # decon skipped, probability identical, spot tables identical
+        assert ds_min.local_image_shape(0, bit=b, image="registered") is None
+        np.testing.assert_array_equal(
+            np.asarray(ds_min.load_local_feature_predictor_image(tile=0, bit=b)),
+            np.asarray(ds_ref.load_local_feature_predictor_image(tile=0, bit=b)),
+        )
+        pd.testing.assert_frame_equal(
+            ds_min.load_local_feature_predictor_spots(tile=0, bit=b),
+            ds_ref.load_local_feature_predictor_spots(tile=0, bit=b),
+        )
+    # resume scan treats minimal tiles as incomplete (decon recompute path)
+    assert not reg_min._is_tile_complete(0)
+
+
+def test_minimal_requires_device_cache():
+    with pytest.raises(ValueError, match="minimal"):
+        DataRegistration(object.__new__(object), persist="minimal")

@@ -514,3 +514,23 @@ def test_bounded_writer_drains_and_reraises():
                 raise ValueError("boom")
             w.submit(fail)
             w.submit(fail)  # blocks on the first future -> re-raises
+
+
+def test_bounded_writer_paused_submit_does_not_deadlock():
+    """A full queue makes room even while paused: submit reopens the gate
+    to reap the head job, then restores the pause (ADVICE r4)."""
+    import time
+
+    from merfish3d_tpu.datastore.prefetch import BoundedWriter
+
+    done = []
+    w = BoundedWriter(depth=1)
+    w.pause()
+    w.submit(done.append, 1)  # queued, job blocked on the gate
+    t0 = time.monotonic()
+    w.submit(done.append, 2)  # must reap the head without external resume
+    assert time.monotonic() - t0 < 10
+    assert done == [1]
+    assert not w._gate.is_set()  # pause restored
+    w.drain()
+    assert done == [1, 2]
