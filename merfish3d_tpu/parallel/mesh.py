@@ -213,6 +213,15 @@ def _make_sharded_tile_decoder_cached(
         )
         assigned = (dist <= thr) & (mag >= lo) & (mag <= hi)
         decoded = jnp.where(assigned, best, -1).astype(jnp.int16)
+        # per-bit foreground statistics (sum of scaled trace over assigned
+        # voxels, assigned count): the optimizer's device-side convergence
+        # diagnostic, psum-reduced across the tile mesh axis below —
+        # the ICI replacement for the reference's temp-parquet gather
+        # (`_save_barcodes:2785-2791`; exact medians stay host-side)
+        w = assigned.astype(jnp.float32)[None, :]
+        stats = jnp.stack(
+            [jnp.sum(scaled * w, axis=1), jnp.sum(w, axis=1)[0] * jnp.ones(bits)]
+        )
         if return_lowpassed:
             # raw lowpassed intensities feed the normalization medians —
             # keep f32 (the single-device path never rounds them to f16)
@@ -224,18 +233,23 @@ def _make_sharded_tile_decoder_cached(
             mag.astype(jnp.float16).reshape(nz, ny, nx),
             dist.astype(jnp.float16).reshape(nz, ny, nx),
             intensity,
+            stats,
         )
 
     def _block(tiles, cb_t, bg, norm):  # (T_local, bits, Z, Y, X)
-        return jax.vmap(_one, in_axes=(0, None, None, None))(
-            tiles, cb_t, bg, norm
-        )
+        decoded, mag, dist, intensity, stats = jax.vmap(
+            _one, in_axes=(0, None, None, None)
+        )(tiles, cb_t, bg, norm)
+        # cross-device reduction over the tile axis (XLA emits the psum
+        # over ICI); replicated (2, bits) result
+        bit_stats = jax.lax.psum(jnp.sum(stats, axis=0), "tile")
+        return decoded, mag, dist, intensity, bit_stats
 
     sharded = shard_map(
         _block,
         mesh=mesh,
         in_specs=(P("tile"), P(), P(), P()),
-        out_specs=(P("tile"), P("tile"), P("tile"), P("tile")),
+        out_specs=(P("tile"), P("tile"), P("tile"), P("tile"), P()),
     )
     return jax.jit(sharded)
 

@@ -257,6 +257,9 @@ class PixelDecoder:
         self._iterative_background_vector: Optional[np.ndarray] = None
         self._df_barcodes_loaded = pd.DataFrame()
         self._device_cache = device_cache
+        # (2, bits) psum-reduced foreground statistic from the last mesh
+        # decode pass (sum of scaled trace / assigned count per bit)
+        self.last_mesh_bit_stats: Optional[np.ndarray] = None
         # one-deep warped-stack memo: norm seeding and the subsequent
         # decode of the same tile (and every iteration of the
         # normalization optimizer) reuse one device-resident warped stack
@@ -1386,6 +1389,7 @@ class PixelDecoder:
         from ..parallel.mesh import make_sharded_tile_decoder, put_tiles_sharded
 
         n_dev = mesh.devices.size
+        self.last_mesh_bit_stats = None
         norm, bg = self._prepare_normalization_state()
         sigma = self._effective_lowpass_sigma(lowpass_sigma)
         step = make_sharded_tile_decoder(
@@ -1428,7 +1432,19 @@ class PixelDecoder:
                 reps = np.repeat(stack[-1:], n_dev - n_real, axis=0)
                 stack = np.concatenate([stack, reps])
             tiles = put_tiles_sharded(mesh, stack.astype(np.float32))
-            decoded, mag, dist, intensity = step(tiles, cb_t, bg_j, norm_j)
+            decoded, mag, dist, intensity, bit_stats = step(
+                tiles, cb_t, bg_j, norm_j
+            )
+            # psum-reduced (2, bits) foreground statistic (sum of scaled
+            # trace, assigned count) — device-side convergence diagnostic
+            # for the normalization optimizer; padded-replicate tiles in a
+            # ragged last group inflate it proportionally (diagnostic, not
+            # part of the exact host-side median update)
+            stats = np.asarray(bit_stats)
+            if self.last_mesh_bit_stats is None:
+                self.last_mesh_bit_stats = stats
+            else:
+                self.last_mesh_bit_stats = self.last_mesh_bit_stats + stats
             decoded = np.asarray(decoded)
             mag = np.asarray(mag)
             dist = np.asarray(dist)

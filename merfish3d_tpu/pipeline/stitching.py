@@ -138,7 +138,9 @@ def _is_axis_aligned_pair(o_i, o_j, size_um, frac: float = 0.1) -> bool:
     return int(np.sum(significant)) <= 1
 
 
-def global_register(datastore, *, config=None, fusion_config=None, verbose=1):
+def global_register(
+    datastore, *, config=None, fusion_config=None, verbose=1, devices=None
+):
     """Estimate + save per-tile global coordinate transforms, then fuse.
 
     Honors every `GlobalRegistrationConfig` field: volumes are binned by
@@ -147,6 +149,10 @@ def global_register(datastore, *, config=None, fusion_config=None, verbose=1):
     falls below ``quality_threshold`` are dropped from the least-squares
     resolution (reference `DataRegistration.py:71-95`,
     `multiview_registration.py:554-832`).
+
+    ``devices``: explicit device list for the pairwise-registration
+    fan-out (default: all visible devices). Each pair computes wholly on
+    one device, so results are device-count invariant.
     """
     ds = datastore
     n_tiles = len(ds.tile_ids)
@@ -247,12 +253,24 @@ def global_register(datastore, *, config=None, fusion_config=None, verbose=1):
                 )
             )
 
-    def run_pair(spec):
+    # pairwise registrations fan out over the visible devices (round-robin
+    # by pair index): the TPU analog of sharding the stitching graph's
+    # pairwise registrations across chips (SURVEY §2.9; reference runs
+    # them under dask on one GPU, `DataRegistration.py:1920`). Each pair's
+    # numerics are computed wholly on one device, so the resolved global
+    # transforms are bit-identical to a single-device run regardless of
+    # device count (pinned in `tests/test_parallel.py`).
+    import jax as _jax
+
+    pair_devices = list(devices) if devices else _jax.devices()
+
+    def run_pair(spec, device=None):
         i, j, sub_i, sub_j, lo_i, lo_j, shp = spec
         t_pair = time.perf_counter()
-        shift_px, quality = register_translation_with_quality(
-            sub_i, sub_j, upsample_factor=10
-        )
+        with _jax.default_device(device or pair_devices[0]):
+            shift_px, quality = register_translation_with_quality(
+                sub_i, sub_j, upsample_factor=10
+            )
         _mv_diag(
             diagnostics,
             "pair",
@@ -281,9 +299,17 @@ def global_register(datastore, *, config=None, fusion_config=None, verbose=1):
     if remaining:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        workers = max(4, len(pair_devices))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
             for k, res in zip(
-                remaining, pool.map(run_pair, [pair_specs[k] for k in remaining])
+                remaining,
+                pool.map(
+                    lambda kk: run_pair(
+                        pair_specs[kk],
+                        pair_devices[kk % len(pair_devices)],
+                    ),
+                    remaining,
+                ),
             ):
                 results[k] = res
 

@@ -189,3 +189,39 @@ def test_register_all_tiles_fanout_matches_sequential(tmp_path_factory):
                 ds_seq.load_local_feature_predictor_spots(t, b),
                 ds_fan.load_local_feature_predictor_spots(t, b),
             )
+
+
+def test_global_register_device_fanout_bit_identical(tmp_path_factory):
+    """Pairwise stitching registrations fan out over mesh devices; the
+    resolved global transforms must be bit-identical to a single-device
+    run (VERDICT r4 #6: stitching previously ran on host threads against
+    one device only)."""
+    from merfish3d_tpu.pipeline.registration import DataRegistration
+    from merfish3d_tpu.pipeline.stitching import global_register
+    from merfish3d_tpu.utils.simulation import generate_synthetic_experiment
+
+    def build(tag):
+        path = tmp_path_factory.mktemp("stitchfan_" + tag) / "qi2labdatastore"
+        ds, _gt = generate_synthetic_experiment(
+            path, shape=(6, 48, 48), n_spots=60, seed=17,
+            n_tiles=4, tile_offset_px=(0.0, 0.0, 32.0),
+        )
+        DataRegistration(
+            ds, decon_fiducial=False, decon_readout=False,
+            global_registration=False, overwrite=True, verbose=0,
+            ufish_model="dog",
+        ).register_all_tiles()
+        return ds
+
+    ds_one = build("one")
+    global_register(ds_one, verbose=0, devices=[jax.devices()[0]])
+    ds_all = build("all")
+    assert len(jax.devices()) == 8
+    global_register(ds_all, verbose=0)
+
+    for t in range(4):
+        a = ds_one.load_global_coord_xforms_um(t)
+        b = ds_all.load_global_coord_xforms_um(t)
+        assert a is not None and b is not None
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
