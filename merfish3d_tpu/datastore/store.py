@@ -1190,11 +1190,17 @@ class qi2labDataStore:
         )
 
     def load_local_feature_predictor_image(
-        self, tile, bit, return_future: bool = False
+        self, tile, bit, return_future: bool = False, raw: bool = False
     ):
+        """``raw=True`` returns the stored u8 quantized volume without
+        dequantizing — consumers that re-upload to the device (the decode
+        cache-population path) want the k/255 integers, not 4× the bytes
+        of f32."""
         out = self._load_entity_image(
             self._readout_dir(tile, bit), "feature_predictor_data", return_future
         )
+        if raw:
+            return out
         if out is None or return_future:
             # futures dequantize at .result() via _DequantFuture
             return (

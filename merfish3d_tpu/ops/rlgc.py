@@ -172,6 +172,21 @@ def _split_ht(gr, gi, update_norm):
     return ht1, ht2
 
 
+# The split-KLD stopping rule compares KLDs measured under DIFFERENT
+# random binomial splits each iteration; on dim spot-sparse volumes the
+# between-split variance exceeds the early-iteration improvement, so the
+# restore fires at iteration 1-2 with ~coin-flip probability and the
+# solve returns the FLAT mean init (found r5: 9/16 readout bits of a
+# production-geometry tile deconvolved to their mean — the reference's
+# identical rule, `rlgc.py:641-660`, has the same failure mode on this
+# regime; its published data is dense enough to never show it). Suppress
+# both the restore and the convergence exits until this many iterations
+# have run: the first updates from a flat init are improvements in
+# expectation, and a forced minimum costs ~3 iterations on data that
+# would legitimately stop early.
+MIN_STOP_ITERS = 3
+
+
 def _apply_update(
     consensus,
     recon,
@@ -207,7 +222,9 @@ def _apply_update(
         new_recon = enforce_symmetric_boundary(new_recon, pad_width)
         updated_fraction = num_updated / num_pixels
         max_rel_delta = max_abs_delta / jnp.maximum(max_new, 1e-12)
-        converged = (updated_fraction < limit) | (max_rel_delta < max_delta)
+        converged = (
+            (updated_fraction < limit) | (max_rel_delta < max_delta)
+        ) & (it + 1 >= MIN_STOP_ITERS)
     else:
         # consensus-gated multiplicative update (`rlgc.py:23-31,693`)
         updated = jnp.where(consensus < 0, recon, recon * ht)
@@ -219,7 +236,9 @@ def _apply_update(
         obs_old = recon * mask
         recon_max = jnp.maximum(jnp.max(obs_new), 1e-12)
         max_rel_delta = jnp.max(jnp.abs(obs_new - obs_old) / recon_max)
-        converged = (updated_fraction < limit) | (max_rel_delta < max_delta)
+        converged = (
+            (updated_fraction < limit) | (max_rel_delta < max_delta)
+        ) & (it + 1 >= MIN_STOP_ITERS)
 
         new_recon = jnp.where(should_restore, prev_recon, updated)
         new_prev = jnp.where(should_restore, prev_recon, recon)
@@ -280,6 +299,7 @@ def _rlgc_core(
             should_restore = (kld1 > prev_kld1) | (kld2 > prev_kld2)
         else:
             should_restore = (kld1 > prev_kld1) & (kld2 > prev_kld2)
+        should_restore = should_restore & (it >= MIN_STOP_ITERS)
 
         # Branchless restore: `lax.cond` with FFT-heavy branches inside a
         # TPU while_loop measured an ~86x slowdown (7.3 s vs 85 ms per
@@ -410,6 +430,7 @@ def _rlgc_queue_core(
                 restore = (kld1 > prev_kld1[v]) | (kld2 > prev_kld2[v])
             else:
                 restore = (kld1 > prev_kld1[v]) & (kld2 > prev_kld2[v])
+            restore = restore & (it[v] >= MIN_STOP_ITERS)
             gr, gi = fft_conv_spec(r1, r2, otf_t_full)
             ht1, ht2 = _split_ht(gr, gi, update_norm)
             per_vol.append((ht1 + ht2, (ht1 - 1.0) * (ht2 - 1.0),

@@ -86,7 +86,7 @@ def gather_at_dilated_support(target, support_u8, capacity: int,
     return idx.astype(jnp.uint32), vals
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("window",))
 def count_dilated_support(support_u8,
                           window: tuple[int, int, int] = (9, 7, 7)):
     """(nonzero count, dilated-support count) in one i32[2] readback."""

@@ -181,21 +181,52 @@ def _seed_stats_program(
         m = jnp.sum(jnp.isfinite(low_sorted)).astype(jnp.int32)
         bg_b = _masked_union_median(low_sorted, m)
         shifted = jnp.clip(vbt - bg_b, 0.0, None)
-        hcuts = jnp.percentile(shifted, high_cut, axis=1)
-        # negate so the subset sorts to the FRONT ascending; median of the
-        # negated subset is minus the subset median
-        high_sorted = jnp.sort(
-            jnp.where(shifted > hcuts[:, None], -shifted, jnp.inf).reshape(-1)
-        )
-        k = jnp.sum(jnp.isfinite(high_sorted)).astype(jnp.int32)
-        norm_pct = jnp.where(k > 0, -_masked_union_median(high_sorted, k), 1.0)
-        # sparse branch: top-(pre-lowpass support) union median — reuse
-        # the descending union sort of ALL shifted values
-        desc_sorted = jnp.sort((-shifted).reshape(-1))
-        k_sup = jnp.maximum(support_b, 1)
-        norm_topk = -_masked_union_median(desc_sorted, k_sup)
+
+        # only ONE branch's full-union sort materializes (lax.cond under
+        # the sequential lax.map stays a real conditional): at production
+        # seeding the program runs within ~1 sort-buffer of HBM — an
+        # unconditional extra sort OOMed the (16, 1024, 1024)×16-bit case
+        def dense_norm(shifted):
+            hcuts = jnp.percentile(shifted, high_cut, axis=1)
+            # negate so the subset sorts to the FRONT ascending; median
+            # of the negated subset is minus the subset median
+            high_sorted = jnp.sort(
+                jnp.where(
+                    shifted > hcuts[:, None], -shifted, jnp.inf
+                ).reshape(-1)
+            )
+            k = jnp.sum(jnp.isfinite(high_sorted)).astype(jnp.int32)
+            return jnp.where(
+                k > 0, -_masked_union_median(high_sorted, k), 1.0
+            )
+
+        def sparse_norm(shifted):
+            # Median of the top-(pre-lowpass support) voxels — the
+            # spot-CORE scale — then a deliberate 4× down-bias. The
+            # down-bias is the robustness choice, not a calibration: the
+            # core-scale median sits AT or ABOVE the converged norm on
+            # every measured regime (1.0–3× across DoG/decon data at
+            # three geometries), and the two failure directions are
+            # asymmetric — a too-high norm decodes nothing and stalls
+            # the optimizer (its empty-decode shrink is the backstop),
+            # while a bounded-low seed costs one or two climb iterations
+            # (~3–4×/iteration). core/4 is therefore guaranteed inside
+            # [converged/12, converged], which 2–3 iterations always
+            # recover. (Population-count calibrations were tried and are
+            # NOT robust: the right k scale varies ~4× with the lowpass
+            # dilution and the predictor's support tightness.)
+            asc = jnp.sort(shifted.reshape(-1))
+            n_tot = asc.shape[0]
+            k_sup = jnp.minimum(jnp.maximum(support_b, 1), n_tot)
+            start = n_tot - k_sup
+            return 0.125 * (
+                asc[start + jnp.maximum((k_sup - 1) // 2, 0)]
+                + asc[start + k_sup // 2]
+            )
+
         sparse_bit = support_b.astype(jnp.float32) < sparse_limit
-        return bg_b, jnp.where(sparse_bit, norm_topk, norm_pct)
+        norm_b = jax.lax.cond(sparse_bit, sparse_norm, dense_norm, shifted)
+        return bg_b, norm_b
 
     bgs, norms = jax.lax.map(per_bit, (flat, support_per_bit))
     # one (2, bits) readback — each blocking device→host transfer costs
@@ -449,31 +480,38 @@ class PixelDecoder:
                 stack = self._device_cache.product_stack(
                     tidx, range(len(bits))
                 )
+        if stack is None and device_ok and self._device_cache is not None:
+            # Cache miss under write-behind persistence: the zarr reads
+            # below could race the registration's background writer
+            # (absent or partially-written arrays, no lock from
+            # TensorStore) — force the deferred 'bits' queue to drain
+            # first, and say loudly that the fast path degraded
+            # (ADVICE r4 medium).
+            drain = getattr(self._device_cache, "drain_hook", None)
+            if drain is not None:
+                drain(kind="bits")
+            import warnings
+
+            warnings.warn(
+                f"device cache miss for {tile_id}: repopulating from "
+                "the persisted u16/u8 forms. With more tiles than the "
+                "cache holds, decode each tile right after its "
+                "registration or raise max_tiles.",
+                stacklevel=2,
+            )
+            # Recover by POPULATING the cache from the persisted
+            # forms: one u16+u8 upload per tile, after which every
+            # decode/seed/optimizer pass over this tile reads HBM.
+            # (A bare zarr fallback instead re-uploads a full f32
+            # product stack per pass — measured ~1.7 ks of link time
+            # across the optimizer's passes at production geometry.)
+            stack = self._populate_cache_from_zarr(tile_id, bits)
         if stack is not None:
             ems = [
                 ds.load_local_wavelengths_um(tile=tile_id, bit=b)[1]
                 for b in bits
             ]
         else:
-            if device_ok and self._device_cache is not None:
-                # Cache miss under write-behind persistence: the zarr
-                # fallback below could race the registration's background
-                # writer (absent or partially-written arrays, no lock from
-                # TensorStore) — force the deferred 'bits' queue to drain
-                # first, and say loudly that the fast path degraded
-                # (ADVICE r4 medium).
-                drain = getattr(self._device_cache, "drain_hook", None)
-                if drain is not None:
-                    drain(kind="bits")
-                import warnings
-
-                warnings.warn(
-                    f"device cache miss for {tile_id}: falling back to "
-                    "zarr reads (deferred writes drained first). With "
-                    "more tiles than the cache holds, decode each tile "
-                    "right after its registration or raise max_tiles.",
-                    stacklevel=2,
-                )
             # issue every read up front: TensorStore futures overlap all
             # bits' chunk decodes in its native thread pool instead of
             # serializing (reads + the np.stack copy were the dominant
@@ -541,6 +579,54 @@ class PixelDecoder:
         if device_ok:
             self._warped_memo = (tile_id, xform_version, warped)
         return warped
+
+    def _populate_cache_from_zarr(self, tile_id, bits):
+        """Fill the device cache for one tile from the persisted forms
+        (zarr u16 decon + u8 probability) and return the device product
+        stack, or None when any image is absent (the caller's zarr
+        fallback then reports precisely what's missing). The upload moves
+        3 B/voxel once instead of 4 B/voxel per decode pass."""
+        ds = self._datastore
+        tile_ids = list(ds.tile_ids)
+        tidx = tile_ids.index(tile_id) if tile_id in tile_ids else int(tile_id)
+        with profiling.section("dec_cache_populate"):
+            reads = [
+                (
+                    ds.load_local_registered_image(
+                        tile=tile_id, bit=b, return_future=True
+                    ),
+                    ds.load_local_feature_predictor_image(
+                        tile=tile_id, bit=b, return_future=True, raw=True
+                    ),
+                )
+                for b in bits
+            ]
+            if any(d is None or p is None for d, p in reads):
+                return None
+            # chunked uploads bound host RAM to ~8 bits of u16+u8 at once
+            chunk = 8
+            for start in range(0, len(bits), chunk):
+                part = reads[start : start + chunk]
+                decon_u16 = np.stack(
+                    [np.asarray(d.result(), np.uint16) for d, _ in part]
+                )
+                prob = [np.asarray(p.result()) for _, p in part]
+                if any(a.dtype != np.uint8 for a in prob):
+                    # legacy float-stored probability maps: requantize to
+                    # the same k/255 integers the cache contract stores
+                    prob = [
+                        a
+                        if a.dtype == np.uint8
+                        else np.clip(
+                            np.round(a.astype(np.float32) * 255.0), 0, 255
+                        ).astype(np.uint8)
+                        for a in prob
+                    ]
+                self._device_cache.put_persisted(
+                    tidx, range(start, start + len(part)), decon_u16,
+                    np.stack(prob),
+                )
+        return self._device_cache.product_stack(tidx, range(len(bits)))
 
     def _load_bit_data_for(self, tile_idx: int, device_ok: bool = True) -> dict:
         """Thread-safe tile load: returns the warped bit stack plus the
@@ -651,14 +737,15 @@ class PixelDecoder:
             bg[bit_idx] = np.median(low_pixels) if low_pixels.size else 0.0
             total_voxels = int(sum(img.size for img in images))
             if _sparse_support_bit(support, total_voxels, high_percentile_cut):
-                # sparse-seed branch, mirroring the device program: median
-                # of the support-count brightest shifted voxels
+                # sparse-seed branch, mirroring the device program:
+                # median of the support-count brightest shifted voxels
+                # (spot-core scale), down-biased 4× for one-sided safety
                 shifted = np.concatenate(
                     [np.clip(img - bg[bit_idx], 0, None).ravel()
                      for img in images]
                 )
                 top = np.sort(shifted)[::-1][: max(support, 1)]
-                norm[bit_idx] = np.median(top) if top.size else 1.0
+                norm[bit_idx] = np.median(top) / 4.0 if top.size else 1.0
             else:
                 high_pixels = []
                 for img in images:
@@ -713,6 +800,13 @@ class PixelDecoder:
             # memo keeps the LAST tile for its decode); at production
             # geometry each is ~1 GB of HBM the seeding program wants back
             del stacks
+            if stacked.nbytes > (1 << 30):
+                # under production-size pressure also release the memo's
+                # duplicate of the last tile — the seed program needs the
+                # headroom (observed OOM at (16, 1024, 1024)×16×2 with a
+                # populated device cache); the decode pass rebuilds it
+                # from the cache (or zarr) afterwards
+                self._invalidate_warped_memo()
             packed = np.asarray(
                 _seed_stats_program(
                     stacked,
@@ -1155,11 +1249,25 @@ class PixelDecoder:
             old_bg = np.asarray(self._iterative_background_vector)
         bit_cols = [f"bit{i:02d}_mean_intensity" for i in range(1, n_bits + 1)]
         if df.empty:
+            # Escape hatch: an empty decode means the current vectors
+            # OVERSHOOT (scaled traces too small for the magnitude
+            # window) — keeping them unchanged would make the stall a
+            # fixed point of the whole optimization (observed: a 3×-high
+            # seed decoded zero transcripts forever). Shrink toward the
+            # decodable regime instead; undershoot is recoverable (the
+            # clip-bias climbs ~3–4× per iteration).
+            shrunk = np.maximum(old_norm / 4.0, 1e-3)
+            if self._verbose >= 1:
+                print(
+                    "normalization iteration decoded 0 transcripts — "
+                    "shrinking normalization vector 4x to recover",
+                    flush=True,
+                )
             self._datastore.save_decode_normalization_vectors(
-                old_norm.astype(np.float32), old_bg.astype(np.float32),
+                shrunk.astype(np.float32), old_bg.astype(np.float32),
                 run_key="iterative",
             )
-            self._iterative_normalization_vector = old_norm.astype(np.float32)
+            self._iterative_normalization_vector = shrunk.astype(np.float32)
             self._iterative_background_vector = old_bg.astype(np.float32)
             return
         bm = df[bit_cols].to_numpy(dtype=np.float64)  # (n, bits)

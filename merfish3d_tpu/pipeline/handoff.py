@@ -32,6 +32,8 @@ from __future__ import annotations
 import threading
 from typing import Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -94,6 +96,27 @@ class TileDeviceCache:
                 evict = self._order.pop(0)
                 self._tiles.pop(evict, None)
         return du, pf
+
+    def put_persisted(self, tile_idx: int, bit_indices, decon_u16, prob_u8) -> None:
+        """Populate the cache from the PERSISTED forms (zarr u16 decon +
+        u8 probability): one u16+u8 upload per bit instead of a f32
+        product upload per decode pass. Used by the decoder's
+        cache-miss recovery — a resumed run skips registration, so the
+        cache starts empty while every normalization-optimizer pass wants
+        the same tile stacks (measured 1.7 ks of repeated f32 uploads at
+        production geometry on the tunneled link)."""
+        du = jnp.asarray(np.ascontiguousarray(decon_u16))
+        pu = jnp.asarray(np.ascontiguousarray(prob_u8))
+        with self._lock:
+            tile = self._tiles.setdefault(int(tile_idx), {})
+            for i, bit_idx in enumerate(bit_indices):
+                tile[int(bit_idx)] = (du[i], pu[i])
+            if int(tile_idx) in self._order:
+                self._order.remove(int(tile_idx))
+            self._order.append(int(tile_idx))
+            while len(self._order) > self._max_tiles:
+                evict = self._order.pop(0)
+                self._tiles.pop(evict, None)
 
     def has_bits(self, tile_idx: int, bit_indices) -> bool:
         with self._lock:

@@ -60,6 +60,15 @@ class MatrixCase:
         # reference harness: 1.0 um radius, 1.5 um at 1.5 um spacing
         return 1.5 if self.axial_step_um >= 1.5 else 1.0
 
+    @property
+    def n_spots(self) -> int:
+        # uniform fields are easy at 60 spots — every pin saturated at
+        # exactly 1.0000, which can detect no regression (VERDICT r4 weak
+        # #3). A denser field forces spot collisions/overlaps and pushes
+        # the pins off the ceiling while staying in the reference's
+        # standard band.
+        return 170 if self.distribution == "uniform" else 60
+
 
 STANDARD_MATRIX = [
     MatrixCase("cells", 0.315, False),
@@ -104,7 +113,7 @@ def run_matrix_case(
     sim_convert.write_raw_experiment(
         raw,
         shape=(case.nz, 96, 96),
-        n_spots=60,
+        n_spots=case.n_spots,
         n_genes=20,
         n_blanks=4,
         seed=11,

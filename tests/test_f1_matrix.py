@@ -32,27 +32,32 @@ F1_ABS_TOLERANCE = 0.02  # reference `tests/test_simulation_example_pipeline.py:
 # normalization medians. Moving it to 5 MAD lifted every case to >= 0.91
 # — matching the reference's standard-matrix shape (its worst standard
 # cell is 0.79; README.md:130-137) with no coarse-spacing collapse.
+# Re-pinned in r5 after two deliberate changes (VERDICT r4 #2a/#5):
+# (1) spot-sparse normalization seeding moved to the support-matched
+# top-k recipe (`decoder._seed_stats_program`), which starts the
+# optimizer near-converged instead of ~100x low; (2) the uniform cases
+# now render 170 spots instead of 60 (`f1_matrix_common.MatrixCase.
+# n_spots`) — at 60 every uniform pin saturated at exactly 1.0000 and
+# could detect no regression. All 12 pins now sit off the ceiling in
+# 0.89-0.96, inside the reference's standard band (its standard cells
+# span 0.79-0.99, `README.md:130-137`).
 EXPECTED_F1 = {
-    # 0.9123 → 0.9474 when staged registration's stage 2 moved from the
-    # dynamic overlap crop to the static interior crop (one XLA program,
-    # batched rounds): 6 fewer false negatives at this spacing, every
-    # other case within ±0.02
     "cells-0.315um-nodecon": 0.9474,
-    "cells-1.0um-nodecon": 0.9391,
-    "cells-1.5um-nodecon": 0.9298,
-    "uniform-0.315um-nodecon": 1.0000,
-    "uniform-1.0um-nodecon": 1.0000,
-    "uniform-1.5um-nodecon": 1.0000,
-    "cells-0.315um-decon": 0.9483,
-    "uniform-0.315um-decon": 1.0000,
-    # exhaustive mode: decon at coarse axial spacing no longer collapses
+    "cells-1.0um-nodecon": 0.9474,
+    "cells-1.5um-nodecon": 0.9381,
+    "uniform-0.315um-nodecon": 0.9480,
+    "uniform-1.0um-nodecon": 0.9297,
+    "uniform-1.5um-nodecon": 0.9379,
+    "cells-0.315um-decon": 0.9474,
+    "uniform-0.315um-decon": 0.9573,
+    # exhaustive mode: decon at coarse axial spacing does not collapse
     # (the reference documents cells/1.5 decon = 0.377 on its data; the
     # r2 collapse HERE was junk-FP driven, not decon physics — ablation
     # table in docs/f1_ablation.md)
-    "cells-1.0um-decon": 0.9565,
-    "cells-1.5um-decon": 0.9655,
-    "uniform-1.0um-decon": 1.0000,
-    "uniform-1.5um-decon": 1.0000,
+    "cells-1.0um-decon": 0.8947,
+    "cells-1.5um-decon": 0.9565,
+    "uniform-1.0um-decon": 0.9480,
+    "uniform-1.5um-decon": 0.9415,
 }
 
 
@@ -79,8 +84,8 @@ CNN_CASES = [
     MatrixCase("uniform", 0.315, False),
 ]
 EXPECTED_F1_CNN = {
-    "cells-0.315um-decon": 0.9661,
-    "uniform-0.315um-nodecon": 1.0000,
+    "cells-0.315um-decon": 0.9744,
+    "uniform-0.315um-nodecon": 0.9666,
 }
 
 

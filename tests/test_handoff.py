@@ -161,3 +161,28 @@ def test_minimal_persistence_decode_and_spot_tables(tmp_path):
 def test_minimal_requires_device_cache():
     with pytest.raises(ValueError, match="minimal"):
         DataRegistration(object.__new__(object), persist="minimal")
+
+
+def test_cache_miss_populates_from_persisted_forms(experiment):
+    """A decoder handed an EMPTY cache (the resumed-run case: registration
+    skipped, cache cold) must repopulate it from the persisted u16/u8
+    forms — after one decode the cache holds the tile and the result is
+    bit-identical to the plain disk decode."""
+    ds = experiment
+    _run_registration(ds, persist="sync")
+
+    cold_cache = TileDeviceCache()
+    dec = PixelDecoder(
+        ds, minimum_pixels=2, magnitude_threshold=(0.5, 10.0), verbose=0,
+        device_cache=cold_cache,
+    )
+    with pytest.warns(UserWarning, match="cache miss"):
+        df_pop = dec.decode_one_tile(0, save=False)
+    assert cold_cache.has_bits(0, range(len(ds.bit_ids)))
+
+    df_disk = PixelDecoder(
+        ds, minimum_pixels=2, magnitude_threshold=(0.5, 10.0), verbose=0
+    ).decode_one_tile(0, save=False)
+    pd.testing.assert_frame_equal(
+        df_pop.reset_index(drop=True), df_disk.reset_index(drop=True)
+    )

@@ -90,11 +90,13 @@ def test_seed_stats_sparse_branch_lands_on_spot_scale():
             high_cut=90.0,
         )
     )
-    # the lowpass dilutes the 3x3x3 boxes; the support-matched top-k
-    # median must sit within a factor ~4 of the rendered peak, far above
-    # the skirt scale the percentile seed lands on (measured ~100x low)
-    assert (norm > peak / 4.0).all(), norm
-    assert (norm < peak * 3.0).all(), norm
+    # the lowpass dilutes the 3x3x3 boxes and the core/4 down-bias
+    # deliberately errs LOW (overshoot stalls decode; undershoot costs an
+    # iteration of climb): the seed must sit within a factor ~16 below
+    # the rendered peak, far above the skirt scale the percentile seed
+    # lands on (measured ~100x low)
+    assert (norm > peak / 16.0).all(), norm
+    assert (norm < peak * 1.5).all(), norm
     np.testing.assert_allclose(bg, 0.0, atol=1e-6)
 
 
@@ -112,7 +114,7 @@ def test_seed_host_mirror_matches_device_sparse():
     support = int(np.count_nonzero(img > 0))
     assert _sparse_support_bit(support, img.size, 90.0)
     top = np.sort(lp.ravel())[::-1][:support]
-    host_norm = np.median(top)
+    host_norm = np.median(top) / 4.0
 
     norm, _bg = np.asarray(
         _seed_stats_program(
