@@ -851,10 +851,16 @@ def bench_production_case(
 
     from merfish3d_tpu.utils.production_case import run_production_case
 
-    ckpt = Path(__file__).parent / "tests" / "data" / "ufish_synthetic_c8.pkl"
-    cnn = {"ufish_model": "synthetic-cnn", "ufish_checkpoint": str(ckpt)}
-    if not ckpt.exists():  # pragma: no cover - checkpoint is committed
-        cnn = {"ufish_model": "dog"}
+    # Predictor: the deterministic DoG. The checked-in CNN checkpoint is
+    # trained (and exact-pinned at 0.97/0.97) on matrix-tier plane
+    # statistics; at production plane sizes the per-plane percentile
+    # normalization anchors on the background noise tail instead of the
+    # spot range, and the appearance shift floods the predictor with
+    # junk (measured F1 0.31 vs DoG 0.89 at (16, 640, 640)). U-FISH's own
+    # answer is per-modality finetuned checkpoints (the reference's alias
+    # table IS such a set); a production-stats finetune needs the real
+    # archives this environment cannot fetch.
+    cnn = {"ufish_model": "dog"}
 
     if platform != "tpu":
         workdir = Path(tempfile.mkdtemp(prefix="bench_prod_"))
@@ -895,7 +901,7 @@ def bench_production_case(
         decon_max_iters=10,
         deformable=True,
         chromatic=True,
-        num_iterations=3,
+        num_iterations=4,
         seed=21,
         reuse=True,
         **geometry,

@@ -32,18 +32,28 @@ def render_training_batch(
     batch: int = 8,
     size: int = 64,
     max_spots: int = 12,
+    min_spots: int = 1,
     sigma: float = 1.4,
     target_sigma: float = 1.0,
     amplitude=(300.0, 2000.0),
     background: float = 40.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(planes, targets): Poisson-noised Gaussian-spot planes and their
-    probability-map targets (Gaussian blobs at the true positions)."""
+    probability-map targets (Gaussian blobs at the true positions).
+
+    The spot-count range sets the training planes' NORMALIZED appearance:
+    the per-plane percentile normalization (`_percentile_normalize`, the
+    same transform applied at inference) puts its 99.8% anchor inside the
+    spot intensity range on dense small planes but on the background
+    noise tail of sparse production-size planes — a model trained at one
+    density regime misreads the other (measured: the 64-px/12-spot
+    checkpoint floods production-size planes with junk probability).
+    Train with the plane size and density matched to the target data."""
     yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
     planes = np.zeros((batch, size, size), np.float32)
     targets = np.zeros((batch, size, size), np.float32)
     for b in range(batch):
-        n = rng.integers(1, max_spots + 1)
+        n = rng.integers(min_spots, max_spots + 1)
         ys = rng.uniform(3, size - 3, n)
         xs = rng.uniform(3, size - 3, n)
         amps = rng.uniform(*amplitude, n)
@@ -67,6 +77,8 @@ def train_ufish(
     learning_rate: float = 3e-3,
     seed: int = 0,
     spot_sigma: float = 1.4,
+    max_spots: int = 12,
+    min_spots: int = 1,
     verbose: bool = False,
 ) -> dict:
     """Train UFishNet on synthetic spot planes; returns Flax variables."""
@@ -105,7 +117,8 @@ def train_ufish(
     norm = jax.jit(jax.vmap(_percentile_normalize))
     for i in range(steps):
         planes, targets = render_training_batch(
-            rng, batch=batch, size=size, sigma=spot_sigma
+            rng, batch=batch, size=size, sigma=spot_sigma,
+            max_spots=max_spots, min_spots=min_spots,
         )
         x = norm(jnp.asarray(planes))[..., None]
         params, batch_stats, opt_state, loss = step(

@@ -33,9 +33,9 @@ F1_ABS_TOLERANCE = 0.02  # reference `tests/test_simulation_example_pipeline.py:
 # — matching the reference's standard-matrix shape (its worst standard
 # cell is 0.79; README.md:130-137) with no coarse-spacing collapse.
 # Re-pinned in r5 after two deliberate changes (VERDICT r4 #2a/#5):
-# (1) spot-sparse normalization seeding moved to the support-matched
-# top-k recipe (`decoder._seed_stats_program`), which starts the
-# optimizer near-converged instead of ~100x low; (2) the uniform cases
+# (1) spot-sparse normalization seeding moved to the down-biased
+# spot-core recipe (`decoder._seed_stats_program`), which starts the
+# optimizer 1-2 climb iterations below converged instead of ~100x low; (2) the uniform cases
 # now render 170 spots instead of 60 (`f1_matrix_common.MatrixCase.
 # n_spots`) — at 60 every uniform pin saturated at exactly 1.0000 and
 # could detect no regression. All 12 pins now sit off the ceiling in
@@ -48,15 +48,15 @@ EXPECTED_F1 = {
     "uniform-0.315um-nodecon": 0.9480,
     "uniform-1.0um-nodecon": 0.9297,
     "uniform-1.5um-nodecon": 0.9379,
-    "cells-0.315um-decon": 0.9474,
+    "cells-0.315um-decon": 0.9655,
     "uniform-0.315um-decon": 0.9573,
     # exhaustive mode: decon at coarse axial spacing does not collapse
     # (the reference documents cells/1.5 decon = 0.377 on its data; the
     # r2 collapse HERE was junk-FP driven, not decon physics — ablation
     # table in docs/f1_ablation.md)
-    "cells-1.0um-decon": 0.8947,
+    "cells-1.0um-decon": 0.9655,
     "cells-1.5um-decon": 0.9565,
-    "uniform-1.0um-decon": 0.9480,
+    "uniform-1.0um-decon": 0.9541,
     "uniform-1.5um-decon": 0.9415,
 }
 

@@ -1,18 +1,21 @@
-"""Production-geometry hermetic case (VERDICT r3 #3): overlapping tile
-mosaic, 16-bit MHD4 codebook with >=10% blank codewords, chromatic
+"""Production-geometry hermetic case (VERDICT r3 #3, r4 #1/#2): overlapping
+tile mosaic, 16-bit MHD4 codebook with >=10% blank codewords, chromatic
 injection, per-round rigid + deformable misregistration, blank-fraction
 filter with a real threshold sweep — the in-environment proxy for the
 unfetchable statphysbio archives.
 
 `test_production_smoke` always runs (reduced geometry, validates the
-harness and the production machinery paths). The full-size pinned run is
-opt-in (`--run-f1-production`); `bench.py` runs the full geometry on TPU
-every round and records rate + F1.
+harness and the production machinery paths, F1 exact-pinned). The
+mid-size pinned run is opt-in (`--run-f1-production`); `bench.py` runs
+the FULL (16, 1024, 1024) geometry with RLGC decon on TPU every round
+and records rate + F1 in the driver-captured BENCH artifact.
 """
 
 import pytest
 
 from merfish3d_tpu.utils.production_case import run_production_case
+
+F1_ABS_TOLERANCE = 0.02  # reference `tests/test_simulation_example_pipeline.py:47`
 
 
 def test_production_smoke(tmp_path):
@@ -31,28 +34,40 @@ def test_production_smoke(tmp_path):
     # harness validity: real multi-tile overlap, spots recovered through
     # injected chromatic + deformable misregistration, filter swept
     assert r["n_tiles"] == 2 and r["overlap_px"] > 0
-    assert r["f1"] >= 0.82, r  # measured 0.894 at this geometry (seed 21)
+    # exact pin (VERDICT r4 #2c: floors can't detect regressions) —
+    # measured 0.8921 (precision 0.927 / recall 0.860) at 1 optimizer
+    # iteration with the down-biased spot-core seeding
+    assert abs(r["f1"] - 0.8921) <= F1_ABS_TOLERANCE, r
     assert r["blank_filter_sweep_points"] >= 3
     assert r["blank_filter"]["chosen_threshold"] is not None
 
 
-def test_production_full(tmp_path, request):
-    """Full production geometry, pinned (opt-in; hours on one CPU core —
-    the TPU path runs every round via ``bench.py::bench_production_case``).
-    Decon stays off on CPU (an RLGC solve at (16, 1024, 1024) x 16 bits
-    is TPU-scale work); everything else is the production path."""
+def test_production_mid(tmp_path, request):
+    """Mid production geometry with RLGC decon, exact-pinned (opt-in:
+    ~1-2 h on one CPU core; the same configuration measured F1 0.8927 on
+    the real v5e — precision 0.875 / recall 0.911 — after the r5
+    MIN_STOP_ITERS fix un-flattened 9/16 readout bits). The FULL
+    (16, 1024, 1024) geometry runs on TPU every round via
+    ``bench.py::bench_production_case`` with the F1 recorded in the
+    driver-captured BENCH artifact."""
     if not request.config.getoption("--run-f1-production"):
-        pytest.skip("pass --run-f1-production (slow: full-size mosaic)")
+        pytest.skip("pass --run-f1-production (slow: decon at mid mosaic)")
     r = run_production_case(
         tmp_path,
-        shape=(16, 1024, 1024),
-        n_spots=2400,
+        shape=(16, 640, 640),
+        n_spots=1000,
         n_genes=80,
         n_blanks=10,
-        decon=False,
+        decon=True,
+        decon_max_iters=10,
         deformable=True,
         chromatic=True,
+        num_iterations=3,
         seed=21,
     )
-    assert r["f1"] >= 0.80, r
+    assert abs(r["f1"] - 0.8927) <= 0.03, r  # v5e-measured pin; CPU may
+    # differ by FFT/accumulation order inside the one extra tolerance step
     assert r["blank_filter_sweep_points"] >= 3
+    # registration fidelity at production scale: recovered round shifts
+    # cancel the injected truth to sub-pixel residual
+    assert r["max_round_shift_residual_px"] < 1.0, r
