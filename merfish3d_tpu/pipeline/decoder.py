@@ -121,6 +121,11 @@ def _seed_lowpass_program(stack, z_start: int, z_stop: int,
     static_argnames=(
         "z_start", "z_stop", "sigma", "hot_threshold", "low_cut", "high_cut"
     ),
+    # the (T, bits, z, y, x) input is 2.15 GB at production seeding and
+    # dead after the lowpass — donating it lets XLA reuse the allocation
+    # for the lowpassed copy instead of holding both (the seed program
+    # runs within ~1 buffer of HBM there)
+    donate_argnums=(0,),
 )
 def _seed_stats_program(
     stacks,  # (T, bits, z, y, x) warped bit images, f32
@@ -801,12 +806,16 @@ class PixelDecoder:
             # geometry each is ~1 GB of HBM the seeding program wants back
             del stacks
             if stacked.nbytes > (1 << 30):
-                # under production-size pressure also release the memo's
-                # duplicate of the last tile — the seed program needs the
-                # headroom (observed OOM at (16, 1024, 1024)×16×2 with a
-                # populated device cache); the decode pass rebuilds it
-                # from the cache (or zarr) afterwards
+                # under production-size pressure release every other HBM
+                # tenant: the memo's duplicate of the last tile AND the
+                # device cache (~1.6 GB of (u16, u8) bits at production
+                # geometry) — the seed program runs within ~1 sort buffer
+                # of HBM there (observed OOMs at (16, 1024, 1024)×16×2).
+                # The decode passes repopulate the cache from the
+                # persisted forms afterwards (`_populate_cache_from_zarr`).
                 self._invalidate_warped_memo()
+                if self._device_cache is not None:
+                    self._device_cache.evict()
             packed = np.asarray(
                 _seed_stats_program(
                     stacked,
@@ -1344,6 +1353,7 @@ class PixelDecoder:
         state_path = (
             ds._decoded_run_root() / "temporary" / "optimization_state.json"
         )
+        resumed = False
         if state_path.exists():
             try:
                 stored = json.loads(state_path.read_text())
@@ -1354,6 +1364,7 @@ class PixelDecoder:
                 and stored.get("fingerprint") == fingerprint
             ):
                 sample_idx = [int(t) for t in stored["sample_idx"]]
+                resumed = True
             else:
                 ds.clear_decoded_temporary()
         state_path.parent.mkdir(parents=True, exist_ok=True)
@@ -1365,8 +1376,17 @@ class PixelDecoder:
             save_identity_chromatic_affines(ds, self._n_merfish_bits)
             self._collect_chromatic_centroids = True
             self._invalidate_warped_memo()  # stored chromatic warp changed
+        # A resumed run (same sample + fingerprint) reuses the STORED seed
+        # vectors: re-seeding re-reads + re-uploads every sample tile
+        # (minutes of link time at production geometry) to recompute the
+        # same statistics the first run persisted.
+        stored_global = (
+            ds.load_decode_normalization_vectors(run_key="global")
+            if resumed
+            else None
+        )
         self._load_global_normalization_vectors(
-            recalculate=True,
+            recalculate=stored_global is None,
             tile_indices=sample_idx[:5],
             lowpass_sigma=lowpass_sigma,
         )

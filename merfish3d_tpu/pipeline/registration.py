@@ -462,7 +462,23 @@ class DataRegistration:
             for tile_idx in pending:
                 self.register_one_tile(tile_idx)
         if self._global_registration:
-            self.global_register()
+            state = ds.datastore_state
+            if (
+                not self._overwrite
+                and not pending
+                and state.get("GlobalRegistered")
+                and state.get("Fused")
+            ):
+                # resume: every tile was already complete and the global
+                # transforms + fused image are on disk — re-running the
+                # stitch+fuse pass would recompute identical outputs
+                # (minutes of link time at production geometry). The
+                # reference re-enters this path explicitly via
+                # `--global-registration-only` when a redo is wanted.
+                if self._verbose:
+                    print("global registration complete, skipping")
+            else:
+                self.global_register()
         state = ds.datastore_state
         state.update({"LocalRegistered": True})
         ds.datastore_state = state
