@@ -47,6 +47,7 @@ def run_production_case(
     deformation_px: float = 1.2,
     seed: int = 21,
     num_iterations: int = 3,
+    minimum_pixels: int = 28,
     ufish_model: str = "dog",
     ufish_checkpoint=None,
     reuse: bool = False,
@@ -64,7 +65,12 @@ def run_production_case(
     ``reuse=True`` makes the case resumable: generation + conversion are
     skipped when the workdir already holds this exact configuration
     (fingerprint check), and registration resumes via its own scan —
-    warm bench runs then pay only decode + F1."""
+    warm bench runs then pay only decode + F1. ``minimum_pixels``
+    defaults to the reference's Nyquist-keyed 3D simulation value (28 at
+    0.315 um axial, BASELINE.md): production-rendered spots span ~200
+    voxels, and the r5 FP analysis measured surviving junk at mean area
+    42 vs true spots at 211 — the component-size floor is the designed
+    cut for it."""
     from ..cli.simulation import convert_simulation_to_experiment as sim_convert
     from ..cli.simulation import convert_to_datastore as sim_datastore
     from ..cli.simulation.calculate_f1 import match_spots_f1
@@ -161,7 +167,7 @@ def run_production_case(
     decoder = PixelDecoder(
         ds,
         magnitude_threshold=(0.9, 10.0),
-        minimum_pixels=4,
+        minimum_pixels=minimum_pixels,
         estimate_chromatic_affines=chromatic,
         verbose=verbose,
         device_cache=cache,

@@ -29,6 +29,7 @@ def test_production_smoke(tmp_path):
         deformable=True,
         chromatic=True,
         num_iterations=1,
+        minimum_pixels=4,  # smoke geometry renders small spots (6 planes)
         seed=21,
     )
     # harness validity: real multi-tile overlap, spots recovered through
@@ -44,12 +45,14 @@ def test_production_smoke(tmp_path):
 
 def test_production_mid(tmp_path, request):
     """Mid production geometry with RLGC decon, exact-pinned (opt-in:
-    ~1-2 h on one CPU core; the same configuration measured F1 0.8927 on
-    the real v5e — precision 0.875 / recall 0.911 — after the r5
-    MIN_STOP_ITERS fix un-flattened 9/16 readout bits). The FULL
-    (16, 1024, 1024) geometry runs on TPU every round via
+    ~1-2 h on one CPU core; the same configuration measured F1 0.9243 on
+    the real v5e — precision 0.927 / recall 0.922 — after the r5
+    MIN_STOP_ITERS fix un-flattened 9/16 readout bits and the
+    Nyquist-keyed minimum_pixels=28 default cut the small-component junk).
+    The FULL (16, 1024, 1024) geometry runs on TPU every round via
     ``bench.py::bench_production_case`` with the F1 recorded in the
-    driver-captured BENCH artifact."""
+    driver-captured BENCH artifact (measured 0.8699 there — the denser
+    2400-spot clustered field pays a spot-collision recall tax)."""
     if not request.config.getoption("--run-f1-production"):
         pytest.skip("pass --run-f1-production (slow: decon at mid mosaic)")
     r = run_production_case(
@@ -65,7 +68,7 @@ def test_production_mid(tmp_path, request):
         num_iterations=3,
         seed=21,
     )
-    assert abs(r["f1"] - 0.8927) <= 0.03, r  # v5e-measured pin; CPU may
+    assert abs(r["f1"] - 0.9243) <= 0.03, r  # v5e-measured pin; CPU may
     # differ by FFT/accumulation order inside the one extra tolerance step
     assert r["blank_filter_sweep_points"] >= 3
     # registration fidelity at production scale: recovered round shifts
