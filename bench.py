@@ -884,11 +884,11 @@ def bench_production_case(
 
     workdir = Path("/tmp/merfish3d_bench_prod_v5")
     warm = (workdir / "case_fingerprint.json").exists()
-    # measured on the tunneled v5e: full geometry ~690-850 s warm
+    # measured on the tunneled v5e: full geometry ~465-690 s warm
     # (registration resumed, stitch+fuse skipped, optimizer checkpoints
     # replayed, stored seed vectors reused; the final decode re-runs),
     # ~25-35 min cold; reduced (16, 640, 640) ~350-800 s cold
-    if budget_s >= (900.0 if warm else 2000.0):
+    if budget_s >= (600.0 if warm else 2000.0):
         geometry = {"shape": (16, 1024, 1024), "n_spots": 2400}
     elif budget_s >= 450.0:
         geometry = {"shape": (16, 640, 640), "n_spots": 1000}
